@@ -1,0 +1,102 @@
+"""Batch extraction job: the spark-submit entry point.
+
+Lifecycle (SURVEY.md section 3, Spark equivalent): scan -> native
+pre-filters -> explicit repartition by url-hash (optionally salted for hot
+hosts) -> mapInArrow kernel -> long-format output tables + per-partition
+metrics -> append with resume anti-join.
+
+Cluster launch::
+
+    spark-submit --py-files ocr_cezam_spark.zip -m ocr_cezam_spark.job \
+        --input db.documents --output-prefix db.extracted
+
+Locally the same code runs on ``local[N]`` against parquet (see
+``sources.catalog`` for the Iceberg/parquet seam).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: N812
+
+from .operators import extract as X
+from .skew import salted_repartition
+from .sources import catalog
+
+
+def run_job(
+    spark: SparkSession,
+    docs: DataFrame,
+    output_prefix: str,
+    num_partitions: int | None = None,
+    salt_hot_hosts: bool = True,
+    resume: bool = True,
+) -> dict[str, int]:
+    """Run the extraction job; returns row counts per output table."""
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism * 2
+
+    # Native pre-filter before the kernel (predicate stays below the UDF
+    # boundary — P7 analog: only rows that look like pages enter Python).
+    docs = docs.filter(F.col("html").isNotNull() & (F.length("url") > 0))
+
+    extracted_table = f"{output_prefix}/extracted"
+    if resume:
+        docs = catalog.resume_filter(docs, spark, extracted_table)
+
+    if salt_hot_hosts:
+        docs = salted_repartition(docs, num_partitions)
+        out = X.run_extract(docs, num_partitions=None)
+    else:
+        out = X.run_extract(docs, num_partitions=num_partitions)
+
+    # Truncate lineage BEFORE any append. The resume anti-join reads the
+    # committed table; appending to that path makes Spark recache (and
+    # re-execute) any plan that references it, which would see the job's own
+    # fresh output and anti-join everything away — later projections would
+    # silently write 0 rows. localCheckpoint materializes the kernel output
+    # and cuts the plan's tie to the table path. (On a real cluster the
+    # equivalent durable pattern is staging the nested output to its own
+    # table first; executor loss here just restarts the resume job.)
+    out = out.localCheckpoint(eager=True)
+    counts: dict[str, int] = {}
+    for name, df in (
+        ("extracted", X.extracted_text(out)),
+        ("fields", X.extracted_fields(out)),
+        ("cells", X.extracted_cells(out)),
+        ("statuses", X.extracted_statuses(out)),
+        ("codes", X.extracted_codes(out)),
+        ("metrics", X.partition_metrics(out)),
+    ):
+        catalog.append(df, f"{output_prefix}/{name}")
+        counts[name] = df.count()
+    out.unpersist()  # releases the localCheckpoint blocks
+    return counts
+
+
+def main() -> None:
+    from .session import get_spark
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", required=True, help="parquet path / table")
+    parser.add_argument("--output-prefix", required=True)
+    parser.add_argument("--partitions", type=int, default=None)
+    parser.add_argument("--no-resume", action="store_true")
+    args = parser.parse_args()
+
+    spark = get_spark(app="ocr_cezam_extract")
+    docs = spark.read.parquet(args.input)
+    counts = run_job(
+        spark,
+        docs,
+        args.output_prefix,
+        num_partitions=args.partitions,
+        resume=not args.no_resume,
+    )
+    print(counts)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,640 @@
+"""Pure-Python reference extraction kernel (zero Spark imports).
+
+This module is the *reference implementation* of the extraction semantics:
+golden outputs are computed by calling :func:`extract` directly, and the
+Spark pipeline (``ocr_cezam_spark.operators.extract``) must reproduce them
+byte-identically per url (BASELINE.json ``north_rule``).
+
+It generalizes the reference pipeline (DrArtemi/ocr-cezam) from the pixel
+domain to the web-text domain with the *same operator shapes*:
+
+- background removal (``utils/utils.py:96-108``)        -> boilerplate strip
+  (drop script/style/nav/header/footer/aside/comments)
+- zone classification by box size (``utils/process_table.py:406-415``)
+  -> main-content scoring by text-density / link-density / document order
+- OCR line grouping (``utils/utils.py:47-72``)          -> text line model
+  (lines of words over the extracted main text)
+- field parsers (``utils/process_fields.py:26-61,110-122``) -> the same
+  regex / keyword parsers over lines of words
+- bank-id dictionary lookup (``utils/process_fields.py:11-23``) -> substring
+  pattern scan in fixed dictionary order
+- MRZ fixed-slice decode (``file_types/document_identite.py:211-262``)
+  -> identical fixed-width slicing over 36/44-char '<' lines
+- table detection (``utils/process_table.py:314-476``)  -> HTML <table>
+  parsing into long-format cells (table_id, row_id, col_id, value)
+- balance reconciliation ``check_solde``
+  (``file_types/releve_bancaire.py:162-231``)           -> same arithmetic
+  invariant over parsed tables
+- fiscal-code semi-join (``file_types/bilan.py:166-209``) -> same code lists,
+  with the 35<bbox_width<45 pixel gate (``bilan.py:172-174``) re-expressed as
+  a 2-3 char cell-length gate.
+
+Determinism rules (SURVEY.md section 7): pure function of (url, html, lang);
+no process locale (French month names are an explicit mapping, never
+``locale.setlocale`` as the reference does at ``ocr_cezam.py:26-31``); no
+dict-order hazards (all iteration orders fixed); float rendering via
+``repr``-stable Python ``str``.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+# --------------------------------------------------------------------------
+# Dictionaries (analog of the reference's dict.json / banks.json; consumed
+# as fixed in-process constants — in Spark they'd be broadcast, see
+# SURVEY.md section 2.3 J1/J3).
+# --------------------------------------------------------------------------
+
+EMAIL_RGX = re.compile(r"[a-zA-Z0-9_.+-]+@[a-zA-Z0-9-]+\.[a-zA-Z0-9-.]+")
+
+ADDRESS_KEYWORDS = ("rue", "avenue", "ave", "route", "boulevard", "square")
+PHONE_KEYWORDS = ("tel", "tel:", "tél", "tél:", "tél.:", "tél.", "tel.:", "tel.")
+PERSON_KEYWORDS = ("m", "m.", "mr", "mme", "mme.")
+CREDIT_KEYWORDS = ("credit", "crédit", "cred", "créd")
+DEBIT_KEYWORDS = ("debit", "débit", "deb", "déb")
+
+# (bank_id, patterns) in fixed scan order — first hit wins, like the
+# insertion-ordered dict scan at process_fields.py:19-22.
+BANK_PATTERNS = (
+    ("banque_populaire", ("banque populaire", "banquepopulaire")),
+    ("credit_agricole", ("credit agricole", "crédit agricole")),
+    ("cic", ("crédit industriel et commercial", "cic")),
+    ("lcl", ("crédit lyonnais", "lcl")),
+    ("credit_du_nord", ("crédit du nord", "cdn")),
+    ("credit_mutuel", ("crédit mutuel", "credit mutuel")),
+    ("bnp_paribas", ("bnp paribas",)),
+    ("caisse_d_epargne", ("caisse d'épargne", "caisse d'epargne")),
+)
+
+# Explicit French month mapping — replaces the reference's process-global
+# locale dependence for %B parsing (ocr_cezam.py:26-31, a determinism hazard).
+FR_MONTHS = (
+    "janvier", "février", "mars", "avril", "mai", "juin",
+    "juillet", "août", "septembre", "octobre", "novembre", "décembre",
+)
+_FR_MONTH_NUM = {m: i + 1 for i, m in enumerate(FR_MONTHS)}
+
+# Fiscal form cell codes (public DGFiP liasse-fiscale codes; the reference
+# inlines the same lists at bilan.py:35-62). Key = how many following value
+# cells to capture.
+FISCAL_NUMBER_CODES = {
+    1: (
+        "010 014 028 040 044 050 060 064 068 072 080 084 088 092 096 110 193 "
+        "197 199 195 182 184 209 215 217 229 243 259 316 318 322 324 247 248 "
+        "330 342 344 346 350 352 354 356 360 366 368 370 372 374 376 378 380 "
+        "399 400 402 404 406 410 412 414 416 420 422 424 426 430 432 434 436 "
+        "440 442 444 446 450 452 454 456 460 462 464 466 470 472 474 476 480 "
+        "482 484 486 490 492 494 496 500 502 504 506 510 512 514 516 520 522 "
+        "524 526 530 532 534 536 540 542 544 546 550 552 554 556 560 562 564 "
+        "566 570 572 574 576 578 580 582 584 586 588 590 592 593 596 600 602 "
+        "604 606 610 612 614 616 620 622 624 626 630 632 634 636 640 642 644 "
+        "646 650 652 654 656 660 662 664 666 680 682 684 686 700 705 710 715 "
+        "720 725 730 735 740 745 750 755 760 765 770 775 780 800 804 810 814 "
+        "818 820 824 828 830 834 838 840 844 848 850 854 860 870 900 910 920 "
+        "930 950 960"
+    ).split(),
+    2: (
+        "120 124 126 130 132 134 136 140 142 154 156 164 166 172 174 176 180 "
+        "210 214 218 222 224 226 230 232 234 236 238 240 242 244 250 252 254 "
+        "256 262 264 270 280 290 300 306 310 312"
+    ).split(),
+    3: "012 016 030 042 048 052 062 066 070 074 082 086 090 094 098 112".split(),
+}
+FISCAL_LETTER_CODES = {
+    1: (
+        "AA AB AD AF AH AJ AL AN AP AR AT AV AX CS CU BB BD BF BH BJ BL BN BP "
+        "BR BT BV BX BZ CB CD CF CH CJ CL CM CN CO"
+    ).split(),
+    2: (
+        "AC AE AG AI AK AM AO AQ AS AU AW AY CT CV BC BE BG BI BK BM BO BQ BS "
+        "BU BW BY CA CC CE CG CI CK 1A"
+    ).split(),
+}
+
+# --------------------------------------------------------------------------
+# HTML parsing into a block model
+# --------------------------------------------------------------------------
+
+# Subtrees dropped entirely — the boilerplate-strip analog of
+# remove_background (utils/utils.py:96-108).
+_DROP_TAGS = frozenset(
+    {"script", "style", "head", "nav", "header", "footer", "aside",
+     "noscript", "form", "template", "iframe"}
+)
+# Elements that delimit flow blocks inside the winning container.
+_BLOCK_TAGS = frozenset(
+    {"h1", "h2", "h3", "h4", "h5", "h6", "p", "pre", "ul", "ol", "li",
+     "table", "blockquote", "div", "section", "article", "main"}
+)
+# Candidate main-content containers, scored like the reference scores
+# candidate boxes by geometry (process_table.py:406-415).
+_CONTAINER_TAGS = frozenset({"body", "div", "article", "section", "main"})
+_VOID_TAGS = frozenset(
+    {"br", "hr", "img", "meta", "link", "input", "area", "base", "col",
+     "embed", "source", "track", "wbr"}
+)
+
+
+class _Node:
+    __slots__ = ("tag", "children", "order")
+
+    def __init__(self, tag: str, order: int):
+        self.tag = tag
+        self.children: list = []  # _Node or str
+        self.order = order
+
+
+class _TreeBuilder(HTMLParser):
+    """Build a lightweight element tree; comments are discarded."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root", 0)
+        self._stack = [self.root]
+        self._order = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _VOID_TAGS:
+            if tag == "br":
+                self._stack[-1].children.append(" ")
+            return
+        self._order += 1
+        node = _Node(tag, self._order)
+        self._stack[-1].children.append(node)
+        self._stack.append(node)
+
+    def handle_endtag(self, tag):
+        if tag in _VOID_TAGS:
+            return
+        # Pop to the matching open tag if present (tolerates misnesting).
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                break
+
+    def handle_data(self, data):
+        if data:
+            self._stack[-1].children.append(data)
+
+
+def _norm(s: str) -> str:
+    """Whitespace-collapse (the scrub analog, process_table.py:237,252,263)."""
+    return " ".join(s.split())
+
+
+def _walk_text(node: _Node) -> tuple[str, int]:
+    """(raw text, link-text chars) of a subtree, skipping dropped tags."""
+    parts: list[str] = []
+    link_chars = 0
+    for child in node.children:
+        if isinstance(child, str):
+            parts.append(child)
+        elif child.tag in _DROP_TAGS:
+            continue
+        else:
+            t, l = _walk_text(child)
+            parts.append(" " + t + " ")
+            link_chars += len(_norm(t)) if child.tag == "a" else l
+    return "".join(parts), link_chars
+
+
+def _score_containers(node: _Node, out: list) -> None:
+    if node.tag in _DROP_TAGS:
+        return
+    if node.tag in _CONTAINER_TAGS:
+        text, link_chars = _walk_text(node)
+        n = len(_norm(text))
+        if n > 0:
+            # text mass discounted by link density — the DOM analog of the
+            # reference's w/h box-classification predicate (P4).
+            score = n * (1.0 - link_chars / n)
+            out.append((score, -node.order, node))
+    for child in node.children:
+        if isinstance(child, _Node):
+            _score_containers(child, out)
+
+
+def _flow_blocks(node: _Node) -> list[_Node | str]:
+    """Flatten a container into flow blocks; nested containers recurse."""
+    blocks: list = []
+    inline: list[str] = []
+
+    def flush():
+        if inline:
+            blocks.append("".join(inline))
+            inline.clear()
+
+    for child in node.children:
+        if isinstance(child, str):
+            inline.append(child)
+        elif child.tag in _DROP_TAGS:
+            continue
+        elif child.tag in ("div", "section", "article", "main"):
+            flush()
+            blocks.extend(_flow_blocks(child))
+        elif child.tag in _BLOCK_TAGS:
+            flush()
+            blocks.append(child)
+        else:  # inline element: merge its text into the running block
+            inline.append(" " + _walk_text(child)[0] + " ")
+    flush()
+    return blocks
+
+
+def _find_tables(node: _Node, out: list) -> None:
+    if node.tag in _DROP_TAGS:
+        return
+    if node.tag == "table":
+        out.append(node)
+        return
+    for child in node.children:
+        if isinstance(child, _Node):
+            _find_tables(child, out)
+
+
+def _table_cells(table: _Node) -> list[list[str]]:
+    rows: list[list[str]] = []
+
+    def scan(node: _Node):
+        for child in node.children:
+            if not isinstance(child, _Node):
+                continue
+            if child.tag == "tr":
+                cells = [
+                    _norm(_walk_text(c)[0])
+                    for c in child.children
+                    if isinstance(c, _Node) and c.tag in ("td", "th")
+                ]
+                if cells:
+                    rows.append(cells)
+            else:
+                scan(child)
+
+    scan(table)
+    return rows
+
+
+# --------------------------------------------------------------------------
+# Field parsers over the line-of-words model (process_fields.py analogs)
+# --------------------------------------------------------------------------
+
+
+def _lines_of_words(text: str) -> list[list[str]]:
+    """W1 analog of process_text (utils/utils.py:47-72)."""
+    return [line.split(" ") for line in text.split("\n") if line]
+
+
+def get_full_name(lines) -> str | None:
+    """Last honorific in the first matching row, join remainder
+    (process_fields.py:52-61)."""
+    for row in lines:
+        last = -1
+        for j, word in enumerate(row):
+            if word.lower() in PERSON_KEYWORDS:
+                last = j
+        if last != -1:
+            return " ".join(row[last + 1:])
+    return None
+
+
+def get_address(lines) -> str | None:
+    """Street-keyword row + next row (process_fields.py:26-33)."""
+    for i, row in enumerate(lines):
+        for word in row:
+            if word.lower() in ADDRESS_KEYWORDS:
+                return " ".join(row + lines[i + 1] if i + 1 < len(lines) else row)
+    return None
+
+
+def get_phone(lines) -> str | None:
+    """Keyword row -> join tokens after the keyword, strip ':'
+    (process_fields.py:36-42)."""
+    for row in lines:
+        for word in row:
+            if word.lower() in PHONE_KEYWORDS:
+                return "".join(row[1:]).replace(":", "")
+    return None
+
+
+def get_email(lines) -> str | None:
+    for row in lines:
+        for word in row:
+            if EMAIL_RGX.search(word):
+                return word
+    return None
+
+
+_DATE_SLASH = re.compile(r"^(\d{1,2})/(\d{1,2})/(\d{4})$")
+_DATE_DOT = re.compile(r"^(\d{1,2})\.(\d{1,2})\.(\d{4})$")
+_DATE_FR = re.compile(r"^(\d{1,2}) (\w+) (\d{4})$", re.UNICODE)
+
+
+def _try_date(s: str) -> tuple[int, int, int] | None:
+    """Multi-format date parse (process_fields.py:110-122), locale-free."""
+    m = _DATE_FR.match(s)
+    if m and m.group(2).lower() in _FR_MONTH_NUM:
+        d, mo, y = int(m.group(1)), _FR_MONTH_NUM[m.group(2).lower()], int(m.group(3))
+    else:
+        m = _DATE_SLASH.match(s) or _DATE_DOT.match(s)
+        if not m:
+            return None
+        d, mo, y = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if not (1 <= mo <= 12 and 1 <= d <= 31):
+        return None
+    return (d, mo, y)
+
+
+def get_date(lines) -> str | None:
+    """Whole line first, then per word (process_fields.py:110-121);
+    re-rendered '%d %B %Y' French (releve_bancaire.py:117)."""
+    for row in lines:
+        for cand in [" ".join(row)] + row:
+            parsed = _try_date(cand)
+            if parsed:
+                d, mo, y = parsed
+                return f"{d:02d} {FR_MONTHS[mo - 1]} {y}"
+    return None
+
+
+def get_bank_id(text: str) -> str | None:
+    """Substring scan in fixed order (process_fields.py:11-23)."""
+    low = text.lower()
+    for bank_id, patterns in BANK_PATTERNS:
+        for pat in patterns:
+            if pat in low:
+                return bank_id
+    return None
+
+
+# --------------------------------------------------------------------------
+# MRZ (document_identite.py:203-262 analogs)
+# --------------------------------------------------------------------------
+
+
+def _mrz_lines(lines, width: int) -> tuple[str, str] | None:
+    found = []
+    for row in lines:
+        stacked = "".join(row)
+        if len(stacked) == width and "<" in stacked:
+            found.append(stacked)
+    if len(found) > 1:
+        return found[0], found[1]
+    return None
+
+
+def _mrz_date(d: str) -> str:
+    """YYMMDD -> DD.MM.YY (document_identite.py:248-252)."""
+    return d[4:6] + "." + d[2:4] + "." + d[0:2]
+
+
+def decode_mrz(lines) -> dict[str, str]:
+    """ID-card (36-char) then passport (44-char) fixed-slice decode
+    (document_identite.py:211-246)."""
+    fields: dict[str, str] = {}
+    idc = _mrz_lines(lines, 36)
+    if idc:
+        l1, l2 = idc
+        fields["mrz_type"] = "id_card"
+        fields["mrz_nom"] = l1[5:30].replace("<", "")
+        fields["mrz_prenom"] = " ".join(l2[13:27].replace("<", " ").split())
+        fields["mrz_sexe"] = l2[34]
+        fields["mrz_date_naissance"] = _mrz_date(l2[27:33])
+        fields["mrz_date_remise"] = l2[2:4] + "." + l2[0:2]
+        fields["mrz_lieu_remise"] = l1[30:32]
+        return fields
+    pp = _mrz_lines(lines, 44)
+    if pp:
+        l1, l2 = pp
+        full = l1[5:]
+        fields["mrz_type"] = "passport"
+        fields["mrz_nom"] = full.split("<<")[0].replace("<", " ").strip()
+        fields["mrz_prenom"] = " ".join(
+            " ".join(full.split("<<")[1:]).replace("<", " ").split()
+        )
+        fields["mrz_numero"] = l2[:9]
+        fields["mrz_sexe"] = l2[20]
+        fields["mrz_date_naissance"] = _mrz_date(l2[13:19])
+        fields["mrz_date_validite"] = _mrz_date(l2[21:27])
+    return fields
+
+
+# --------------------------------------------------------------------------
+# Balance reconciliation (check_solde, releve_bancaire.py:162-231)
+# --------------------------------------------------------------------------
+
+
+def _parse_float(v: str) -> float | None:
+    """French decimal comma -> dot (releve_bancaire.py:167)."""
+    try:
+        return float(v.replace(",", "."))
+    except ValueError:
+        return None
+
+
+def _find_col(header: list[str], keywords) -> int | None:
+    for i, name in enumerate(header):
+        low = name.strip().lower()
+        if any(k in low for k in keywords):
+            return i
+    return None
+
+
+def check_solde(rows: list[list[str]]) -> tuple[str, str]:
+    """Reconcile one table: returns (status, detail).
+
+    Same decision tree as releve_bancaire.py:172-231:
+    missing credit/debit/date columns -> Unknown; <2 solde markers on both
+    sides -> Unknown; else recompute closing = opening +/- (debit-credit)
+    over valid rows strictly between the first and last marker and compare.
+    """
+    if not rows:
+        return ("Unknown", "columns missing : credit, debit, date")
+    header = rows[0]
+    width = len(header)
+    body = [r + [""] * (width - len(r)) if len(r) < width else r[:width] for r in rows[1:]]
+
+    cred = _find_col(header, CREDIT_KEYWORDS)
+    deb = _find_col(header, DEBIT_KEYWORDS)
+    date = _find_col(header, ("date",))
+    missing = [
+        name
+        for name, idx in (("credit", cred), ("debit", deb), ("date", date))
+        if idx is None
+    ]
+    if missing:
+        return ("Unknown", "columns missing : " + ", ".join(missing))
+
+    solde_idx = [
+        i for i, r in enumerate(body) if any("solde" in c.lower() for c in r)
+    ]
+    marks = {
+        "credit": [(body[i][cred], i) for i in solde_idx if body[i][cred] != ""],
+        "debit": [(body[i][deb], i) for i in solde_idx if body[i][deb] != ""],
+    }
+    if len(marks["credit"]) < 2 and len(marks["debit"]) < 2:
+        return ("Unknown", "Not enough solde infos")
+
+    side = "debit" if len(marks["debit"]) >= 2 else "credit"
+    (first_val, first_i), (last_val, last_i) = marks[side][0], marks[side][-1]
+    sub = body[first_i + 1: last_i]
+
+    def side_sum(col: int) -> float:
+        total = 0.0
+        for r in sub:
+            v = _parse_float(r[col]) if r[col] != "" else None
+            if v is not None and r[date] != "" and "solde" not in r[date].lower():
+                total += v
+        return total
+
+    cred_sum, deb_sum = side_sum(cred), side_sum(deb)
+    first_f = _parse_float(first_val)
+    last_f = _parse_float(last_val)
+    if first_f is None or last_f is None:
+        return ("Unknown", "Not enough solde infos")
+    delta = (deb_sum - cred_sum) if side == "debit" else (cred_sum - deb_sum)
+    res = round(first_f + delta, 2)
+    if res == last_f:
+        return ("Success", "Table values match final solde value.")
+    return ("Error", f"table values {res} don't match final solde value {last_f}.")
+
+
+# --------------------------------------------------------------------------
+# Fiscal-code extraction (bilan.py:166-209 analog)
+# --------------------------------------------------------------------------
+
+_DIGITS_ONLY = re.compile(r"[^0-9]")
+
+
+def extract_fiscal_codes(rows: list[list[str]]) -> list[tuple[str, int, str]]:
+    """(code, pos, digit-filtered value) triples.
+
+    The reference gates candidate cells on pixel bbox width 35<w<45
+    (bilan.py:172-174); the text analog gates on cell length 2-3 chars.
+    Following-value capture count comes from the code list the cell hits
+    (bilan.py:179-186).
+    """
+    out: list[tuple[str, int, str]] = []
+    for row in rows:
+        for k, cell in enumerate(row):
+            if not (2 <= len(cell) <= 3):
+                continue
+            digits = _DIGITS_ONLY.sub("", cell)
+            n_vals = None
+            code = None
+            for n, codes in FISCAL_NUMBER_CODES.items():
+                if digits and digits in codes:
+                    n_vals, code = n, digits
+                    break
+            if n_vals is None:
+                for n, codes in FISCAL_LETTER_CODES.items():
+                    if cell in codes:
+                        n_vals, code = n, cell
+                        break
+            if n_vals is None:
+                continue
+            for pos, value in enumerate(row[k + 1: k + 1 + n_vals]):
+                out.append((code, pos, _DIGITS_ONLY.sub("", value)))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Top-level extract
+# --------------------------------------------------------------------------
+
+
+def extract(url: str, html: bytes, lang: str) -> dict:
+    """Extract main text, fields, table cells, statuses from one page.
+
+    Pure and deterministic; never raises — failures become an ``error``
+    string (the per-document try/except fault isolation of
+    ``ocr_cezam.py:67-83`` re-expressed as an error column).
+    """
+    try:
+        return _extract_inner(url, html, lang)
+    except Exception as exc:  # noqa: BLE001 — fault isolation by design
+        return {
+            "url": url,
+            "text": "",
+            "fields": {},
+            "cells": [],
+            "statuses": [],
+            "codes": [],
+            "error": f"{type(exc).__name__}: {exc}"[:500],
+        }
+
+
+def _extract_inner(url: str, html: bytes, lang: str) -> dict:
+    builder = _TreeBuilder()
+    builder.feed(html.decode("utf-8", errors="replace"))
+    root = builder.root
+
+    # 1. Main-content container scoring (boilerplate strip + P4 analog).
+    candidates: list = []
+    _score_containers(root, candidates)
+    text = ""
+    if candidates:
+        candidates.sort(key=lambda t: (t[0], t[1]))
+        winner = candidates[-1][2]
+        parts = []
+        for block in _flow_blocks(winner):
+            if isinstance(block, _Node):
+                if block.tag == "table":
+                    continue  # tables go to the cells output, not main text
+                raw = _walk_text(block)[0]
+                if block.tag == "pre":
+                    # Preserve line structure: MRZ lines are positional
+                    # (document_identite.py:254-262 reads fixed-width lines).
+                    t = "\n".join(
+                        n for n in (_norm(l) for l in raw.splitlines()) if n
+                    )
+                else:
+                    t = _norm(raw)
+            else:
+                t = _norm(block)
+            if t:
+                parts.append(t)
+        text = "\n".join(parts)
+
+    # 2. Line model + field parsers (first-page-only analog: fields come
+    #    from the main text, P2).
+    lines = _lines_of_words(text)
+    fields: dict[str, str] = {}
+    for key, value in (
+        ("full_name", get_full_name(lines)),
+        ("address", get_address(lines)),
+        ("phone", get_phone(lines)),
+        ("email", get_email(lines)),
+        ("date", get_date(lines)),
+        ("bank_id", get_bank_id(text)),
+    ):
+        if value is not None:
+            fields[key] = value
+    fields.update(decode_mrz(lines))
+
+    # 3. Tables -> long-format cells + reconciliation + fiscal codes.
+    tables: list = []
+    _find_tables(root, tables)
+    cells: list[tuple[int, int, int, str]] = []
+    statuses: list[tuple[int, str, str]] = []
+    codes: list[tuple[int, str, int, str]] = []
+    for t_id, table in enumerate(tables):
+        rows = _table_cells(table)
+        for r_id, row in enumerate(rows):
+            for c_id, value in enumerate(row):
+                cells.append((t_id, r_id, c_id, value))
+        status, detail = check_solde(rows)
+        statuses.append((t_id, status, detail))
+        for code, pos, value in extract_fiscal_codes(rows[1:] if rows else []):
+            codes.append((t_id, code, pos, value))
+
+    return {
+        "url": url,
+        "text": text,
+        "fields": fields,
+        "cells": cells,
+        "statuses": statuses,
+        "codes": codes,
+        "error": None,
+    }

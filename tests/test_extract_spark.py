@@ -1,0 +1,102 @@
+"""Spark pipeline vs pure-Python kernel: byte-identical per url.
+
+This is the north_rule gate: Arrow batching, partitioning, parallelism and
+salting must introduce zero nondeterminism (SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_cezam_spark import kernel
+from ocr_cezam_spark.corpus import corpus_df, make_page
+from ocr_cezam_spark.operators import extract as X
+from ocr_cezam_spark.skew import detect_hot_hosts, salted_repartition
+
+N = 240
+
+
+@pytest.fixture(scope="module")
+def out(spark):
+    df = X.run_extract(corpus_df(spark, N), num_partitions=8)
+    return df.persist()
+
+
+def _golden(i: int) -> dict:
+    p = make_page(i)
+    return kernel.extract(p["url"], p["html"], p["lang"])
+
+
+def test_text_byte_identical(out):
+    got = {r["url"]: r["text"] for r in out.select("url", "text").collect()}
+    assert len(got) == N
+    for i in range(N):
+        g = _golden(i)
+        assert got[g["url"]] == g["text"]
+
+
+def test_fields_identical(out):
+    rows = X.extracted_fields(out).collect()
+    got: dict[str, dict] = {}
+    for r in rows:
+        got.setdefault(r["url"], {})[r["field"]] = r["value"]
+    for i in range(N):
+        g = _golden(i)
+        assert got.get(g["url"], {}) == g["fields"]
+
+
+def test_cells_and_statuses_identical(out):
+    cells = X.extracted_cells(out).collect()
+    by_url: dict[str, list] = {}
+    for r in cells:
+        by_url.setdefault(r["url"], []).append(
+            (r["table_id"], r["row_id"], r["col_id"], r["value"])
+        )
+    statuses: dict[str, list] = {}
+    for r in X.extracted_statuses(out).collect():
+        statuses.setdefault(r["url"], []).append(
+            (r["table_id"], r["status"], r["detail"])
+        )
+    for i in range(N):
+        g = _golden(i)
+        assert sorted(by_url.get(g["url"], [])) == sorted(g["cells"])
+        assert statuses.get(g["url"], []) == g["statuses"]
+
+
+def test_partitioning_invariance(spark):
+    """Same bytes regardless of partition count (2 vs 16)."""
+    a = {
+        r["url"]: r["text"]
+        for r in X.run_extract(corpus_df(spark, 64), 2).select("url", "text").collect()
+    }
+    b = {
+        r["url"]: r["text"]
+        for r in X.run_extract(corpus_df(spark, 64), 16).select("url", "text").collect()
+    }
+    assert a == b
+
+
+def test_salted_run_identical_and_balanced(spark):
+    docs = corpus_df(spark, 200)
+    hot = detect_hot_hosts(docs)
+    assert len(hot) >= 1  # corpus has ~3 hot hosts with ~10% each... >=5% hot
+    salted = salted_repartition(docs, 8)
+    out = X.run_extract(salted)
+    got = {r["url"]: r["text"] for r in out.select("url", "text").collect()}
+    for i in range(0, 200, 17):
+        g = _golden(i)
+        assert got[g["url"]] == g["text"]
+    # no straggler partition > 2x median (SURVEY.md section 5 skew test)
+    metrics = X.partition_metrics(out).collect()
+    counts = sorted(m["n_docs"] for m in metrics)
+    median = counts[len(counts) // 2]
+    assert counts[-1] <= 2 * max(median, 1)
+
+
+def test_error_isolation(spark):
+    """A malformed row becomes an error/empty row, never a job failure."""
+    pdf = corpus_df(spark, 4).toPandas()
+    pdf.loc[1, "html"] = None
+    docs = spark.createDataFrame(pdf)
+    out = X.run_extract(docs, 2).collect()
+    assert len(out) == 4

@@ -1,0 +1,145 @@
+"""Pure-Python kernel tests: determinism, variant invariants, parsers.
+
+The kernel is the reference implementation (SURVEY.md section 5) — these
+tests freeze its semantics; test_extract_spark.py then requires the Spark
+path to reproduce it byte-identically.
+"""
+
+from __future__ import annotations
+
+from ocr_cezam_spark import kernel
+from ocr_cezam_spark.corpus import corpus_rows, make_page
+
+
+def _run(i: int) -> dict:
+    p = make_page(i)
+    return kernel.extract(p["url"], p["html"], p["lang"])
+
+
+def test_deterministic_repeat():
+    a = [_run(i) for i in range(32)]
+    b = [_run(i) for i in range(32)]
+    assert a == b
+
+
+def test_no_errors_over_corpus():
+    for i in range(160):
+        assert _run(i)["error"] is None
+
+
+def test_boilerplate_stripped():
+    r = _run(0)
+    # nav/footer/script/style text must not leak into the main text
+    assert "copyright" not in r["text"]
+    assert "breaking latest popular" not in r["text"]
+    assert "var t=1" not in r["text"]
+    assert "body{margin:0}" not in r["text"]
+
+
+def test_statement_variants_statuses():
+    # variants: 0/1 valid -> Success; 2 no solde -> Unknown; 3 corrupted ->
+    # Error; 4 missing date column -> Unknown(columns missing)
+    expected = {
+        0: ("Success", "Table values match final solde value."),
+        1: ("Success", "Table values match final solde value."),
+        2: ("Unknown", "Not enough solde infos"),
+        4: ("Unknown", "columns missing : date"),
+    }
+    for base in (0, 8, 16, 24):
+        for v, (status, detail) in expected.items():
+            got = _run(base + v)["statuses"]
+            assert got and got[0][1] == status and got[0][2] == detail
+        err = _run(base + 3)["statuses"]
+        assert err[0][1] == "Error" and "don't match final solde value" in err[0][2]
+
+
+def test_solde_arithmetic_matches_construction():
+    """The reconciliation recomputes exactly the generator's invariant:
+    closing = opening + sum(debit) - sum(credit)."""
+    r = _run(0)
+    cells = r["cells"]
+    # reconstruct the table from long format
+    by_row: dict[int, dict[int, str]] = {}
+    for (t, row, col, val) in cells:
+        by_row.setdefault(row, {})[col] = val
+    rows = [
+        [by_row[r_][c] for c in sorted(by_row[r_])] for r_ in sorted(by_row)
+    ]
+    status, detail = kernel.check_solde(rows)
+    assert status == "Success"
+
+
+def test_fields_present_on_statement_pages():
+    for base in (0, 8, 40):
+        f = _run(base)["fields"]
+        for key in ("full_name", "address", "phone", "email", "date", "bank_id"):
+            assert key in f, (base, key, f)
+
+
+def test_mrz_id_card_decode():
+    f = _run(5)["fields"]
+    assert f["mrz_type"] == "id_card"
+    assert f["mrz_nom"] and "<" not in f["mrz_nom"]
+    assert f["mrz_sexe"] in "MF"
+    assert len(f["mrz_date_naissance"].split(".")) == 3
+
+
+def test_mrz_passport_decode():
+    f = _run(6)["fields"]
+    assert f["mrz_type"] == "passport"
+    assert f["mrz_numero"].isdigit() and len(f["mrz_numero"]) == 9
+    assert len(f["mrz_date_validite"].split(".")) == 3
+
+
+def test_fiscal_codes_extracted():
+    r = _run(7)
+    assert r["codes"], "variant 7 must yield fiscal codes"
+    for (_t, code, pos, value) in r["codes"]:
+        assert value.isdigit()
+        in_numbers = any(code in v for v in kernel.FISCAL_NUMBER_CODES.values())
+        in_letters = any(code in v for v in kernel.FISCAL_LETTER_CODES.values())
+        assert in_numbers or in_letters
+
+
+def test_date_parsing_formats():
+    lines = [["12/05/2023"]]
+    assert kernel.get_date(lines) == "12 mai 2023"
+    assert kernel.get_date([["03.02.2021"]]) == "03 février 2021"
+    assert kernel.get_date([["7", "août", "2020"]]) == "07 août 2020"
+    assert kernel.get_date([["not", "a", "date"]]) is None
+
+
+def test_check_solde_direct():
+    rows = [
+        ["Date", "Libellé", "Débit", "Crédit"],
+        ["", "Solde précédent", "100,00", ""],
+        ["01/03/2024", "achat", "25,50", ""],
+        ["02/03/2024", "virement", "", "10,00"],
+        ["", "Solde final", "115,50", ""],
+    ]
+    assert kernel.check_solde(rows) == (
+        "Success",
+        "Table values match final solde value.",
+    )
+    bad = [r[:] for r in rows]
+    bad[-1][2] = "999,99"
+    status, detail = kernel.check_solde(bad)
+    assert status == "Error" and "115.5" in detail
+
+
+def test_corrupt_page_yields_error_row_not_exception():
+    r = kernel.extract("u", b"\xff\xfe garbage <div", "fra")
+    assert r["url"] == "u" and isinstance(r["text"], str)
+
+
+def test_corpus_schema_and_skew():
+    rows = corpus_rows(400)
+    hot = sum(
+        1
+        for r in rows
+        if r["url"].split("/")[2].endswith(".example")
+    )
+    assert 0.2 < hot / len(rows) < 0.4  # ~30% on hot hosts
+    langs = {r["lang"] for r in rows}
+    assert langs == {"fra", "eng"}
+    assert all(isinstance(r["html"], bytes) for r in rows[:10])

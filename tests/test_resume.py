@@ -1,0 +1,44 @@
+"""Checkpoint/resume: kill-and-rerun equals a single clean run
+(SURVEY.md section 5, north_rule resumability)."""
+
+from __future__ import annotations
+
+from ocr_cezam_spark.corpus import corpus_df
+from ocr_cezam_spark.job import run_job
+from ocr_cezam_spark.sources import catalog
+
+
+def _texts(spark, prefix):
+    return {
+        (r["url"], r["text"])
+        for r in catalog.read(spark, f"{prefix}/extracted").collect()
+    }
+
+
+def test_resume_after_partial_run(spark, tmp_path):
+    docs = corpus_df(spark, 120)
+
+    clean = str(tmp_path / "clean")
+    run_job(spark, docs, clean, num_partitions=4, resume=False)
+
+    # partial run: only half the urls committed, then "executor loss"
+    partial = str(tmp_path / "partial")
+    half = docs.limit(60)
+    run_job(spark, half, partial, num_partitions=4, resume=False)
+    n_after_half = len(_texts(spark, partial))
+    assert n_after_half == 60
+
+    # resume: full source again; anti-join must skip committed urls
+    counts = run_job(spark, docs, partial, num_partitions=4, resume=True)
+    assert counts["extracted"] == 60  # only the missing urls were processed
+
+    assert _texts(spark, partial) == _texts(spark, clean)
+
+
+def test_resume_noop_when_complete(spark, tmp_path):
+    docs = corpus_df(spark, 40)
+    prefix = str(tmp_path / "full")
+    run_job(spark, docs, prefix, num_partitions=2, resume=False)
+    counts = run_job(spark, docs, prefix, num_partitions=2, resume=True)
+    assert counts["extracted"] == 0
+    assert len(_texts(spark, prefix)) == 40
