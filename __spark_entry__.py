@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship main-content extraction over the synthetic
+  Common-Crawl-style corpus (the BASELINE.json input shape), sized to the
+  t1 smoke tier.
+- ``queries()`` / ``oracle_sql()``: the operator registry from
+  ``ocr_cezam_spark.queries`` — relational mappings of SURVEY.md section 2
+  over the driver's sf tables, dedup/simsearch/textstats pipeline ops, and
+  kernel-backed extraction queries (two of which are hash-checked against
+  frozen pure-Python goldens; the rest rows-only).
 """
 
 from __future__ import annotations
@@ -13,26 +16,25 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ocr_cezam_spark import queries as Q
+from ocr_cezam_spark.corpus import corpus_df
+from ocr_cezam_spark.operators import extract as X
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extract main text + fields + reconciliation status for the
+    t1 smoke corpus (1000 synthetic web pages, input_hint schema)."""
+    out = X.run_extract(corpus_df(spark, 1000), num_partitions=8)
+    from pyspark.sql import functions as F  # noqa: N812
+
+    return X.extracted_text(out).select(
+        "url", "text", F.length("text").alias("n_chars")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(Q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(Q.ORACLES)

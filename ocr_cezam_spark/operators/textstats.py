@@ -1,0 +1,103 @@
+"""Text-analysis operators: quality scoring, language ID, token stats,
+document fingerprinting. All JVM-side expressions (codegen'd); portable to
+the DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is")
+
+# Marker word sets for the n-gram-heuristic language ID. Purely structural
+# on the synthetic corpus (its text is not language-correlated) — the query
+# checks the operator, the word lists are swappable.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+
+def _words(text_col: str) -> F.Column:
+    return F.split(F.col(text_col), " ")
+
+
+def token_quality(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Token count + stopword ratio + length stats -> quality flag.
+
+    The quality-score shape of web-pipeline filters (C4/Gopher-style rules)
+    built from the reference's keyword-membership primitives (J3)."""
+    words = _words(text_col)
+    n_tokens = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS_EN)))
+    n_chars = F.length(F.col(text_col))
+    avg_word_len = F.round((n_chars - (n_tokens - 1)) / n_tokens, 3)
+    stop_ratio = F.round(n_stop / n_tokens, 3)
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        avg_word_len.alias("avg_word_len"),
+        (
+            (n_tokens >= 10)
+            & (avg_word_len >= 2.0)
+            & (avg_word_len <= 12.0)
+        )
+        .cast("int")
+        .alias("quality_ok"),
+    )
+
+
+def langid(docs: DataFrame, id_col: str = "doc_id",
+           text_col: str = "text") -> DataFrame:
+    """Marker-count language ID: score per language = number of tokens in
+    that language's marker set; argmax with fixed tie order en>es>de>fr."""
+    def in_markers(markers):
+        # single-arg lambda closure — a defaulted second param would be
+        # misread by PySpark as the (element, index) lambda form
+        return lambda w: w.isin(*markers)
+
+    words = _words(text_col)
+    scores = {
+        lang: F.size(F.filter(words, in_markers(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"]),
+            "en",
+        )
+        .when(
+            (scores["es"] >= scores["de"]) & (scores["es"] >= scores["fr"]), "es"
+        )
+        .when(scores["de"] >= scores["fr"], "de")
+        .otherwise("fr")
+    )
+    return docs.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in ("en", "es", "de", "fr")],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Document fingerprint from per-token 60-bit hashes (winnowing-lite):
+    min/max token hash + distinct token count. conv(md5-hex-prefix) is the
+    engine-portable integer hash."""
+    words = _words(text_col)
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+        F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
+    )

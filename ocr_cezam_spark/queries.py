@@ -1,0 +1,627 @@
+"""Query registry: every operator exposed as (spark, sf_dir) -> DataFrame
+plus a DuckDB oracle SQL twin (SURVEY.md section 5, operator-level tests).
+
+Conventions that keep the cross-engine value-hash stable:
+- every computed column aliased identically in Spark and SQL;
+- money/score floats rounded (2-4 dp) — float sums are order-dependent
+  across partitions, rounding far above the accumulation error;
+- hashes via md5 (bit-identical in Spark and DuckDB); integer hashes via
+  conv(md5-prefix, 16, 10) == ('0x' || prefix)::BIGINT;
+- thresholds compared on unrounded values in both engines.
+
+Kernel-backed queries (extraction itself) are not SQL-expressible; two of
+them are checked against *frozen goldens* computed by the pure-Python
+kernel (tools/freeze_golden.py -> golden/*.parquet, read by DuckDB via
+read_parquet) — an independent oracle; the rest are rows-only.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: N812
+
+from .corpus import corpus_df
+from .operators import dedup, multimodal, relational, simsearch, textstats
+from .operators import extract as X
+
+KERNEL_N = 400  # corpus size for kernel-backed queries
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN_DIR = os.path.join(_REPO, "golden")
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, fn: QueryFn, oracle: str | None) -> None:
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cloned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus an exact clone of every doc at doc_id+1000000 —
+    guarantees every dedup query has true duplicates to find."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    clone = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source"
+    )
+    return d.unionByName(clone)
+
+
+_CLONED_SQL = (
+    "SELECT doc_id, text, source FROM documents "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text, source FROM documents"
+)
+
+# ===========================================================================
+# Relational operators (driver TPC-H-ish tables)
+# ===========================================================================
+
+_register(
+    "pricing_summary",
+    lambda s, d: relational.pricing_summary(_t(s, d, "lineitem")),
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+_register(
+    "top_revenue_customers",
+    lambda s, d: relational.top_revenue_customers(
+        _t(s, d, "orders"), _t(s, d, "customer")
+    ),
+    """
+    WITH rev AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY revenue DESC, o_custkey ASC) AS rank
+      FROM rev
+    )
+    SELECT rank, o_custkey, c_name, revenue, n_orders
+    FROM ranked JOIN customer ON o_custkey = c_custkey
+    WHERE rank <= 10 ORDER BY rank
+    """,
+)
+
+_register(
+    "region_rollup",
+    lambda s, d: relational.region_rollup(
+        _t(s, d, "customer"), _t(s, d, "nation"), _t(s, d, "region")
+    ),
+    """
+    SELECT r_name, n_name, count(*) AS n_customers,
+           round(avg(c_acctbal), 2) AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name ORDER BY r_name, n_name
+    """,
+)
+
+_register(
+    "running_balance",
+    lambda s, d: relational.running_balance(_t(s, d, "orders")),
+    """
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+
+_register(
+    "sessionize",
+    lambda s, d: relational.sessionize(_t(s, d, "events")),
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch(ts) - lag(epoch(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), with_id AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           round(sum(value), 2) AS session_value
+    FROM with_id GROUP BY user_id, session_id
+    """,
+)
+
+_register(
+    "event_transitions",
+    lambda s, d: relational.event_transitions(_t(s, d, "events")),
+    """
+    WITH nxt AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n
+    FROM nxt WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type ORDER BY event_type, next_type
+    """,
+)
+
+_register(
+    "union_by_arity",
+    lambda s, d: relational.union_by_arity(_t(s, d, "orders"), _t(s, d, "lineitem")),
+    """
+    WITH u AS (
+      SELECT o_orderkey AS k, o_totalprice AS v, 'orders' AS src FROM orders
+      UNION ALL
+      SELECT l_orderkey, l_extendedprice, 'lineitem' FROM lineitem
+    )
+    SELECT src, count(*) AS n_rows, round(sum(v), 2) AS total_v
+    FROM u GROUP BY src ORDER BY src
+    """,
+)
+
+_register(
+    "code_semijoin_lead",
+    lambda s, d: relational.code_semijoin_lead(_t(s, d, "lineitem"), s),
+    """
+    WITH w AS (
+      SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty,
+             round(lead(l_extendedprice) OVER (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_extendedprice), 2)
+               AS next_price
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, qty AS code, next_price
+    FROM w WHERE qty IN (10, 20, 30) AND next_price IS NOT NULL
+    """,
+)
+
+_register(
+    "value_bucket_join",
+    lambda s, d: relational.value_bucket_join(_t(s, d, "events"), s),
+    """
+    WITH buckets AS (
+      SELECT i AS bucket_id, i * 10.0 AS lo, (i + 1) * 10.0 AS hi
+      FROM (SELECT unnest(range(0, 10)) AS i)
+    )
+    SELECT bucket_id, count(*) AS n_events, round(avg(value), 2) AS avg_value
+    FROM events JOIN buckets ON value >= lo AND value < hi
+    GROUP BY bucket_id ORDER BY bucket_id
+    """,
+)
+
+_register(
+    "statement_reconciliation",
+    lambda s, d: relational.statement_reconciliation(_t(s, d, "orders")),
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END) AS deb,
+             sum(CASE WHEN o_orderstatus <> 'F' THEN o_totalprice ELSE 0.0 END) AS cred,
+             count(*) AS n_rows
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, n_rows,
+           round(1000.0 + deb - cred, 2) AS computed_closing,
+           round(1000.0 + deb - cred
+                 + CASE WHEN o_custkey % 10 = 0 THEN 7.77 ELSE 0.0 END, 2)
+             AS reported_closing,
+           CASE WHEN round(1000.0 + deb - cred, 2)
+                   = round(1000.0 + deb - cred
+                     + CASE WHEN o_custkey % 10 = 0 THEN 7.77 ELSE 0.0 END, 2)
+                THEN 'Success' ELSE 'Error' END AS verdict
+    FROM per_cust
+    """,
+)
+
+_register(
+    "line_grouping",
+    lambda s, d: relational.line_grouping(_t(s, d, "documents")),
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN word = 'the' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS line_id
+      FROM toks
+    )
+    SELECT doc_id, line_id, count(*) AS n_words
+    FROM lines GROUP BY doc_id, line_id
+    """,
+)
+
+# ===========================================================================
+# Text analysis / quality / language id / fingerprint
+# ===========================================================================
+
+_register(
+    "token_quality",
+    lambda s, d: textstats.token_quality(_t(s, d, "documents")),
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS words, length(text) AS n_chars
+      FROM documents
+    ), m AS (
+      SELECT doc_id, len(words) AS n_tokens,
+             len(list_filter(words, w -> w IN
+                 ('the','a','of','and','to','in','is'))) AS n_stopwords,
+             (n_chars - (len(words) - 1)) / len(words) AS awl_raw
+      FROM base
+    )
+    SELECT doc_id, n_tokens, n_stopwords,
+           round(CAST(n_stopwords AS DOUBLE) / n_tokens, 3) AS stopword_ratio,
+           round(awl_raw, 3) AS avg_word_len,
+           CAST(n_tokens >= 10 AND round(awl_raw, 3) >= 2.0
+                AND round(awl_raw, 3) <= 12.0 AS INT) AS quality_ok
+    FROM m
+    """,
+)
+
+
+def _langid_oracle() -> str:
+    score = {
+        lang: (
+            "len(list_filter(words, w -> w IN ("
+            + ",".join(f"'{w}'" for w in markers)
+            + ")))"
+        )
+        for lang, markers in textstats.LANG_MARKERS.items()
+    }
+    return f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), sc AS (
+      SELECT doc_id, {score['en']} AS score_en, {score['es']} AS score_es,
+             {score['de']} AS score_de, {score['fr']} AS score_fr
+      FROM base
+    )
+    SELECT doc_id, score_en, score_es, score_de, score_fr,
+           CASE WHEN score_en >= score_es AND score_en >= score_de
+                     AND score_en >= score_fr THEN 'en'
+                WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+                WHEN score_de >= score_fr THEN 'de'
+                ELSE 'fr' END AS pred_lang
+    FROM sc
+    """
+
+
+_register(
+    "langid",
+    lambda s, d: textstats.langid(_t(s, d, "documents")),
+    _langid_oracle(),
+)
+
+_register(
+    "fingerprint",
+    lambda s, d: textstats.fingerprint(_t(s, d, "documents")),
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    )
+    SELECT doc_id,
+           list_aggregate(list_transform(words,
+             w -> ('0x' || substr(md5(w), 1, 15))::BIGINT), 'min') AS fp_min,
+           list_aggregate(list_transform(words,
+             w -> ('0x' || substr(md5(w), 1, 15))::BIGINT), 'max') AS fp_max,
+           len(list_distinct(words)) AS n_distinct_tokens
+    FROM base
+    """,
+)
+
+# ===========================================================================
+# Scalar-function parity (MRZ fixed-slice, digit filter / decimal comma)
+# ===========================================================================
+
+
+def _mrz_query(s: SparkSession, d: str) -> DataFrame:
+    """F16-F19 analogs as pure column exprs over a deterministic MRZ-like
+    string derived from customer names (document_identite.py:211-225)."""
+    cust = _t(s, d, "customer")
+    mrz = F.rpad(
+        F.concat(F.lit("IDFRA"), F.upper(F.expr("replace(c_name, ' ', '<')"))),
+        36,
+        "<",
+    )
+    return cust.select(
+        "c_custkey",
+        mrz.alias("mrz"),
+        F.trim(F.expr(
+            "replace(substring(rpad(concat('IDFRA', upper(replace(c_name, ' ', '<'))), 36, '<'), 6, 25), '<', ' ')"
+        )).alias("nom"),
+        F.substring(mrz, 31, 2).alias("lieu"),
+    )
+
+
+_register(
+    "mrz_fixed_slice",
+    _mrz_query,
+    """
+    WITH m AS (
+      SELECT c_custkey,
+             rpad('IDFRA' || upper(replace(c_name, ' ', '<')), 36, '<') AS mrz
+      FROM customer
+    )
+    SELECT c_custkey, mrz,
+           trim(replace(substr(mrz, 6, 25), '<', ' ')) AS nom,
+           substr(mrz, 31, 2) AS lieu
+    FROM m
+    """,
+)
+
+
+def _digit_decimal(s: SparkSession, d: str) -> DataFrame:
+    """F8 decimal-comma normalize + F9 digit filter + F10 decimal
+    reinsertion (bilan.py:184,206; process_table.py:262-266)."""
+    cust = _t(s, d, "customer")
+    digits = F.regexp_replace("c_name", "[^0-9]", "")
+    return (
+        cust.select("c_custkey", digits.alias("digits"))
+        .filter(F.length("digits") >= 3)
+        .select(
+            "c_custkey",
+            "digits",
+            F.round(
+                F.regexp_replace(
+                    F.concat(
+                        F.expr("substr(digits, 1, length(digits) - 2)"),
+                        F.lit(","),
+                        F.expr("substr(digits, length(digits) - 1, 2)"),
+                    ),
+                    ",",
+                    ".",
+                ).cast("double"),
+                2,
+            ).alias("amount"),
+        )
+    )
+
+
+_register(
+    "digit_decimal_parse",
+    _digit_decimal,
+    """
+    WITH d AS (
+      SELECT c_custkey, regexp_replace(c_name, '[^0-9]', '', 'g') AS digits
+      FROM customer
+    )
+    SELECT c_custkey, digits,
+           round(CAST(replace(
+             substr(digits, 1, length(digits) - 2) || ',' ||
+             substr(digits, length(digits) - 1, 2), ',', '.') AS DOUBLE), 2)
+             AS amount
+    FROM d WHERE length(digits) >= 3
+    """,
+)
+
+# ===========================================================================
+# Deduplication (cloned documents corpus -> guaranteed duplicates)
+# ===========================================================================
+
+_register(
+    "dedup_exact",
+    lambda s, d: dedup.exact_dedup(_cloned_docs(s, d)),
+    f"""
+    WITH corpus AS ({_CLONED_SQL})
+    SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS n_copies
+    FROM corpus GROUP BY md5(text)
+    """,
+)
+
+
+def _minhash_oracle() -> str:
+    sh = (
+        "list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), "
+        "i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))"
+    )
+    mh = ",\n      ".join(
+        f"list_aggregate(list_transform({sh}, s -> md5(s || ':{i}')), 'min') AS mh_{i}"
+        for i in range(4)
+    )
+    eq = " + ".join(f"CASE WHEN l.mh_{i} = r.mh_{i} THEN 1 ELSE 0 END" for i in range(4))
+    return f"""
+    WITH corpus AS ({_CLONED_SQL}),
+    sig AS (
+      SELECT doc_id, {mh}
+      FROM corpus
+    ),
+    banded AS (
+      SELECT doc_id, mh_0, mh_1, mh_2, mh_3,
+             mh_0 || '|' || mh_1 AS band_0, mh_2 || '|' || mh_3 AS band_1
+      FROM sig
+    ),
+    pairs AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, ({eq}) / 4.0 AS sim_est
+      FROM banded l JOIN banded r ON l.band_0 = r.band_0 AND l.doc_id < r.doc_id
+      UNION ALL
+      SELECT l.doc_id, r.doc_id, ({eq}) / 4.0
+      FROM banded l JOIN banded r ON l.band_1 = r.band_1 AND l.doc_id < r.doc_id
+    )
+    SELECT a, b, max(sim_est) AS sim_est FROM pairs GROUP BY a, b
+    """
+
+
+_register(
+    "minhash_lsh_pairs",
+    lambda s, d: dedup.minhash_lsh_pairs(_cloned_docs(s, d)),
+    _minhash_oracle(),
+)
+
+
+def _simhash_oracle() -> str:
+    highs = "'8','9','a','b','c','d','e','f'"
+    bits = " || ".join(
+        "(CASE WHEN 2 * len(list_filter(words, w -> substr(md5(w), "
+        f"{p}, 1) IN ({highs}))) > len(words) THEN '1' ELSE '0' END)"
+        for p in range(1, 17)
+    )
+    return f"""
+    WITH corpus AS ({_CLONED_SQL}),
+    base AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+    sh AS (SELECT doc_id, {bits} AS simhash FROM base)
+    SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc
+    FROM sh GROUP BY simhash HAVING count(*) > 1
+    """
+
+
+_register(
+    "simhash_buckets",
+    lambda s, d: dedup.simhash_buckets(_cloned_docs(s, d)),
+    _simhash_oracle(),
+)
+
+_register(
+    "ngram_jaccard",
+    lambda s, d: dedup.ngram_jaccard_pairs(_cloned_docs(s, d)),
+    f"""
+    WITH corpus AS ({_CLONED_SQL}),
+    base AS (
+      SELECT doc_id, source AS grp,
+             list_distinct(string_split(text, ' ')) AS wset
+      FROM corpus
+    ),
+    pairs AS (
+      SELECT l.doc_id AS a, r.doc_id AS b,
+             CAST(len(list_intersect(l.wset, r.wset)) AS DOUBLE)
+               / len(list_distinct(list_concat(l.wset, r.wset))) AS j_raw
+      FROM base l JOIN base r ON l.grp = r.grp AND l.doc_id < r.doc_id
+    )
+    SELECT a, b, round(j_raw, 4) AS jaccard FROM pairs WHERE j_raw >= 0.9
+    """,
+)
+
+# ===========================================================================
+# Similarity search (embeddings)
+# ===========================================================================
+
+_PROBES = [0, 1, 2, 3, 4]
+
+_register(
+    "cosine_topk",
+    lambda s, d: simsearch.cosine_topk(_t(s, d, "embeddings"), _PROBES),
+    """
+    WITH base AS (
+      SELECT vec_id AS nb_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), probes AS (
+      SELECT nb_id AS probe_id, v AS p FROM base WHERE nb_id IN (0,1,2,3,4)
+    ), j AS (
+      SELECT probe_id, nb_id,
+             list_dot_product(p, v)
+               / (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(v, v)))
+               AS sim_raw
+      FROM probes, base WHERE nb_id <> probe_id
+    ), r AS (
+      SELECT probe_id, nb_id, sim_raw,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY sim_raw DESC, nb_id ASC) AS rank
+      FROM j
+    )
+    SELECT probe_id, rank, nb_id, round(sim_raw, 4) AS cosine
+    FROM r WHERE rank <= 5
+    """,
+)
+
+_register(
+    "ivf_bucket_stats",
+    lambda s, d: simsearch.ivf_bucket_stats(_t(s, d, "embeddings")),
+    """
+    WITH base AS (
+      SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+    ), cents AS (
+      SELECT vid AS centroid_id, v AS c FROM base WHERE vid < 8
+    ), d AS (
+      SELECT vid, centroid_id,
+             list_dot_product(v, v) - 2 * list_dot_product(v, c)
+               + list_dot_product(c, c) AS dist
+      FROM base, cents
+    ), assigned AS (
+      SELECT vid, centroid_id, round(dist, 3) AS dist,
+             row_number() OVER (PARTITION BY vid
+                                ORDER BY dist ASC, centroid_id ASC) AS rn
+      FROM d
+    )
+    SELECT centroid_id, count(*) AS n_assigned,
+           min(dist) AS min_dist, max(dist) AS max_dist
+    FROM assigned WHERE rn = 1
+    GROUP BY centroid_id ORDER BY centroid_id
+    """,
+)
+
+# ===========================================================================
+# Multimodal plumbing (binary payload -> typed metadata via mapInPandas)
+# ===========================================================================
+
+_register(
+    "multimodal_meta",
+    lambda s, d: multimodal.decode_metadata(
+        multimodal.attach_payload(_t(s, d, "documents"))
+    ),
+    """
+    SELECT doc_id,
+           16 AS n_bytes,
+           ('0x' || substr(md5(text), 1, 2))::INT AS width,
+           ('0x' || substr(md5(text), 3, 2))::INT AS height
+    FROM documents
+    """,
+)
+
+# ===========================================================================
+# Kernel-backed extraction queries (synthetic corpus, deterministic seed).
+# extract_text / solde_status check against frozen pure-Python goldens.
+# ===========================================================================
+
+
+def _kernel_out(s: SparkSession) -> DataFrame:
+    return X.run_extract(corpus_df(s, KERNEL_N), num_partitions=8)
+
+
+_register(
+    "extract_text",
+    lambda s, d: X.extracted_text(_kernel_out(s)).select("url", "text"),
+    f"""
+    SELECT url, text
+    FROM read_parquet('{GOLDEN_DIR}/extract_text_n{KERNEL_N}.parquet')
+    """,
+)
+
+_register(
+    "solde_status",
+    lambda s, d: X.extracted_statuses(_kernel_out(s)),
+    f"""
+    SELECT url, table_id, status, detail
+    FROM read_parquet('{GOLDEN_DIR}/solde_status_n{KERNEL_N}.parquet')
+    """,
+)
+
+_register("extract_fields", lambda s, d: X.extracted_fields(_kernel_out(s)), None)
+_register("extract_cells", lambda s, d: X.extracted_cells(_kernel_out(s)), None)
+_register("fiscal_codes", lambda s, d: X.extracted_codes(_kernel_out(s)), None)
