@@ -37,8 +37,12 @@ def top_revenue_customers(orders: DataFrame, customer: DataFrame, k: int = 10) -
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         F.count("*").alias("n_orders"),
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
-    top = rev.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k
+    # + driver merge of k rows) — a global row_number window would funnel
+    # every customer through one partition at scale.
+    topk = rev.orderBy(F.desc("revenue"), F.asc("o_custkey")).limit(k)
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))  # k rows only
+    top = topk.withColumn("rank", F.row_number().over(w))
     return (
         top.join(F.broadcast(customer), top.o_custkey == customer.c_custkey)
         .select("rank", "o_custkey", "c_name", "revenue", "n_orders")

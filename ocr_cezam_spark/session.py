@@ -34,6 +34,11 @@ def get_spark(
         # html blobs are large: cap rows per Arrow batch so executor-side
         # Python workers stay memory-bounded at 100 TB scale.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # html-blob tables are CPU-heavy per byte (zstd decode + kernel):
+        # cut scan-split size so the scan stage parallelizes across all
+        # cores instead of 128MB-sized mega-tasks (4 tasks for a 400MB
+        # table would cap the whole job at 4-way parallelism).
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

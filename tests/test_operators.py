@@ -1,0 +1,140 @@
+"""Operator semantics on tiny hand-computed inputs (fast, no parquet)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F  # noqa: N812
+
+from ocr_cezam_spark.operators import dedup, multimodal, relational, simsearch, textstats
+
+
+def test_sessionize_gap_clustering(spark):
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "click", 1.0),
+        (2, 1, "2024-01-01 00:10:00", "click", 1.0),   # same session
+        (3, 1, "2024-01-01 01:10:00", "click", 1.0),   # gap > 30min -> new
+        (4, 2, "2024-01-01 00:00:00", "view", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["user_id"], r["session_id"]): r["n_events"]
+        for r in relational.sessionize(df).collect()
+    }
+    assert got == {(1, 0): 2, (1, 1): 1, (2, 0): 1}
+
+
+def test_union_by_arity_counts(spark):
+    o = spark.createDataFrame([(1, 10.0, "x", "d", "e", "f")],
+                              "o_orderkey long, o_totalprice double, a string, b string, c string, dd string")
+    l = spark.createDataFrame([(1, 5.0)], "l_orderkey long, l_extendedprice double")
+    out = {r["src"]: (r["n_rows"], r["total_v"]) for r in
+           relational.union_by_arity(o, l).collect()}
+    assert out == {"orders": (1, 10.0), "lineitem": (1, 5.0)}
+
+
+def test_exact_dedup_keeper(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa")], "doc_id long, text string"
+    )
+    rows = {r["keeper"]: r["n_copies"] for r in dedup.exact_dedup(df).collect()}
+    assert rows == {1: 2, 2: 1}
+
+
+def test_minhash_identical_docs_full_similarity(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally different words here now ok")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["a"], r["b"]): r["sim_est"] for r in
+             dedup.minhash_lsh_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_clones_same_bucket(spark):
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8"), (2, "w1 w2 w3 w4 w5 w6 w7 w8")],
+        "doc_id long, text string",
+    )
+    rows = dedup.simhash_buckets(df).collect()
+    assert len(rows) == 1 and rows[0]["n_docs"] == 2 and rows[0]["min_doc"] == 1
+
+
+def test_ngram_jaccard_exact_clone(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d", "s"), (2, "a b c d", "s"), (3, "x y z w", "s")],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r["a"], r["b"]): r["jaccard"] for r in
+            dedup.ngram_jaccard_pairs(df).collect()}
+    assert rows == {(1, 2): 1.0}
+
+
+def test_cosine_topk_orthogonal(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = simsearch.cosine_topk(df, [0], k=2).collect()
+    order = [(r["rank"], r["nb_id"]) for r in rows]
+    assert order == [(1, 1), (2, 2)]
+    assert rows[0]["cosine"] > 0.99
+
+
+def test_ivf_assignment_nearest(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (5, [9.0, 9.0]), (6, [0.5, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vid"]: r["centroid_id"] for r in
+           simsearch.ivf_assign(df, n_centroids=2).collect()}
+    assert got[5] == 1 and got[6] == 0
+
+
+def test_langid_marker_votes(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is a pet"), (2, "el la de y es")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in textstats.langid(df).collect()}
+    assert got == {1: "en", 2: "es"}
+
+
+def test_token_quality_flags(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "x y")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["quality_ok"] for r in textstats.token_quality(df).collect()}
+    assert got == {1: 1, 2: 0}
+
+
+def test_multimodal_decode_meta(spark):
+    df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    row = multimodal.decode_metadata(multimodal.attach_payload(df)).collect()[0]
+    import hashlib
+
+    digest = hashlib.md5(b"hello").digest()
+    assert row["n_bytes"] == 16
+    assert row["width"] == digest[0] and row["height"] == digest[1]
+
+
+def test_multimodal_frame_sample_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.frame_sample_stub()
+
+
+def test_statement_reconciliation_verdicts(spark):
+    df = spark.createDataFrame(
+        [(10, 100.0, "F", "1994-01-01"), (10, 40.0, "O", "1994-01-02"),
+         (7, 10.0, "F", "1994-01-01")],
+        "o_custkey long, o_totalprice double, o_orderstatus string, o_orderdate string",
+    )
+    got = {r["o_custkey"]: r["verdict"] for r in
+           relational.statement_reconciliation(df).collect()}
+    assert got == {10: "Error", 7: "Success"}  # custkey%10==0 corrupted

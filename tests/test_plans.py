@@ -1,0 +1,63 @@
+"""Physical-plan regression tests: the optimizations SURVEY.md section 4
+promises must be visible in the actual plans (pushdown, pruning,
+broadcast, TakeOrderedAndProject for top-k)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_cezam_spark import queries as Q
+from ocr_cezam_spark.plans.audit import assert_column_pruned, assert_has, formatted_plan
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = Q.QUERIES["pricing_summary"](spark, SF)
+    assert_has(df, "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")
+    # 16-column lineitem scan must read only the 6 needed columns
+    assert_column_pruned(df, "lineitem", 6)
+
+
+def test_dim_joins_broadcast(spark):
+    df = Q.QUERIES["region_rollup"](spark, SF)
+    plan = formatted_plan(df)
+    # each join appears in the tree and the detail section of the
+    # formatted plan -> 2 joins show up as 4 mentions
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    df = Q.QUERIES["top_revenue_customers"](spark, SF)
+    assert_has(df, "TakeOrderedAndProject", "BroadcastHashJoin")
+
+
+def test_probe_filter_pushed_to_scan(spark):
+    df = Q.QUERIES["cosine_topk"](spark, SF)
+    assert_has(df, "In(vec_id, [0,1,2,3,4])")
+
+
+def test_extraction_plan_prunes_to_kernel_columns(spark):
+    from ocr_cezam_spark.corpus import corpus_df
+    from ocr_cezam_spark.operators import extract as X
+
+    docs = corpus_df(spark, 8)
+    out = X.run_extract(docs)
+    plan = formatted_plan(out)
+    # only url/html/lang cross the Arrow boundary (no warc_ts/text)
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan
+    assert "warc_ts" not in plan.split("MapInArrow")[0].split("Project")[-1]
+
+
+def test_no_python_udf_in_relational_queries(spark):
+    """Every relational/dedup/textstats/simsearch plan must stay JVM-side:
+    no BatchEvalPython (row-at-a-time UDF) anywhere."""
+    for name in (
+        "pricing_summary", "sessionize", "dedup_exact", "minhash_lsh_pairs",
+        "simhash_buckets", "token_quality", "langid", "fingerprint",
+        "cosine_topk", "ivf_bucket_stats",
+    ):
+        plan = formatted_plan(Q.QUERIES[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "PythonUDF" not in plan, name
