@@ -53,6 +53,41 @@ def cosine_topk(emb: DataFrame, probe_ids: list[int], k: int = 5,
     )
 
 
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.99,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    A perturbed clone of every vector (first component * 1.01, id+10000)
+    guarantees true near-dups exist; pairs above threshold are emitted.
+    At scale the all-pairs stage is replaced by IVF/LSH blocking
+    (ivf_assign) — here the candidate set is the broadcast clone join."""
+    base = emb.select(
+        F.col(id_col).alias("a"), _to_double(F.col(vec_col)).alias("va")
+    )
+    clones = base.select(
+        (F.col("a") + 10_000).alias("b"),
+        F.concat(
+            F.transform(F.slice("va", 1, 1), lambda x: x * 1.01),
+            F.slice("va", 2, 100_000),
+        ).alias("vb"),
+    )
+    both = base.unionByName(
+        clones.select(F.col("b").alias("a"), F.col("vb").alias("va"))
+    )
+    left = both.select(F.col("a"), F.col("va"))
+    right = both.select(F.col("a").alias("b"), F.col("va").alias("vb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        left.join(right, F.col("a") < F.col("b"))
+        .select("a", "b", sim.alias("sim_raw"))
+        .filter(F.col("sim_raw") >= threshold)
+        .select("a", "b", F.round("sim_raw", 4).alias("cosine"))
+    )
+
+
 def ivf_assign(emb: DataFrame, n_centroids: int = 8,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF bucketing: centroids = first K vectors (deterministic seed set);

@@ -1,0 +1,193 @@
+"""Native-Spark balance reconciliation over long-format cells.
+
+The flagship A2 operator (check_solde, releve_bancaire.py:172-231)
+re-expressed purely with built-in DataFrame ops — maps, higher-order
+functions, conditional aggregation — over
+``cells(url, table_id, row_id, col_id, value)``. No UDF anywhere, so the
+whole reconciliation is Catalyst-optimizable and shuffles exactly twice
+(row assembly, table aggregation).
+
+Decision tree matches the reference (and the pure-Python kernel, which is
+the cross-checked oracle in tests):
+
+1. header row 0 -> locate credit / debit / date columns by keyword
+   (dict.json:5-6 patterns); any missing -> ``Unknown: columns missing``
+2. solde marker rows = any cell containing 'solde' (case-insensitive,
+   releve_bancaire.py:196-200)
+3. < 2 markers with a value on both sides -> ``Unknown: Not enough solde
+   infos``; side = debit if it has >= 2 marked values else credit
+4. recompute closing = first_marker + (deb - cred) (sign per side) over
+   valid rows strictly between the first and last marker
+   (valid: float-castable after comma normalization, date cell non-empty
+   and not itself a solde label — releve_bancaire.py:162-170)
+5. round-2 equality -> Success / Error with the reference's message text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+CREDIT_RX = "(credit|crédit|cred|créd)"
+DEBIT_RX = "(debit|débit|deb|déb)"
+NUM_RX = r"^-?[0-9]+([.,][0-9]+)?$"
+
+
+def _role_col(entries, rx: str) -> F.Column:
+    """Smallest col_id whose lowered header matches rx (first match wins,
+    like pandas .filter(regex=...) taking the first column)."""
+    matching = F.filter(entries, lambda e: F.lower(F.trim(e["value"])).rlike(rx))
+    return F.when(F.size(matching) > 0, F.array_min(matching.getField("col_id")))
+
+
+def reconcile_cells(cells: DataFrame) -> DataFrame:
+    """cells(url, table_id, row_id, col_id, value) ->
+    (url, table_id, status, detail)."""
+    # --- row assembly: one row per (url, table, row) with a col->value map
+    rows = (
+        cells.groupBy("url", "table_id", "row_id")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("col_id", "value")))
+            ).alias("m"),
+            F.max(F.lower(F.col("value")).contains("solde")).alias("is_solde_row"),
+        )
+    )
+
+    # --- header roles per table (row 0)
+    hdr = (
+        cells.filter(F.col("row_id") == 0)
+        .groupBy("url", "table_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("col_id", "value"))).alias("h")
+        )
+        .select(
+            "url",
+            "table_id",
+            _role_col(F.col("h"), CREDIT_RX).alias("cred_col"),
+            _role_col(F.col("h"), DEBIT_RX).alias("deb_col"),
+            _role_col(F.col("h"), "date").alias("date_col"),
+        )
+    )
+
+    body = (
+        rows.filter(F.col("row_id") > 0)
+        .join(hdr, ["url", "table_id"], "right")
+        .withColumn("cred_val", F.element_at("m", F.col("cred_col")))
+        .withColumn("deb_val", F.element_at("m", F.col("deb_col")))
+        .withColumn("date_val", F.element_at("m", F.col("date_col")))
+    )
+
+    num = lambda c: F.regexp_replace(c, ",", ".").cast("double")  # noqa: E731
+    is_num = lambda c: F.coalesce(c, F.lit("")).rlike(NUM_RX)  # noqa: E731
+
+    marked = body.select(
+        "url",
+        "table_id",
+        "row_id",
+        "cred_col",
+        "deb_col",
+        "date_col",
+        "cred_val",
+        "deb_val",
+        "date_val",
+        (F.col("is_solde_row") & (F.coalesce("cred_val", F.lit("")) != "")).alias("cred_mark"),
+        (F.col("is_solde_row") & (F.coalesce("deb_val", F.lit("")) != "")).alias("deb_mark"),
+        "is_solde_row",
+    )
+
+    # --- per-table aggregation of marker stats
+    stats = marked.groupBy("url", "table_id").agg(
+        F.first("cred_col", ignorenulls=False).alias("cred_col"),
+        F.first("deb_col", ignorenulls=False).alias("deb_col"),
+        F.first("date_col", ignorenulls=False).alias("date_col"),
+        F.sum(F.col("cred_mark").cast("int")).alias("n_cred_marks"),
+        F.sum(F.col("deb_mark").cast("int")).alias("n_deb_marks"),
+        F.min(F.when(F.col("cred_mark"), F.col("row_id"))).alias("cred_first_row"),
+        F.max(F.when(F.col("cred_mark"), F.col("row_id"))).alias("cred_last_row"),
+        F.min(F.when(F.col("deb_mark"), F.col("row_id"))).alias("deb_first_row"),
+        F.max(F.when(F.col("deb_mark"), F.col("row_id"))).alias("deb_last_row"),
+        F.min_by(F.when(F.col("cred_mark"), F.col("cred_val")), F.when(F.col("cred_mark"), F.col("row_id"))).alias("cred_first_val"),
+        F.max_by(F.when(F.col("cred_mark"), F.col("cred_val")), F.when(F.col("cred_mark"), F.col("row_id"))).alias("cred_last_val"),
+        F.min_by(F.when(F.col("deb_mark"), F.col("deb_val")), F.when(F.col("deb_mark"), F.col("row_id"))).alias("deb_first_val"),
+        F.max_by(F.when(F.col("deb_mark"), F.col("deb_val")), F.when(F.col("deb_mark"), F.col("row_id"))).alias("deb_last_val"),
+    )
+
+    side_is_deb = F.col("n_deb_marks") >= 2
+    picked = stats.select(
+        "url",
+        "table_id",
+        "cred_col",
+        "deb_col",
+        "date_col",
+        "n_cred_marks",
+        "n_deb_marks",
+        side_is_deb.alias("side_deb"),
+        F.when(side_is_deb, F.col("deb_first_row")).otherwise(F.col("cred_first_row")).alias("first_row"),
+        F.when(side_is_deb, F.col("deb_last_row")).otherwise(F.col("cred_last_row")).alias("last_row"),
+        F.when(side_is_deb, F.col("deb_first_val")).otherwise(F.col("cred_first_val")).alias("first_val"),
+        F.when(side_is_deb, F.col("deb_last_val")).otherwise(F.col("cred_last_val")).alias("last_val"),
+    )
+
+    # --- sum valid rows strictly between the markers
+    joined = marked.join(picked, ["url", "table_id"])
+    in_slice = (F.col("row_id") > F.col("first_row")) & (F.col("row_id") < F.col("last_row"))
+    date_ok = (
+        (F.coalesce("date_val", F.lit("")) != "")
+        & ~F.lower(F.coalesce("date_val", F.lit(""))).contains("solde")
+    )
+    sums = joined.groupBy("url", "table_id").agg(
+        F.sum(
+            F.when(in_slice & date_ok & is_num(F.col("cred_val")), num(F.col("cred_val"))).otherwise(0.0)
+        ).alias("cred_sum"),
+        F.sum(
+            F.when(in_slice & date_ok & is_num(F.col("deb_val")), num(F.col("deb_val"))).otherwise(0.0)
+        ).alias("deb_sum"),
+    )
+
+    final = picked.join(sums, ["url", "table_id"], "left")
+    delta = F.when(F.col("side_deb"), F.col("deb_sum") - F.col("cred_sum")).otherwise(
+        F.col("cred_sum") - F.col("deb_sum")
+    )
+    res = F.round(num(F.col("first_val")) + delta, 2)
+    last_num = num(F.col("last_val"))
+
+    missing = F.concat_ws(
+        ", ",
+        F.array_compact(
+            F.array(
+                F.when(F.col("cred_col").isNull(), "credit"),
+                F.when(F.col("deb_col").isNull(), "debit"),
+                F.when(F.col("date_col").isNull(), "date"),
+            )
+        ),
+    )
+    any_missing = (
+        F.col("cred_col").isNull() | F.col("deb_col").isNull() | F.col("date_col").isNull()
+    )
+    not_enough = (F.col("n_cred_marks") < 2) & (F.col("n_deb_marks") < 2)
+
+    status = (
+        F.when(any_missing, F.lit("Unknown"))
+        .when(not_enough, F.lit("Unknown"))
+        .when(res == last_num, F.lit("Success"))
+        .otherwise(F.lit("Error"))
+    )
+    detail = (
+        F.when(any_missing, F.concat(F.lit("columns missing : "), missing))
+        .when(not_enough, F.lit("Not enough solde infos"))
+        .when(res == last_num, F.lit("Table values match final solde value."))
+        .otherwise(
+            F.concat(
+                F.lit("table values "),
+                # str() of a Python float: integral values end in .0
+                F.when(res == F.round(res, 0), F.concat(res.cast("bigint").cast("string"), F.lit(".0")))
+                .otherwise(res.cast("string")),
+                F.lit(" don't match final solde value "),
+                F.when(last_num == F.round(last_num, 0), F.concat(last_num.cast("bigint").cast("string"), F.lit(".0")))
+                .otherwise(last_num.cast("string")),
+                F.lit("."),
+            )
+        )
+    )
+    return final.select("url", "table_id", status.alias("status"), detail.alias("detail"))

@@ -576,6 +576,59 @@ _register(
     """,
 )
 
+_register(
+    "embedding_near_dup",
+    lambda s, d: simsearch.embedding_near_dup_pairs(_t(s, d, "embeddings")),
+    """
+    WITH base AS (
+      SELECT vec_id AS a, embedding::DOUBLE[] AS va FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000,
+             list_concat([embedding[1]::DOUBLE * 1.01],
+                         (embedding::DOUBLE[])[2:])
+      FROM embeddings
+    ), pairs AS (
+      SELECT l.a, r.a AS b,
+             list_dot_product(l.va, r.va)
+               / (sqrt(list_dot_product(l.va, l.va))
+                  * sqrt(list_dot_product(r.va, r.va))) AS sim_raw
+      FROM base l JOIN base r ON l.a < r.a
+    )
+    SELECT a, b, round(sim_raw, 4) AS cosine
+    FROM pairs WHERE sim_raw >= 0.99
+    """,
+)
+
+
+def _subtokens(s: SparkSession, d: str) -> DataFrame:
+    """BPE-ish token counting: whitespace tokens vs regex subword units
+    (letter runs / digit runs), the standard pre-tokenizer shape."""
+    docs = _t(s, d, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-zA-Z]+|[0-9]+"), 0)).alias(
+            "n_subtokens"
+        ),
+        F.size(
+            F.array_distinct(F.regexp_extract_all("text", F.lit("[a-zA-Z]+|[0-9]+"), 0))
+        ).alias("n_unique_subtokens"),
+    )
+
+
+_register(
+    "subtoken_count",
+    _subtokens,
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS n_subtokens,
+           len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')))
+             AS n_unique_subtokens
+    FROM documents
+    """,
+)
+
 # ===========================================================================
 # Multimodal plumbing (binary payload -> typed metadata via mapInPandas)
 # ===========================================================================
@@ -622,6 +675,59 @@ _register(
     """,
 )
 
-_register("extract_fields", lambda s, d: X.extracted_fields(_kernel_out(s)), None)
-_register("extract_cells", lambda s, d: X.extracted_cells(_kernel_out(s)), None)
-_register("fiscal_codes", lambda s, d: X.extracted_codes(_kernel_out(s)), None)
+_register(
+    "extract_fields",
+    lambda s, d: X.extracted_fields(_kernel_out(s)),
+    f"SELECT url, field, value FROM read_parquet('{GOLDEN_DIR}/extract_fields_n{KERNEL_N}.parquet')",
+)
+_register(
+    "extract_cells",
+    lambda s, d: X.extracted_cells(_kernel_out(s)),
+    f"SELECT url, table_id, row_id, col_id, value FROM read_parquet('{GOLDEN_DIR}/extract_cells_n{KERNEL_N}.parquet')",
+)
+_register(
+    "fiscal_codes",
+    lambda s, d: X.extracted_codes(_kernel_out(s)),
+    f"SELECT url, table_id, code, pos, value FROM read_parquet('{GOLDEN_DIR}/fiscal_codes_n{KERNEL_N}.parquet')",
+)
+
+# A3/A4 schema-group stats over the kernel's long-format cells: column
+# count per table (max col_id + 1) and the distinct-arity grouping the
+# reference unions tables by (releve_bancaire.py:137-145).
+def _cells_schema_groups(s: SparkSession, d: str) -> DataFrame:
+    cells = X.extracted_cells(_kernel_out(s))
+    per_table = cells.groupBy("url", "table_id").agg(
+        (F.max("col_id") + 1).alias("n_cols"),
+        (F.max("row_id") + 1).alias("n_rows"),
+    )
+    return per_table.groupBy("n_cols").agg(
+        F.count("*").alias("n_tables"),
+        F.sum("n_rows").alias("total_rows"),
+    )
+
+
+_register(
+    "cells_schema_groups",
+    _cells_schema_groups,
+    f"""
+    WITH per_table AS (
+      SELECT url, table_id, max(col_id) + 1 AS n_cols, max(row_id) + 1 AS n_rows
+      FROM read_parquet('{GOLDEN_DIR}/extract_cells_n{KERNEL_N}.parquet')
+      GROUP BY url, table_id
+    )
+    SELECT n_cols, count(*) AS n_tables, CAST(sum(n_rows) AS BIGINT) AS total_rows
+    FROM per_table GROUP BY n_cols
+    """,
+)
+
+# Native-Spark reconciliation (operators/solde.py) over the kernel's cells
+# output, checked against the SAME frozen golden statuses the pure-Python
+# kernel produced — two independent implementations of check_solde
+# (releve_bancaire.py:172-231) must agree bit-for-bit.
+from .operators.solde import reconcile_cells  # noqa: E402
+
+_register(
+    "solde_native",
+    lambda s, d: reconcile_cells(X.extracted_cells(_kernel_out(s))),
+    f"SELECT url, table_id, status, detail FROM read_parquet('{GOLDEN_DIR}/solde_status_n{KERNEL_N}.parquet')",
+)

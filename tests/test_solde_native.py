@@ -1,0 +1,66 @@
+"""Native-Spark reconciliation (operators/solde.py) must agree with the
+pure-Python kernel bit-for-bit, including message text, plus edge cases."""
+
+from __future__ import annotations
+
+from ocr_cezam_spark.corpus import corpus_df, make_page
+from ocr_cezam_spark.kernel import check_solde, extract
+from ocr_cezam_spark.operators import extract as X
+from ocr_cezam_spark.operators.solde import reconcile_cells
+
+
+def _cells_df(spark, rows):
+    data = [
+        (u, t, r, c, v)
+        for (u, t, table) in rows
+        for r, row in enumerate(table)
+        for c, v in enumerate(row)
+    ]
+    return spark.createDataFrame(
+        data, "url string, table_id int, row_id int, col_id int, value string"
+    )
+
+
+def test_native_matches_kernel_over_corpus(spark):
+    out = X.run_extract(corpus_df(spark, 120), 8)
+    native = {
+        (r["url"], r["table_id"]): (r["status"], r["detail"])
+        for r in reconcile_cells(X.extracted_cells(out)).collect()
+    }
+    n = 0
+    for i in range(120):
+        p = make_page(i)
+        g = extract(p["url"], p["html"], p["lang"])
+        for (t, s, d) in g["statuses"]:
+            assert native[(g["url"], t)] == (s, d), (i, t)
+            n += 1
+    assert n > 50 and len(native) == n
+
+
+def test_native_edge_cases(spark):
+    tables = {
+        "u_header_only": [["Date", "Débit", "Crédit"]],
+        "u_no_roles": [["a", "b"], ["1", "2"]],
+        "u_one_solde": [
+            ["Date", "Libellé", "Débit", "Crédit"],
+            ["", "Solde précédent", "10,00", ""],
+            ["01/01/2024", "x", "5,00", ""],
+        ],
+    }
+    df = _cells_df(spark, [(u, 0, t) for u, t in tables.items()])
+    got = {r["url"]: (r["status"], r["detail"]) for r in reconcile_cells(df).collect()}
+    for u, t in tables.items():
+        assert got[u] == check_solde(t), u
+
+
+def test_native_error_message_float_format(spark):
+    t = [
+        ["Date", "Libellé", "Débit", "Crédit"],
+        ["", "Solde initial", "100,00", ""],
+        ["01/01/2024", "achat", "25,00", ""],
+        ["", "Solde final", "999,00", ""],
+    ]
+    df = _cells_df(spark, [("u", 0, t)])
+    got = reconcile_cells(df).collect()[0]
+    assert (got["status"], got["detail"]) == check_solde(t)
+    assert "125.0 don't match final solde value 999.0." in got["detail"]

@@ -29,6 +29,9 @@ def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     texts = {"url": [], "text": []}
     statuses = {"url": [], "table_id": [], "status": [], "detail": []}
+    fields = {"url": [], "field": [], "value": []}
+    cells = {"url": [], "table_id": [], "row_id": [], "col_id": [], "value": []}
+    codes = {"url": [], "table_id": [], "code": [], "pos": [], "value": []}
     for i in range(N):
         p = make_page(i)
         r = extract(p["url"], p["html"], p["lang"])
@@ -40,24 +43,38 @@ def main() -> None:
             statuses["table_id"].append(t)
             statuses["status"].append(s)
             statuses["detail"].append(d)
+        for k in sorted(r["fields"]):
+            fields["url"].append(r["url"])
+            fields["field"].append(k)
+            fields["value"].append(r["fields"][k])
+        for (t, rr, c, v) in r["cells"]:
+            cells["url"].append(r["url"])
+            cells["table_id"].append(t)
+            cells["row_id"].append(rr)
+            cells["col_id"].append(c)
+            cells["value"].append(v)
+        for (t, code, pos, v) in r["codes"]:
+            codes["url"].append(r["url"])
+            codes["table_id"].append(t)
+            codes["code"].append(code)
+            codes["pos"].append(pos)
+            codes["value"].append(v)
 
-    pq.write_table(
-        pa.table(texts), os.path.join(OUT, f"extract_text_n{N}.parquet")
-    )
-    pq.write_table(
-        pa.table(
-            statuses,
-            schema=pa.schema(
-                [
-                    ("url", pa.string()),
-                    ("table_id", pa.int32()),
-                    ("status", pa.string()),
-                    ("detail", pa.string()),
-                ]
-            ),
-        ),
-        os.path.join(OUT, f"solde_status_n{N}.parquet"),
-    )
+    def write(data: dict, name: str, int_cols: tuple = ()) -> None:
+        schema = pa.schema(
+            [
+                (col, pa.int32() if col in int_cols else pa.string())
+                for col in data
+            ]
+        )
+        pq.write_table(pa.table(data, schema=schema),
+                       os.path.join(OUT, f"{name}_n{N}.parquet"))
+
+    write(texts, "extract_text")
+    write(statuses, "solde_status", ("table_id",))
+    write(fields, "extract_fields")
+    write(cells, "extract_cells", ("table_id", "row_id", "col_id"))
+    write(codes, "fiscal_codes", ("table_id", "pos"))
     print(f"wrote goldens for n={N} to {OUT}")
 
 
