@@ -444,15 +444,17 @@ def _minhash_oracle() -> str:
         "i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))"
     )
     mh = ",\n      ".join(
-        f"list_aggregate(list_transform({sh}, s -> md5(s || ':{i}')), 'min') AS mh_{i}"
-        for i in range(4)
+        f"min(substr(d, {1 + 8 * i}, 8)) AS mh_{i}" for i in range(4)
     )
     eq = " + ".join(f"CASE WHEN l.mh_{i} = r.mh_{i} THEN 1 ELSE 0 END" for i in range(4))
     return f"""
     WITH corpus AS ({_CLONED_SQL}),
+    ex AS (
+      SELECT doc_id, md5(unnest({sh})) AS d FROM corpus
+    ),
     sig AS (
       SELECT doc_id, {mh}
-      FROM corpus
+      FROM ex GROUP BY doc_id
     ),
     banded AS (
       SELECT doc_id, mh_0, mh_1, mh_2, mh_3,
