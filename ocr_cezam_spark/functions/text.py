@@ -1,0 +1,57 @@
+"""Reusable native-Spark column functions (the scalar-function library of
+SURVEY.md section 2.8) — locale-free by construction."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F  # noqa: N812
+
+from ..kernel import FR_MONTHS
+
+# month-name <-> number as explicit expressions, never process locale
+# (the reference's global setlocale at ocr_cezam.py:26-31 is the
+# determinism hazard this replaces)
+
+
+def fr_month_number(name: Column) -> Column:
+    """French month name -> 1..12 (null if unknown)."""
+    expr = F.lit(None).cast("int")
+    for i, m in enumerate(reversed(FR_MONTHS)):
+        expr = F.when(F.lower(name) == m, F.lit(len(FR_MONTHS) - i)).otherwise(expr)
+    return expr
+
+
+def fr_month_name(num: Column) -> Column:
+    expr = F.lit(None).cast("string")
+    for i, m in enumerate(reversed(FR_MONTHS)):
+        expr = F.when(num == len(FR_MONTHS) - i, F.lit(m)).otherwise(expr)
+    return expr
+
+
+def parse_fr_date(s: Column) -> Column:
+    """'12 mars 2024' -> date (F5 analog, locale-free)."""
+    day = F.regexp_extract(s, r"^(\d{1,2}) ", 1).cast("int")
+    month = fr_month_number(F.regexp_extract(s, r"^\d{1,2} (\S+) ", 1))
+    year = F.regexp_extract(s, r" (\d{4})$", 1).cast("int")
+    return F.make_date(year, month, day)
+
+
+def format_fr_date(d: Column) -> Column:
+    """date -> '%d %B %Y' French (F6 analog)."""
+    return F.concat(
+        F.lpad(F.dayofmonth(d).cast("string"), 2, "0"),
+        F.lit(" "),
+        fr_month_name(F.month(d)),
+        F.lit(" "),
+        F.year(d).cast("string"),
+    )
+
+
+def decimal_comma(s: Column) -> Column:
+    """French decimal comma -> double (F8)."""
+    return F.regexp_replace(s, ",", ".").cast("double")
+
+
+def digit_filter(s: Column) -> Column:
+    """Keep digits only (F9, bilan.py:184,206)."""
+    return F.regexp_replace(s, "[^0-9]", "")

@@ -722,6 +722,75 @@ _register(
     """,
 )
 
+# Grouped-map (applyInPandas) wide-table re-assembly with F12 header
+# disambiguation, cross-checked against pure SQL over the golden cells.
+from .operators.assemble import assemble_tables  # noqa: E402
+
+_register(
+    "assemble_tables",
+    lambda s, d: assemble_tables(X.extracted_cells(_kernel_out(s))),
+    f"""
+    WITH c AS (
+      SELECT * FROM read_parquet('{GOLDEN_DIR}/extract_cells_n{KERNEL_N}.parquet')
+    ), hdr AS (
+      SELECT url, table_id,
+             string_agg(col_id || ' - ' || value, '|' ORDER BY col_id)
+               AS header_sig
+      FROM c WHERE row_id = 0 GROUP BY url, table_id
+    ), shape AS (
+      SELECT url, table_id, max(row_id) + 1 AS n_rows, max(col_id) + 1 AS n_cols
+      FROM c GROUP BY url, table_id
+    )
+    SELECT s.url, s.table_id, s.n_rows, s.n_cols,
+           coalesce(h.header_sig, '') AS header_sig
+    FROM shape s LEFT JOIN hdr h USING (url, table_id)
+    """,
+)
+
+
+# Locale-free French date round-trip (F5/F6): format o_orderdate as
+# '%d %B %Y' with an explicit month mapping, parse it back natively.
+def _french_dates(s: SparkSession, d: str) -> DataFrame:
+    from .functions.text import format_fr_date, parse_fr_date
+
+    orders = _t(s, d, "orders")
+    fr = format_fr_date(F.col("o_orderdate").cast("date"))
+    return orders.select(
+        "o_orderkey",
+        fr.alias("fr_date"),
+        parse_fr_date(fr).cast("string").alias("roundtrip"),
+    )
+
+
+def _fr_date_oracle() -> str:
+    from .kernel import FR_MONTHS
+
+    name_case = " ".join(
+        f"WHEN {i + 1} THEN '{m}'" for i, m in enumerate(FR_MONTHS)
+    )
+    num_case = " ".join(
+        f"WHEN '{m}' THEN {i + 1}" for i, m in enumerate(FR_MONTHS)
+    )
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             lpad(CAST(day(o_orderdate) AS VARCHAR), 2, '0') || ' ' ||
+             (CASE month(o_orderdate) {name_case} END) || ' ' ||
+             CAST(year(o_orderdate) AS VARCHAR) AS fr_date
+      FROM orders
+    )
+    SELECT o_orderkey, fr_date,
+           CAST(make_date(
+             CAST(regexp_extract(fr_date, ' (\\d{{4}})$', 1) AS INT),
+             (CASE regexp_extract(fr_date, '^\\d{{1,2}} (\\S+) ', 1) {num_case} END),
+             CAST(regexp_extract(fr_date, '^(\\d{{1,2}}) ', 1) AS INT)
+           ) AS VARCHAR) AS roundtrip
+    FROM base
+    """
+
+
+_register("french_date_roundtrip", _french_dates, _fr_date_oracle())
+
 # Native-Spark reconciliation (operators/solde.py) over the kernel's cells
 # output, checked against the SAME frozen golden statuses the pure-Python
 # kernel produced — two independent implementations of check_solde
