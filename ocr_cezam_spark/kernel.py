@@ -204,6 +204,11 @@ _RAWTEXT_CLOSE = {
 }
 
 
+MAX_TREE_DEPTH = 256  # browser-like nesting cap: deeper elements flatten
+# into the depth-cap node's children instead of growing the stack, so
+# pathological pages (50k unclosed <p>) stay linear and recursion-safe.
+
+
 def _fast_parse(html: str) -> _Node:
     from html import unescape
 
@@ -250,7 +255,10 @@ def _fast_parse(html: str) -> _Node:
             node.children.append(html[pos : mc.start()])
             pos = mc.end()
             continue
-        stack.append(node)
+        if len(stack) < MAX_TREE_DEPTH:
+            stack.append(node)
+        # beyond the cap the element stays a leaf; following content
+        # flattens into the capped ancestor (depth-bounded like browsers)
     return root
 
 

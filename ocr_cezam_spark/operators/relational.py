@@ -42,7 +42,7 @@ def top_revenue_customers(orders: DataFrame, customer: DataFrame, k: int = 10) -
     # every customer through one partition at scale.
     topk = rev.orderBy(F.desc("revenue"), F.asc("o_custkey")).limit(k)
     w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))  # k rows only
-    top = topk.withColumn("rank", F.row_number().over(w))
+    top = topk.withColumn("rank", F.row_number().over(w).cast("long"))
     return (
         top.join(F.broadcast(customer), top.o_custkey == customer.c_custkey)
         .select("rank", "o_custkey", "c_name", "revenue", "n_orders")
@@ -72,7 +72,7 @@ def running_balance(orders: DataFrame) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.row_number().over(w).alias("rn"),
+        F.row_number().over(w).cast("long").alias("rn"),
         F.round(
             F.sum("o_totalprice").over(
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

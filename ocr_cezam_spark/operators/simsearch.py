@@ -47,7 +47,7 @@ def cosine_topk(emb: DataFrame, probe_ids: list[int], k: int = 5,
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim_raw"), F.asc("nb_id"))
     return (
         joined.select("probe_id", "nb_id", sim.alias("sim_raw"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("probe_id", "rank", "nb_id", F.round("sim_raw", 4).alias("cosine"))
     )

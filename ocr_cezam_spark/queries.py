@@ -147,7 +147,7 @@ _register(
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged
     )
-    SELECT user_id, session_id, count(*) AS n_events,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            round(sum(value), 2) AS session_value
     FROM with_id GROUP BY user_id, session_id
@@ -205,7 +205,7 @@ _register(
     lambda s, d: relational.value_bucket_join(_t(s, d, "events"), s),
     """
     WITH buckets AS (
-      SELECT i AS bucket_id, i * 10.0 AS lo, (i + 1) * 10.0 AS hi
+      SELECT CAST(i AS INT) AS bucket_id, i * 10.0 AS lo, (i + 1) * 10.0 AS hi
       FROM (SELECT unnest(range(0, 10)) AS i)
     )
     SELECT bucket_id, count(*) AS n_events, round(avg(value), 2) AS avg_value
@@ -255,7 +255,7 @@ _register(
                AS line_id
       FROM toks
     )
-    SELECT doc_id, line_id, count(*) AS n_words
+    SELECT doc_id, CAST(line_id AS BIGINT) AS line_id, count(*) AS n_words
     FROM lines GROUP BY doc_id, line_id
     """,
 )
@@ -272,9 +272,9 @@ _register(
       SELECT doc_id, string_split(text, ' ') AS words, length(text) AS n_chars
       FROM documents
     ), m AS (
-      SELECT doc_id, len(words) AS n_tokens,
-             len(list_filter(words, w -> w IN
-                 ('the','a','of','and','to','in','is'))) AS n_stopwords,
+      SELECT doc_id, CAST(len(words) AS INT) AS n_tokens,
+             CAST(len(list_filter(words, w -> w IN
+                 ('the','a','of','and','to','in','is'))) AS INT) AS n_stopwords,
              (n_chars - (len(words) - 1)) / len(words) AS awl_raw
       FROM base
     )
@@ -291,9 +291,9 @@ _register(
 def _langid_oracle() -> str:
     score = {
         lang: (
-            "len(list_filter(words, w -> w IN ("
+            "CAST(len(list_filter(words, w -> w IN ("
             + ",".join(f"'{w}'" for w in markers)
-            + ")))"
+            + "))) AS INT)"
         )
         for lang, markers in textstats.LANG_MARKERS.items()
     }
@@ -333,7 +333,7 @@ _register(
              w -> ('0x' || substr(md5(w), 1, 15))::BIGINT), 'min') AS fp_min,
            list_aggregate(list_transform(words,
              w -> ('0x' || substr(md5(w), 1, 15))::BIGINT), 'max') AS fp_max,
-           len(list_distinct(words)) AS n_distinct_tokens
+           CAST(len(list_distinct(words)) AS INT) AS n_distinct_tokens
     FROM base
     """,
 )
@@ -623,9 +623,9 @@ _register(
     _subtokens,
     """
     SELECT doc_id,
-           len(string_split(text, ' ')) AS n_ws_tokens,
-           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS n_subtokens,
-           len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')))
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS INT) AS n_subtokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+'))) AS INT)
              AS n_unique_subtokens
     FROM documents
     """,

@@ -41,6 +41,24 @@ def norm_val(v) -> str:
     return str(v)
 
 
+_CANON = {
+    "tinyint": "int", "smallint": "int", "int": "int", "integer": "int",
+    "bigint": "bigint", "int64": "bigint", "int32": "int", "hugeint": "hugeint",
+    "float": "float", "real": "float", "double": "double",
+    "string": "string", "varchar": "string",
+    "boolean": "bool", "date": "date",
+    "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+}
+
+
+def canon_type(t: str) -> str:
+    return _CANON.get(str(t).lower(), str(t).lower())
+
+
+def spark_types(df) -> dict[str, str]:
+    return {f.name: canon_type(f.dataType.simpleString()) for f in df.schema.fields}
+
+
 def table_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     canon = sorted(
@@ -72,6 +90,7 @@ def main() -> None:
         try:
             df = fn(spark, SF_DIR)
             cols = df.columns
+            stypes = spark_types(df)
             rows = [tuple(r) for r in df.collect()]
             spark_hash, spark_n = table_hash(cols, rows)
         except Exception as e:  # noqa: BLE001
@@ -82,16 +101,27 @@ def main() -> None:
             print(f"weak  {name}: rows={spark_n} cols={sorted(cols)} ({time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = {
+                c: canon_type(str(t)) for c, t in zip(rel.columns, rel.types)
+            }
+            orows = rel.fetchall()
             oracle_hash, oracle_n = table_hash(ocols, orows)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {e}")
             failures.append(name)
             continue
         ok_cols = sorted(cols) == sorted(ocols)
-        ok = spark_n == oracle_n and ok_cols and spark_hash == oracle_hash
+        type_diffs = {
+            c: (stypes.get(c), otypes.get(c))
+            for c in cols
+            if ok_cols and stypes.get(c) != otypes.get(c)
+        }
+        ok = (
+            spark_n == oracle_n and ok_cols and spark_hash == oracle_hash
+            and not type_diffs
+        )
         tag = "OK   " if ok else "FAIL "
         print(
             f"{tag} {name}: spark({spark_n},{spark_hash}) vs "
@@ -103,6 +133,8 @@ def main() -> None:
             if not ok_cols:
                 print(f"      spark cols:  {sorted(cols)}")
                 print(f"      oracle cols: {sorted(ocols)}")
+            if type_diffs:
+                print(f"      type diffs (spark, duck): {type_diffs}")
     print("\nFAILURES:", failures or "none")
     spark.stop()
     sys.exit(1 if failures else 0)
