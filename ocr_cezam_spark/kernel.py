@@ -262,8 +262,16 @@ def _fast_parse(html: str) -> _Node:
     return root
 
 
-def _walk_text(node: _Node) -> tuple[str, int]:
-    """(raw text, link-text chars) of a subtree, skipping dropped tags."""
+def _walk_text(node: _Node, memo: dict | None = None) -> tuple[str, int]:
+    """(raw text, link-text chars) of a subtree, skipping dropped tags.
+
+    ``memo`` (id(node) -> result) makes repeated walks — container scoring
+    visits every ancestor of every node — O(nodes) total instead of
+    O(depth * nodes)."""
+    if memo is not None:
+        hit = memo.get(id(node))
+        if hit is not None:
+            return hit
     parts: list[str] = []
     link_chars = 0
     for child in node.children:
@@ -272,17 +280,20 @@ def _walk_text(node: _Node) -> tuple[str, int]:
         elif child.tag in _DROP_TAGS:
             continue
         else:
-            t, l = _walk_text(child)
+            t, l = _walk_text(child, memo)
             parts.append(" " + t + " ")
             link_chars += len(_norm(t)) if child.tag == "a" else l
-    return "".join(parts), link_chars
+    result = ("".join(parts), link_chars)
+    if memo is not None:
+        memo[id(node)] = result
+    return result
 
 
-def _score_containers(node: _Node, out: list) -> None:
+def _score_containers(node: _Node, out: list, memo: dict | None = None) -> None:
     if node.tag in _DROP_TAGS:
         return
     if node.tag in _CONTAINER_TAGS:
-        text, link_chars = _walk_text(node)
+        text, link_chars = _walk_text(node, memo)
         n = len(_norm(text))
         if n > 0:
             # text mass discounted by link density — the DOM analog of the
@@ -291,7 +302,7 @@ def _score_containers(node: _Node, out: list) -> None:
             out.append((score, -node.order, node))
     for child in node.children:
         if isinstance(child, _Node):
-            _score_containers(child, out)
+            _score_containers(child, out, memo)
 
 
 def _flow_blocks(node: _Node) -> list[_Node | str]:
@@ -659,7 +670,8 @@ def _extract_inner(url: str, html: bytes, lang: str) -> dict:
 
     # 1. Main-content container scoring (boilerplate strip + P4 analog).
     candidates: list = []
-    _score_containers(root, candidates)
+    walk_memo: dict = {}
+    _score_containers(root, candidates, walk_memo)
     text = ""
     if candidates:
         candidates.sort(key=lambda t: (t[0], t[1]))
@@ -669,7 +681,7 @@ def _extract_inner(url: str, html: bytes, lang: str) -> dict:
             if isinstance(block, _Node):
                 if block.tag == "table":
                     continue  # tables go to the cells output, not main text
-                raw = _walk_text(block)[0]
+                raw = _walk_text(block, walk_memo)[0]
                 if block.tag == "pre":
                     # Preserve line structure: MRZ lines are positional
                     # (document_identite.py:254-262 reads fixed-width lines).
