@@ -260,6 +260,56 @@ _register(
     """,
 )
 
+_register(
+    "percentile_stats",
+    lambda s, d: _t(s, d, "lineitem")
+    .groupBy("l_returnflag")
+    .agg(
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+    .orderBy("l_returnflag"),
+    """
+    SELECT l_returnflag,
+           round(median(l_extendedprice), 4) AS med_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+
+_register(
+    "cube_counts",
+    lambda s, d: _t(s, d, "events")
+    .cube("event_type", F.hour("ts").alias("hr"))
+    .agg(F.count("*").alias("n"))
+    .orderBy("event_type", "hr"),
+    """
+    SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*) AS n
+    FROM events GROUP BY CUBE (event_type, hour(ts))
+    ORDER BY event_type, hr
+    """,
+)
+
+_register(
+    "distinct_users",
+    lambda s, d: _t(s, d, "events")
+    .groupBy("event_type")
+    .agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+    .orderBy("event_type"),
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+
 # ===========================================================================
 # Text analysis / quality / language id / fingerprint
 # ===========================================================================
@@ -692,6 +742,46 @@ _register(
     lambda s, d: X.extracted_codes(_kernel_out(s)),
     f"SELECT url, table_id, code, pos, value FROM read_parquet('{GOLDEN_DIR}/fiscal_codes_n{KERNEL_N}.parquet')",
 )
+
+# Edge re-assembly with groupBy().pivot() (SURVEY 1.3: wide tables are
+# reconstructed only at the edge): 4-column statement tables -> c0..c3.
+def _pivot_wide(s: SparkSession, d: str) -> DataFrame:
+    cells = X.extracted_cells(_kernel_out(s))
+    four_col = (
+        cells.groupBy("url", "table_id")
+        .agg(F.max("col_id").alias("mx"))
+        .filter(F.col("mx") == 3)
+        .select("url", "table_id")
+    )
+    return (
+        cells.join(four_col, ["url", "table_id"])
+        .groupBy("url", "table_id", "row_id")
+        .pivot("col_id", [0, 1, 2, 3])
+        .agg(F.first("value"))
+        .withColumnsRenamed({"0": "c0", "1": "c1", "2": "c2", "3": "c3"})
+    )
+
+
+_register(
+    "pivot_wide_statements",
+    _pivot_wide,
+    f"""
+    WITH c AS (
+      SELECT * FROM read_parquet('{GOLDEN_DIR}/extract_cells_n{KERNEL_N}.parquet')
+    ), four_col AS (
+      SELECT url, table_id FROM c GROUP BY url, table_id
+      HAVING max(col_id) = 3
+    )
+    SELECT c.url, c.table_id, c.row_id,
+           max(CASE WHEN col_id = 0 THEN value END) AS c0,
+           max(CASE WHEN col_id = 1 THEN value END) AS c1,
+           max(CASE WHEN col_id = 2 THEN value END) AS c2,
+           max(CASE WHEN col_id = 3 THEN value END) AS c3
+    FROM c JOIN four_col USING (url, table_id)
+    GROUP BY c.url, c.table_id, c.row_id
+    """,
+)
+
 
 # A3/A4 schema-group stats over the kernel's long-format cells: column
 # count per table (max col_id + 1) and the distinct-arity grouping the
