@@ -142,6 +142,75 @@ def simhash_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Dedup clusters from candidate pairs: (node, component) where
+    component = min doc_id reachable through the pair graph.
+
+    Iterative min-label propagation with alternating-direction joins —
+    each iteration is one shuffle on node id; iterations needed =
+    graph diameter (near-dup clusters are tiny, so 2-3 in practice; the
+    loop stops early at fixpoint via a cheap changed-count check).
+    localCheckpoint truncates the growing plan each round (the classic
+    iterative-algorithm lineage blowup).
+    """
+    from pyspark.sql import functions as F  # noqa: N812
+
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.y == labels.node)
+            .groupBy("x")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.x, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
+                ).alias("component"),
+                (F.coalesce("nbr_component", F.col("component"))
+                 < F.col("component")).cast("int").alias("changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        n_changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidates ->
+    connected components -> (component, n_members, members_min/max)."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    pairs = minhash_lsh_pairs(docs, id_col, text_col).filter(
+        F.col("sim_est") >= 0.5
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max("node").alias("max_member"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, group_col: str = "source",
                         id_col: str = "doc_id", text_col: str = "text",
                         threshold: float = 0.9) -> DataFrame:

@@ -488,7 +488,9 @@ _register(
 )
 
 
-def _minhash_oracle() -> str:
+def _minhash_pairs_ctes() -> str:
+    """Shared CTE chain: cloned corpus -> shingle minhash signatures ->
+    LSH band candidate pairs with similarity estimate."""
     sh = (
         "list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), "
         "i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))"
@@ -498,7 +500,7 @@ def _minhash_oracle() -> str:
     )
     eq = " + ".join(f"CASE WHEN l.mh_{i} = r.mh_{i} THEN 1 ELSE 0 END" for i in range(4))
     return f"""
-    WITH corpus AS ({_CLONED_SQL}),
+    corpus AS ({_CLONED_SQL}),
     ex AS (
       SELECT doc_id, md5(unnest({sh})) AS d FROM corpus
     ),
@@ -511,14 +513,22 @@ def _minhash_oracle() -> str:
              mh_0 || '|' || mh_1 AS band_0, mh_2 || '|' || mh_3 AS band_1
       FROM sig
     ),
-    pairs AS (
+    raw_pairs AS (
       SELECT l.doc_id AS a, r.doc_id AS b, ({eq}) / 4.0 AS sim_est
       FROM banded l JOIN banded r ON l.band_0 = r.band_0 AND l.doc_id < r.doc_id
       UNION ALL
       SELECT l.doc_id, r.doc_id, ({eq}) / 4.0
       FROM banded l JOIN banded r ON l.band_1 = r.band_1 AND l.doc_id < r.doc_id
-    )
-    SELECT a, b, max(sim_est) AS sim_est FROM pairs GROUP BY a, b
+    ),
+    cand AS (
+      SELECT a, b, max(sim_est) AS sim_est FROM raw_pairs GROUP BY a, b
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_pairs_ctes()}
+    SELECT a, b, sim_est FROM cand
     """
 
 
@@ -544,6 +554,28 @@ def _simhash_oracle() -> str:
     FROM sh GROUP BY simhash HAVING count(*) > 1
     """
 
+
+_register(
+    "dedup_clusters",
+    lambda s, d: dedup.dedup_clusters(_cloned_docs(s, d)),
+    f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    fpairs AS (SELECT a, b FROM cand WHERE sim_est >= 0.5),
+    edges AS (
+      SELECT a AS x, b AS y FROM fpairs
+      UNION SELECT b, a FROM fpairs
+    ),
+    nodes AS (SELECT DISTINCT x AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT reach.node, e.y FROM reach JOIN edges e ON reach.r = e.x
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+    SELECT component, count(*) AS n_members, max(node) AS max_member
+    FROM comp GROUP BY component HAVING count(*) > 1
+    """,
+)
 
 _register(
     "simhash_buckets",
