@@ -29,11 +29,26 @@ def fr_month_name(num: Column) -> Column:
 
 
 def parse_fr_date(s: Column) -> Column:
-    """'12 mars 2024' -> date (F5 analog, locale-free)."""
-    day = F.regexp_extract(s, r"^(\d{1,2}) ", 1).cast("int")
-    month = fr_month_number(F.regexp_extract(s, r"^\d{1,2} (\S+) ", 1))
-    year = F.regexp_extract(s, r" (\d{4})$", 1).cast("int")
-    return F.make_date(year, month, day)
+    """'12 mars 2024' -> date (F5 analog, locale-free).
+
+    ANSI-safe: regexp misses yield '' which must not be cast (Spark 4 ANSI
+    throws on ''::int), and invalid day/month combos must yield null, so
+    everything funnels through try_* expressions."""
+    def rx(pattern: str) -> Column:
+        return F.nullif(F.regexp_extract(s, pattern, 1), F.lit(""))
+
+    day = rx(r"^(\d{1,2}) ").try_cast("int")
+    month = fr_month_number(rx(r"^\d{1,2} (\S+) "))
+    year = rx(r" (\d{4})$").try_cast("int")
+    iso = F.concat(
+        year.cast("string"),
+        F.lit("-"),
+        F.lpad(month.cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad(day.cast("string"), 2, "0"),
+    )
+    # try_to_date also rejects impossible calendar dates (31 fevrier)
+    return F.try_to_date(iso, "yyyy-MM-dd")
 
 
 def format_fr_date(d: Column) -> Column:

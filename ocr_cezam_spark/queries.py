@@ -844,6 +844,71 @@ _register(
     """,
 )
 
+# J1 bank-id lookup as a genuine broadcast theta join (contains predicate)
+# against the keywords dimension (FIXTURES section 3) — must agree with
+# the kernel's in-process first-hit scan, via the frozen golden fields.
+def _bank_id_join(s: SparkSession, d: str) -> DataFrame:
+    from .sources.dimensions import keywords_df
+
+    text = X.extracted_text(_kernel_out(s)).select("url", F.lower("text").alias("low"))
+    banks = keywords_df(s).filter(F.col("kind") == "bank")
+    matched = text.join(
+        F.broadcast(banks), F.col("low").contains(F.col("pattern"))
+    )
+    return (
+        matched.groupBy("url")
+        .agg(F.min_by("target_id", "priority").alias("value"))
+        .select("url", F.lit("bank_id").alias("field"), "value")
+    )
+
+
+_register(
+    "bank_id_broadcast_join",
+    _bank_id_join,
+    f"""
+    SELECT url, field, value
+    FROM read_parquet('{GOLDEN_DIR}/extract_fields_n{KERNEL_N}.parquet')
+    WHERE field = 'bank_id'
+    """,
+)
+
+
+# F5 native multi-format date extraction over the line model: first line
+# that parses in any supported format, rendered back as French '%d %B %Y'
+# (process_fields.py:110-122 without the process-locale hazard); must
+# agree with the kernel's scan via the golden fields.
+def _date_field_native(s: SparkSession, d: str) -> DataFrame:
+    from .functions.text import format_fr_date, parse_fr_date
+
+    text = X.extracted_text(_kernel_out(s))
+    lines = text.select(
+        "url", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    )
+    parsed = F.coalesce(
+        parse_fr_date(F.col("line")),
+        F.expr("try_to_date(line, 'dd/MM/yyyy')"),
+        F.expr("try_to_date(line, 'dd.MM.yyyy')"),
+    )
+    return (
+        lines.select("url", "pos", parsed.alias("dt"))
+        .filter(F.col("dt").isNotNull())
+        .groupBy("url")
+        .agg(F.min_by(format_fr_date(F.col("dt")), F.col("pos")).alias("value"))
+        .select("url", F.lit("date").alias("field"), "value")
+    )
+
+
+_register(
+    "date_field_native",
+    _date_field_native,
+    f"""
+    SELECT url, field, value
+    FROM read_parquet('{GOLDEN_DIR}/extract_fields_n{KERNEL_N}.parquet')
+    WHERE field = 'date'
+    """,
+)
+
+
 # Grouped-map (applyInPandas) wide-table re-assembly with F12 header
 # disambiguation, cross-checked against pure SQL over the golden cells.
 from .operators.assemble import assemble_tables  # noqa: E402
