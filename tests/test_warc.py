@@ -1,0 +1,57 @@
+"""WARC source round-trip: corpus -> WARC bytes -> Spark explode ->
+extraction must equal direct extraction."""
+
+from __future__ import annotations
+
+from ocr_cezam_spark import kernel
+from ocr_cezam_spark.corpus import make_page
+from ocr_cezam_spark.operators import extract as X
+from ocr_cezam_spark.sources.warc import parse_warc, warc_to_documents, write_warc
+
+
+def _chunks(n_docs: int, per_chunk: int):
+    out = []
+    for c in range(0, n_docs, per_chunk):
+        pages = [make_page(i) for i in range(c, min(c + per_chunk, n_docs))]
+        out.append(
+            (c, write_warc([(p["url"], p["warc_ts"], p["html"]) for p in pages]))
+        )
+    return out
+
+
+def test_parse_roundtrip_pure():
+    pages = [make_page(i) for i in range(10)]
+    blob = write_warc([(p["url"], p["warc_ts"], p["html"]) for p in pages])
+    got = list(parse_warc(blob))
+    assert len(got) == 10
+    for p, (url, ts, html) in zip(pages, got):
+        assert url == p["url"] and html == p["html"]
+        assert ts == p["warc_ts"].replace(microsecond=0)
+
+
+def test_parse_skips_garbage_and_non_response():
+    good = write_warc([(make_page(0)["url"], make_page(0)["warc_ts"], b"<p>x</p>")])
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: http://a/\r\n"
+        b"Content-Length: 4\r\n\r\nGET /\r\n\r\n"
+    )
+    blob = b"garbage" + req + good + b"\xff\xfe trailing junk"
+    got = list(parse_warc(blob))
+    assert len(got) == 1 and got[0][2] == b"<p>x</p>"
+
+
+def test_spark_explode_matches_direct_extraction(spark):
+    n = 60
+    chunks = spark.createDataFrame(_chunks(n, 20), "chunk_id int, data binary")
+    docs = warc_to_documents(chunks).withColumn(
+        "lang", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("fra")
+    )
+    assert docs.count() == n
+    out = {
+        r["url"]: r["text"]
+        for r in X.run_extract(docs, 4).select("url", "text").collect()
+    }
+    for i in range(n):
+        p = make_page(i)
+        g = kernel.extract(p["url"], p["html"], "fra")
+        assert out[p["url"]] == g["text"]
