@@ -86,6 +86,41 @@ def langid(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def hash_embedding(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", dim: int = 16) -> DataFrame:
+    """Feature-hashing (hashing-trick) bag-of-words vectorizer.
+
+    Each word hashes to a bucket (md5-prefix mod dim) with a +-1 sign
+    (md5 hex digit 5); the document vector is the signed count per
+    bucket — the standard collision-tolerant vectorizer for training
+    pipelines, built as explode -> bucket/sign -> pivot-sum (one shuffle,
+    map-side partial aggregation). Output columns f0..f{dim-1}."""
+    words = F.split(F.col(text_col), " ")
+    ex = docs.select(F.col(id_col), F.explode(words).alias("w"))
+    feats = ex.select(
+        F.col(id_col),
+        F.pmod(
+            F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("int"), F.lit(dim)
+        ).alias("bucket"),
+        F.when(F.substring(F.md5("w"), 5, 1).isin(*HEX_HIGH), 1)
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    wide = (
+        feats.groupBy(id_col)
+        .pivot("bucket", list(range(dim)))
+        .agg(F.sum("sign"))
+        .na.fill(0)
+    )
+    return wide.select(
+        F.col(id_col),
+        *[F.col(str(i)).cast("bigint").alias(f"f{i}") for i in range(dim)],
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Document fingerprint from per-token 60-bit hashes (winnowing-lite):

@@ -388,6 +388,32 @@ _register(
     """,
 )
 
+def _hash_embedding_oracle(dim: int = 16) -> str:
+    highs = ",".join(f"'{h}'" for h in textstats.HEX_HIGH)
+    cols = ",\n           ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN bucket = {i} THEN sign END), 0) AS BIGINT) AS f{i}"
+        for i in range(dim)
+    )
+    return f"""
+    WITH ex AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), f AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(w), 1, 4))::INT % {dim} AS bucket,
+             CASE WHEN substr(md5(w), 5, 1) IN ({highs}) THEN 1 ELSE -1 END AS sign
+      FROM ex
+    )
+    SELECT doc_id, {cols}
+    FROM f GROUP BY doc_id
+    """
+
+
+_register(
+    "hash_embedding",
+    lambda s, d: textstats.hash_embedding(_t(s, d, "documents")),
+    _hash_embedding_oracle(),
+)
+
 # ===========================================================================
 # Scalar-function parity (MRZ fixed-slice, digit filter / decimal comma)
 # ===========================================================================
