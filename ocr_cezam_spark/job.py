@@ -21,6 +21,8 @@ import argparse
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
 
+from pyspark.sql import Observation
+
 from .operators import extract as X
 from .skew import salted_repartition
 from .sources import catalog
@@ -51,6 +53,17 @@ def run_job(
     else:
         out = X.run_extract(docs, num_partitions=num_partitions)
 
+    # A6 analog (SURVEY 2.4): free job-level counters via observe() —
+    # collected from the same action that materializes the output, no
+    # extra pass (the per-partition breakdown is the metrics table).
+    obs = Observation("extract_counters")
+    out = out.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+        F.sum("n_bytes").alias("bytes_in"),
+    )
+
     # Truncate lineage BEFORE any append. The resume anti-join reads the
     # committed table; appending to that path makes Spark recache (and
     # re-execute) any plan that references it, which would see the job's own
@@ -71,6 +84,8 @@ def run_job(
     ):
         catalog.append(df, f"{output_prefix}/{name}")
         counts[name] = df.count()
+    counts["observed_docs"] = int(obs.get.get("docs") or 0)
+    counts["observed_errors"] = int(obs.get.get("errors") or 0)
     out.unpersist()  # releases the localCheckpoint blocks
     return counts
 
