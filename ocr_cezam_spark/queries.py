@@ -910,6 +910,58 @@ _register(
 )
 
 
+# P1 zone projection in relational form: the rules dimension's fractional
+# windows (lcl.json shape, FIXTURES section 2) select line ranges of each
+# document — the numpy-slice crop (process_fields.py:66-67) re-expressed
+# as a broadcast-joined F.slice over the line array.
+def _zone_projection(s: SparkSession, d: str) -> DataFrame:
+    from .sources.dimensions import rules_df
+
+    text = X.extracted_text(_kernel_out(s))
+    lines = text.select("url", F.split("text", "\n").alias("lines"))
+    rules = rules_df(s).filter(F.col("doc_kind") == "statement")
+    n = F.size("lines")
+    lo = F.floor(F.col("y0") * n).cast("int")
+    hi = F.floor(F.col("y1") * n).cast("int")
+    width = F.greatest(hi - lo, F.lit(0))
+    sliced = F.slice("lines", lo + 1, width)
+    return lines.crossJoin(F.broadcast(rules)).select(
+        "url",
+        "zone_name",
+        n.alias("n_lines"),
+        F.size(sliced).alias("n_window_lines"),
+        F.element_at(sliced, 1).alias("first_line"),
+    )
+
+
+_register(
+    "zone_projection",
+    _zone_projection,
+    f"""
+    WITH t AS (
+      SELECT url, string_split(text, chr(10)) AS lines
+      FROM read_parquet('{GOLDEN_DIR}/extract_text_n{KERNEL_N}.parquet')
+    ), rules AS (
+      SELECT * FROM (VALUES
+        ('client_info', 0.0, 0.35), ('bank_info', 0.0, 0.5),
+        ('date_info', 0.0, 0.6), ('table_info', 0.3, 1.0)
+      ) AS r(zone_name, y0, y1)
+    ), j AS (
+      SELECT url, zone_name,
+             CAST(len(lines) AS INT) AS n_lines,
+             CAST(floor(y0 * len(lines)) AS INT) AS lo,
+             CAST(floor(y1 * len(lines)) AS INT) AS hi,
+             lines
+      FROM t CROSS JOIN rules
+    )
+    SELECT url, zone_name, n_lines,
+           CAST(len(list_slice(lines, lo + 1, hi)) AS INT) AS n_window_lines,
+           lines[lo + 1] AS first_line
+    FROM j
+    """,
+)
+
+
 # F5 native multi-format date extraction over the line model: first line
 # that parses in any supported format, rendered back as French '%d %B %Y'
 # (process_fields.py:110-122 without the process-locale hazard); must
