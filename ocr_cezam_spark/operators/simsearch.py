@@ -113,6 +113,37 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8,
     return assigned.select("vid", "centroid_id", F.round("dist", 3).alias("dist"))
 
 
+def ivf_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
+             n_centroids: int = 8, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF-bucketed ANN: each probe searches ONLY its nearest centroid's
+    bucket — the scale path where the candidate set shrinks ~n_centroids-
+    fold (vs cosine_topk's brute force). Join keys: centroid_id."""
+    assigned = ivf_assign(emb, n_centroids, id_col, vec_col)
+    base = emb.select(
+        F.col(id_col).alias("nb_id"), _to_double(F.col(vec_col)).alias("v")
+    ).join(assigned.select(F.col("vid").alias("nb_id"), "centroid_id"), "nb_id")
+    probes = base.filter(F.col("nb_id").isin(probe_ids)).select(
+        F.col("nb_id").alias("probe_id"),
+        F.col("v").alias("p"),
+        F.col("centroid_id"),
+    )
+    cands = base.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("nb_id") != F.col("probe_id")
+    )
+    sim = _dot(F.col("p"), F.col("v")) / (
+        F.sqrt(_dot(F.col("p"), F.col("p"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim_raw"), F.asc("nb_id"))
+    return (
+        cands.select("probe_id", "centroid_id", "nb_id", sim.alias("sim_raw"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "centroid_id", "rank", "nb_id",
+                F.round("sim_raw", 4).alias("cosine"))
+    )
+
+
 def ivf_bucket_stats(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
     # min/max instead of avg: they are order-independent, so the cross-engine
     # value is bit-stable (avg sums floats in partition order and can flip a

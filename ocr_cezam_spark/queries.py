@@ -739,6 +739,48 @@ _register(
     """,
 )
 
+_register(
+    "ann_ivf_topk",
+    lambda s, d: simsearch.ivf_topk(_t(s, d, "embeddings"), _PROBES),
+    """
+    WITH base AS (
+      SELECT vec_id AS nb_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cents AS (
+      SELECT nb_id AS centroid_id, v AS c FROM base WHERE nb_id < 8
+    ), dist AS (
+      SELECT nb_id, centroid_id,
+             list_dot_product(v, v) - 2 * list_dot_product(v, c)
+               + list_dot_product(c, c) AS dd
+      FROM base, cents
+    ), assigned AS (
+      SELECT nb_id, centroid_id FROM (
+        SELECT nb_id, centroid_id,
+               row_number() OVER (PARTITION BY nb_id
+                                  ORDER BY dd ASC, centroid_id ASC) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ), withc AS (
+      SELECT b.nb_id, b.v, a.centroid_id FROM base b JOIN assigned a USING (nb_id)
+    ), probes AS (
+      SELECT nb_id AS probe_id, v AS p, centroid_id FROM withc
+      WHERE nb_id IN (0,1,2,3,4)
+    ), cands AS (
+      SELECT pr.probe_id, w.centroid_id, w.nb_id,
+             list_dot_product(pr.p, w.v)
+               / (sqrt(list_dot_product(pr.p, pr.p))
+                  * sqrt(list_dot_product(w.v, w.v))) AS sim_raw
+      FROM probes pr JOIN withc w USING (centroid_id)
+      WHERE w.nb_id <> pr.probe_id
+    )
+    SELECT probe_id, centroid_id, rank, nb_id, round(sim_raw, 4) AS cosine
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY sim_raw DESC, nb_id ASC) AS rank
+      FROM cands
+    ) WHERE rank <= 3
+    """,
+)
+
 # ===========================================================================
 # Multimodal plumbing (binary payload -> typed metadata via mapInPandas)
 # ===========================================================================
