@@ -514,12 +514,18 @@ def decode_mrz(lines) -> dict[str, str]:
 # --------------------------------------------------------------------------
 
 
+_NUM_RX = re.compile(r"^-?[0-9]+([.,][0-9]+)?$")
+
+
 def _parse_float(v: str) -> float | None:
-    """French decimal comma -> dot (releve_bancaire.py:167)."""
-    try:
-        return float(v.replace(",", "."))
-    except ValueError:
+    """French decimal comma -> dot (releve_bancaire.py:167), gated by the
+    same strict numeric shape as the native-Spark twin (NUM_RX in
+    operators/solde.py). Bare float() would also accept '.5', '1e3',
+    '1_000' and padded whitespace — shapes Spark/DuckDB casts treat
+    differently, so the permissive gate would be engine-divergent."""
+    if not _NUM_RX.match(v):
         return None
+    return float(v.replace(",", "."))
 
 
 def _find_col(header: list[str], keywords) -> int | None:

@@ -142,16 +142,18 @@ def simhash_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
     """Dedup clusters from candidate pairs: (node, component) where
     component = min doc_id reachable through the pair graph.
 
     Iterative min-label propagation with alternating-direction joins —
-    each iteration is one shuffle on node id; iterations needed =
-    graph diameter (near-dup clusters are tiny, so 2-3 in practice; the
-    loop stops early at fixpoint via a cheap changed-count check).
-    localCheckpoint truncates the growing plan each round (the classic
-    iterative-algorithm lineage blowup).
+    each iteration is one shuffle on node id and runs UNTIL FIXPOINT
+    (changed-count 0); ``max_iter`` is a safety valve that *raises* rather
+    than silently returning unconverged labels (a pair graph with diameter
+    > max_iter would otherwise get wrong components with no error).
+    Iterations needed = graph diameter (near-dup clusters are tiny, so 2-3
+    in practice). localCheckpoint truncates the growing plan each round
+    (the classic iterative-algorithm lineage blowup).
     """
     from pyspark.sql import functions as F  # noqa: N812
 
@@ -165,6 +167,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.y == labels.node)
@@ -187,7 +190,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         n_changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
         labels = new_labels.drop("changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(pair-graph diameter exceeds the safety valve)"
+        )
     return labels
 
 

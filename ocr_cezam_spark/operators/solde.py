@@ -43,18 +43,17 @@ def _role_col(entries, rx: str) -> F.Column:
 def reconcile_cells(cells: DataFrame) -> DataFrame:
     """cells(url, table_id, row_id, col_id, value) ->
     (url, table_id, status, detail)."""
-    # --- row assembly: one row per (url, table, row) with a col->value map
-    rows = (
-        cells.groupBy("url", "table_id", "row_id")
-        .agg(
-            F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct("col_id", "value")))
-            ).alias("m"),
-            F.max(F.lower(F.col("value")).contains("solde")).alias("is_solde_row"),
-        )
+    # --- row assembly: one row per (url, table, row) with the sorted
+    # (col_id, value) entries; the col->value map and the solde-marker flag
+    # are derived AFTER the header join so both can honor the header width
+    # (the kernel truncates body rows to header width before its marker
+    # scan, check_solde body slicing — a trailing ragged cell containing
+    # 'solde' must not mark the row).
+    rows = cells.groupBy("url", "table_id", "row_id").agg(
+        F.sort_array(F.collect_list(F.struct("col_id", "value"))).alias("e")
     )
 
-    # --- header roles per table (row 0)
+    # --- header roles + width per table (row 0)
     hdr = (
         cells.filter(F.col("row_id") == 0)
         .groupBy("url", "table_id")
@@ -67,18 +66,30 @@ def reconcile_cells(cells: DataFrame) -> DataFrame:
             _role_col(F.col("h"), CREDIT_RX).alias("cred_col"),
             _role_col(F.col("h"), DEBIT_RX).alias("deb_col"),
             _role_col(F.col("h"), "date").alias("date_col"),
+            F.array_max(F.col("h").getField("col_id")).alias("hdr_max_col"),
         )
     )
 
     body = (
         rows.filter(F.col("row_id") > 0)
         .join(hdr, ["url", "table_id"], "right")
+        .withColumn("m", F.map_from_entries("e"))
+        .withColumn(
+            "is_solde_row",
+            F.exists(
+                "e",
+                lambda s: (s["col_id"] <= F.col("hdr_max_col"))
+                & F.lower(s["value"]).contains("solde"),
+            ),
+        )
         .withColumn("cred_val", F.element_at("m", F.col("cred_col")))
         .withColumn("deb_val", F.element_at("m", F.col("deb_col")))
         .withColumn("date_val", F.element_at("m", F.col("date_col")))
     )
 
-    num = lambda c: F.regexp_replace(c, ",", ".").cast("double")  # noqa: E731
+    # try_cast: a non-numeric marker value must yield NULL (routed to the
+    # Unknown branch below), not an ANSI cast error.
+    num = lambda c: F.regexp_replace(c, ",", ".").try_cast("double")  # noqa: E731
     is_num = lambda c: F.coalesce(c, F.lit("")).rlike(NUM_RX)  # noqa: E731
 
     marked = body.select(
@@ -166,16 +177,21 @@ def reconcile_cells(cells: DataFrame) -> DataFrame:
         F.col("cred_col").isNull() | F.col("deb_col").isNull() | F.col("date_col").isNull()
     )
     not_enough = (F.col("n_cred_marks") < 2) & (F.col("n_deb_marks") < 2)
+    # A first/last marker that is not float-parsable -> Unknown, matching
+    # the kernel's explicit first_f/last_f None branch (check_solde).
+    marker_bad = ~is_num(F.col("first_val")) | ~is_num(F.col("last_val"))
 
     status = (
         F.when(any_missing, F.lit("Unknown"))
         .when(not_enough, F.lit("Unknown"))
+        .when(marker_bad, F.lit("Unknown"))
         .when(res == last_num, F.lit("Success"))
         .otherwise(F.lit("Error"))
     )
     detail = (
         F.when(any_missing, F.concat(F.lit("columns missing : "), missing))
         .when(not_enough, F.lit("Not enough solde infos"))
+        .when(marker_bad, F.lit("Not enough solde infos"))
         .when(res == last_num, F.lit("Table values match final solde value."))
         .otherwise(
             F.concat(

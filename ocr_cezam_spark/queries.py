@@ -805,14 +805,18 @@ _register(
 # ===========================================================================
 
 
-_KERNEL_CACHE: dict[int, DataFrame] = {}
+_KERNEL_CACHE: dict[str, DataFrame] = {}
 
 
 def _kernel_out(s: SparkSession) -> DataFrame:
     """Kernel extraction over the deterministic corpus, persisted once per
     session — eleven queries project from it, so recomputing the Arrow
-    pass each time would dominate the correctness run."""
-    key = id(s)
+    pass each time would dominate the correctness run.
+
+    Keyed by applicationId, not id(session): CPython can reuse an id()
+    after a stopped session is garbage-collected, which would hand back a
+    DataFrame bound to a dead context."""
+    key = s.sparkContext.applicationId
     if key not in _KERNEL_CACHE:
         out = X.run_extract(corpus_df(s, KERNEL_N), num_partitions=8).persist()
         out.count()
@@ -972,7 +976,10 @@ def _zone_projection(s: SparkSession, d: str) -> DataFrame:
         "zone_name",
         n.alias("n_lines"),
         F.size(sliced).alias("n_window_lines"),
-        F.element_at(sliced, 1).alias("first_line"),
+        # F.get (0-indexed) yields NULL on an empty window; element_at would
+        # throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark 4 ANSI mode
+        # while the DuckDB oracle (lines[lo+1]) returns NULL for the same row.
+        F.get(sliced, 0).alias("first_line"),
     )
 
 

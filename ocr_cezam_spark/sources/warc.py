@@ -69,7 +69,14 @@ def parse_warc(data: bytes) -> Iterator[tuple[str, dt.datetime | None, bytes]]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            pos = head_end + 4
+            # Missing/unparsable Content-Length: resynchronize on the record
+            # boundary delimiter (\r\n\r\nWARC/1.0), never on a bare
+            # 'WARC/1.0' that may occur inside the skipped payload (an HTML
+            # page *about* WARC would otherwise fabricate spurious records).
+            nxt = data.find(_CRLF2 + b"WARC/1.0", head_end + len(_CRLF2))
+            if nxt < 0:
+                return
+            pos = nxt + len(_CRLF2)
             continue
         body = data[head_end + 4 : head_end + 4 + length]
         pos = head_end + 4 + length

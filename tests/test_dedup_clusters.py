@@ -31,6 +31,24 @@ def test_components_match_union_find(spark):
     assert got == _union_find(edges)
 
 
+def test_long_chain_converges(spark):
+    # path graph of diameter 14 (> the old silent cap of 10): label
+    # propagation must run to fixpoint, not stop early with wrong labels
+    edges = [(i, i + 1) for i in range(15)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(16)}
+
+
+def test_unconverged_raises(spark):
+    import pytest
+
+    edges = [(i, i + 1) for i in range(6)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+
+
 def test_dedup_clusters_on_cloned_docs(spark):
     # fully disjoint vocabularies per doc: no shared shingles, so the only
     # candidate pairs are the exact clones

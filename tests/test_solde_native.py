@@ -46,6 +46,40 @@ def test_native_edge_cases(spark):
             ["", "Solde précédent", "10,00", ""],
             ["01/01/2024", "x", "5,00", ""],
         ],
+        # ragged: extra cell BEYOND header width contains 'solde' — kernel
+        # truncates body rows to header width before the marker scan, so
+        # that cell must not mark the row (only one real marker -> Unknown)
+        "u_ragged_solde_tail": [
+            ["Date", "Libellé", "Débit", "Crédit"],
+            ["", "Solde précédent", "10,00", ""],
+            ["01/01/2024", "x", "5,00", "", "voir solde"],
+            ["02/01/2024", "y", "3,00", ""],
+        ],
+        # first marker value is not float-parsable -> Unknown
+        "u_bad_marker": [
+            ["Date", "Libellé", "Débit", "Crédit"],
+            ["", "Solde précédent", "12 EUR", ""],
+            ["01/01/2024", "x", "5,00", ""],
+            ["", "Solde final", "15,00", ""],
+        ],
+        # exotic numeric shapes float() would accept but the shared strict
+        # gate rejects ('.5', '1e3', '1_000', padded) — both engines skip
+        "u_exotic_numeric": [
+            ["Date", "Libellé", "Débit", "Crédit"],
+            ["", "Solde initial", "100,00", ""],
+            ["01/01/2024", "a", ".5", ""],
+            ["02/01/2024", "b", "1e3", ""],
+            ["03/01/2024", "c", " 7,00 ", ""],
+            ["04/01/2024", "d", "25,00", ""],
+            ["", "Solde final", "125,00", ""],
+        ],
+        # body row shorter than the header (missing trailing cells)
+        "u_short_row": [
+            ["Date", "Libellé", "Débit", "Crédit"],
+            ["", "Solde initial", "50,00", ""],
+            ["01/01/2024", "x", "10,00"],
+            ["", "Solde final", "60,00", ""],
+        ],
     }
     df = _cells_df(spark, [(u, 0, t) for u, t in tables.items()])
     got = {r["url"]: (r["status"], r["detail"]) for r in reconcile_cells(df).collect()}

@@ -40,6 +40,22 @@ def test_parse_skips_garbage_and_non_response():
     assert len(got) == 1 and got[0][2] == b"<p>x</p>"
 
 
+def test_bad_content_length_resyncs_on_record_boundary():
+    # A record with an unparsable Content-Length whose PAYLOAD contains the
+    # literal 'WARC/1.0' must not fabricate a record: recovery scans for the
+    # \r\n\r\nWARC/1.0 boundary, never a bare marker inside payload bytes.
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://bad/\r\n"
+        b"Content-Length: oops\r\n\r\n"
+        b"<html>a page about WARC/1.0\r\nWARC-Target-URI: http://fake/\r\n"
+        b"Content-Length: 4\r\n\r\nxxxx archives</html>\r\n\r\n"
+    )
+    good = write_warc([(make_page(0)["url"], make_page(0)["warc_ts"], b"<p>ok</p>")])
+    got = list(parse_warc(bad + good))
+    assert len(got) == 1
+    assert got[0][0] == make_page(0)["url"] and got[0][2] == b"<p>ok</p>"
+
+
 def test_spark_explode_matches_direct_extraction(spark):
     n = 60
     chunks = spark.createDataFrame(_chunks(n, 20), "chunk_id int, data binary")
