@@ -48,97 +48,202 @@ def shingles(text_col: str, n: int = 3) -> F.Column:
     )
 
 
+# --- MinHash parameters (production-grade: k=64 permutations, 16 bands of
+# 4 rows — s-curve threshold ~ (1/16)^(1/4) ~ 0.5). The k "permutations"
+# are affine universal hashes h_i(x) = (a_i*x + b_i) mod P over a single
+# md5 per shingle (x = first 8 hex chars mod P), so the per-shingle hash
+# cost stays ONE digest regardless of k; the k minimizations are cheap
+# codegen'd integer arithmetic with map-side partial aggregation.
+# P = 2^31-1 keeps a_i*x < 2^62: no bigint overflow in Spark ANSI mode or
+# DuckDB. Coefficients are fixed-seed so the DuckDB oracle twin (generated
+# from the same MINHASH_COEFFS) is bit-identical.
+MINHASH_P = 2_147_483_647
+MINHASH_K = 64
+MINHASH_BANDS = 16
+
+
+def _make_coeffs(k: int, seed: int = 20_240_816) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(k)
+    ]
+
+
+MINHASH_COEFFS = _make_coeffs(MINHASH_K)
+
+
 def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", k: int = 4) -> DataFrame:
+                      text_col: str = "text", k: int = MINHASH_K) -> DataFrame:
     """k-permutation MinHash over 3-word shingles.
 
-    One md5 per shingle; the k "permutations" are disjoint 8-hex-char
-    slices of the digest (32 independent bits each), minimized with a
-    partial-aggregating groupBy — map-side combine reduces the shuffle to
-    k values per doc per partition. 8x faster than per-permutation salted
-    hashing, same engine portability (md5 + substr in DuckDB).
-
-    Shape: explode(shingles) -> md5 -> groupBy(id).agg(min(slice_i)).
-    Returns (id, mh_0..mh_{k-1})."""
-    assert k <= 4, "md5 yields 32 hex chars = 4 disjoint 8-char slices"
+    Shape: explode(shingles) -> md5 -> x = hex32 mod P ->
+    groupBy(id).agg(min((a_i*x+b_i) mod P) for i in 0..k) -> sig array.
+    One shuffle, k longs per doc per map partition (partial agg).
+    Returns (id, sig: array<long> length k)."""
     exploded = docs.select(
         F.col(id_col), F.explode(shingles(text_col)).alias("sh")
-    ).select(F.col(id_col), F.md5("sh").alias("d"))
-    return exploded.groupBy(id_col).agg(
+    )
+    x = (
+        F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_P)
+    )
+    hashed = exploded.select(F.col(id_col), x.alias("x"))
+    mins = hashed.groupBy(id_col).agg(
         *[
-            F.min(F.substring("d", 1 + 8 * i, 8)).alias(f"mh_{i}")
-            for i in range(k)
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"mh_{i}"
+            )
+            for i, (a, b) in enumerate(MINHASH_COEFFS[:k])
         ]
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[f"mh_{i}" for i in range(k)]).alias("sig")
     )
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", k: int = 4,
-                      bands: int = 2) -> DataFrame:
+                      text_col: str = "text", k: int = MINHASH_K,
+                      bands: int = MINHASH_BANDS) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
-    Signature of k hashes split into `bands` bands (k/bands rows each);
-    docs sharing any band key become candidates; similarity estimate =
-    fraction of matching minhashes. The band join shuffles on band_key —
-    bucket sizes, not n^2, drive cost."""
+    The signature splits into `bands` bands of k/bands rows; docs sharing
+    any band key become candidates. Candidate generation shuffles ONLY
+    (band_idx, band_key, id) long-format rows — one self-join keyed on the
+    band, never all-pairs, and never carrying the k-wide signature through
+    the band join. Signatures are joined back onto the (distinct) candidate
+    pairs to compute sim_est = fraction of matching minhashes."""
+    r = k // bands
     sig = minhash_signature(docs, id_col, text_col, k)
-    rows_per_band = k // bands
-    band_cols = [
-        F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band_{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols, *[F.col(f"mh_{i}") for i in range(k)])
-
-    pairs = None
-    for b in range(bands):
-        left = banded.select(
-            F.col(id_col).alias("a"),
-            F.col(f"band_{b}").alias("bk"),
-            *[F.col(f"mh_{i}").alias(f"la_{i}") for i in range(k)],
-        )
-        right = banded.select(
-            F.col(id_col).alias("b"),
-            F.col(f"band_{b}").alias("bk"),
-            *[F.col(f"mh_{i}").alias(f"lb_{i}") for i in range(k)],
-        )
-        p = left.join(right, "bk").filter(F.col("a") < F.col("b"))
-        pairs = p if pairs is None else pairs.unionByName(p)
-
-    matches = sum(
-        F.when(F.col(f"la_{i}") == F.col(f"lb_{i}"), 1).otherwise(0) for i in range(k)
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                *[
+                    F.element_at("sig", b * r + j + 1).cast("string")
+                    for j in range(r)
+                ],
+            )
+            for b in range(bands)
+        ]
     )
-    return (
-        pairs.select("a", "b", (matches / float(k)).alias("sim_est"))
-        .groupBy("a", "b")
-        .agg(F.max("sim_est").alias("sim_est"))
+    banded = sig.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_key")
+    )
+    left = banded.select(F.col(id_col).alias("a"), "band_idx", "band_key")
+    right = banded.select(F.col(id_col).alias("b"), "band_idx", "band_key")
+    cand = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("a"), F.col("sig").alias("sa"))
+    sb = sig.select(F.col(id_col).alias("b"), F.col("sig").alias("sb"))
+    matches = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda p, q: p == q), lambda v: v)
+    )
+    return cand.join(sa, "a").join(sb, "b").select(
+        "a", "b", (matches / float(k)).alias("sim_est")
     )
 
 
-def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """16-bit SimHash: bit p = majority vote over words of whether hex digit
-    p of md5(word) falls in the high half. Portable (string ops only)."""
-    def hex_bit(p: int):
-        # single-arg lambda closure (see salted() note in minhash_signature)
-        return lambda w: F.substring(F.md5(w), p, 1).isin(*HEX_HIGH)
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4  # 4 x 16-bit band keys -> pigeonhole: hamming<=3 pairs
+#                     are guaranteed to share at least one exact chunk
 
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash as four 16-bit chunks (c0..c3).
+
+    Bit j = majority vote over words of bit j of md5(word) (first 16 hex
+    digits = 64 bits, MSB-first within each digit). The digest is computed
+    ONCE per word (transform into a digest array), then the 64 bit-votes
+    are cheap substring/conv/bitmask filters over that array — all
+    JVM-side, portable to the DuckDB oracle."""
     words = _words(text_col)
+    digests = F.transform(words, lambda w: F.md5(w))
     n = F.size(words)
-    bits = []
-    for p in range(1, 17):
-        high = F.size(F.filter(words, hex_bit(p)))
-        bits.append(F.when(high * 2 > n, F.lit("1")).otherwise(F.lit("0")))
-    return docs.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+
+    def bit_high(j: int) -> F.Column:
+        # count words whose md5 bit j is set
+        pos, mask = j // 4 + 1, 8 >> (j % 4)
+        return F.size(
+            F.filter(
+                digests,
+                lambda d: F.conv(F.substring(d, pos, 1), 16, 10)
+                .cast("int")
+                .bitwiseAND(F.lit(mask))
+                != 0,
+            )
+        )
+
+    chunk_cols = []
+    for t in range(SIMHASH_CHUNKS):
+        bits = [
+            F.when(bit_high(16 * t + j) * 2 > n, F.lit(1 << (15 - j))).otherwise(
+                F.lit(0)
+            )
+            for j in range(16)
+        ]
+        chunk_cols.append(sum(bits).cast("int").alias(f"c{t}"))
+    return docs.select(F.col(id_col), *chunk_cols)
 
 
 def simhash_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-dup candidate buckets: group by full 16-bit signature."""
+    """Exact-duplicate candidate buckets: group by the full 64-bit
+    signature (all four chunks). Near-dup recall comes from
+    simhash_hamming_pairs, not from this exact grouping."""
     return (
-        simhash16(docs, id_col, text_col)
-        .groupBy("simhash")
+        simhash64(docs, id_col, text_col)
+        .groupBy("c0", "c1", "c2", "c3")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_doc"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash_hamming_pairs(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs within Hamming distance <= 3 of the 64-bit
+    SimHash, via chunk-band LSH (the pigeonhole trick): any pair within
+    distance 3 matches exactly on >= 1 of the 4 16-bit chunks, so
+    candidates come from a hash self-join on (chunk_idx, chunk_value) —
+    bucket-bounded, never all-pairs — and the exact Hamming distance
+    (bit_count of xor per chunk) filters the survivors."""
+    sig = simhash64(docs, id_col, text_col)
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(F.array("c0", "c1", "c2", "c3")).alias("chunk_idx", "chunk_val"),
+    )
+    cand = (
+        banded.select(F.col(id_col).alias("a"), "chunk_idx", "chunk_val")
+        .join(
+            banded.select(F.col(id_col).alias("b"), "chunk_idx", "chunk_val"),
+            ["chunk_idx", "chunk_val"],
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col(id_col).alias("a"), *[F.col(f"c{t}").alias(f"a{t}") for t in range(4)]
+    )
+    sb = sig.select(
+        F.col(id_col).alias("b"), *[F.col(f"c{t}").alias(f"b{t}") for t in range(4)]
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{t}").bitwiseXOR(F.col(f"b{t}")).cast("long"))
+        for t in range(4)
+    ).cast("int")
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

@@ -1,8 +1,16 @@
 """Similarity search over embedding columns (array<float>).
 
 Brute-force cosine top-k is the correctness baseline; IVF bucketing is the
-scale path (assign to nearest of K centroids, search within the bucket —
-the shuffle is on centroid_id, cutting the candidate set by ~K).
+scale path: vectors are assigned to their nearest of K centroids and all
+candidate generation happens within buckets, so the shuffle key is
+centroid_id and the candidate set shrinks ~K-fold (never all-pairs).
+
+Centroid assignment is a pure PROJECTION, not a join: the K centroids are
+collected to the driver (they are a tiny dimension — exactly like k-means
+state in any production ANN build) and inlined as literal arrays, so
+assignment is `array_min` over K (dist, cid) structs — one codegen'd pass,
+no crossJoin, no window shuffle. Struct ordering gives the (dist asc,
+cid asc) tie-break for free.
 
 Dot products use zip_with + aggregate (JVM-side higher-order functions —
 no Python). Distances use the algebraic identity
@@ -26,6 +34,82 @@ def _dot(a, b) -> F.Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _lit_vec(vals: list[float]) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+Centroids = list[tuple[int, list[float]]]
+
+
+def seed_centroids(emb: DataFrame, n_centroids: int = 8,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> Centroids:
+    """Deterministic seed centroids: the first K vectors by id (the
+    k-means|| init stand-in; see train_centroids for the Lloyd step)."""
+    rows = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).cast("long").alias("cid"),
+            _to_double(F.col(vec_col)).alias("c"),
+        )
+        .orderBy("cid")
+        .collect()
+    )
+    return [(int(r["cid"]), [float(x) for x in r["c"]]) for r in rows]
+
+
+def _dist_entries(v: F.Column, cents: Centroids) -> F.Column:
+    """Array of (dist, cid) structs for every centroid — argmin / top-n
+    probing both read from this one expression."""
+    return F.array(
+        *[
+            F.struct(
+                (
+                    _dot(v, v)
+                    - 2 * _dot(v, _lit_vec(c))
+                    + _dot(_lit_vec(c), _lit_vec(c))
+                ).alias("dist"),
+                F.lit(int(cid)).cast("long").alias("cid"),
+            )
+            for cid, c in cents
+        ]
+    )
+
+
+def _nearest(v: F.Column, cents: Centroids) -> F.Column:
+    # struct comparison is lexicographic: min dist, then min cid (the same
+    # tie-break as ORDER BY dist ASC, centroid_id ASC in the oracle)
+    return F.array_min(_dist_entries(v, cents))
+
+
+def train_centroids(emb: DataFrame, n_centroids: int = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    iters: int = 1) -> Centroids:
+    """Lloyd iterations from the deterministic seed: assign every vector to
+    its nearest centroid (projection, no join), recompute centroids as the
+    per-bucket mean. One shuffle per iteration (the groupBy); the collected
+    state is K*dim floats. Deterministic up to float summation order — used
+    for recall quality (pytest), not for bit-checked oracle queries."""
+    cents = seed_centroids(emb, n_centroids, id_col, vec_col)
+    dim = len(cents[0][1])
+    base = emb.select(
+        F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
+    )
+    for _ in range(iters):
+        assigned = base.withColumn("cid", _nearest(F.col("v"), cents)["cid"])
+        rows = (
+            assigned.groupBy("cid")
+            .agg(*[F.avg(F.element_at("v", i + 1)).alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        means = {
+            int(r["cid"]): [float(r[f"d{i}"]) for i in range(dim)] for r in rows
+        }
+        # empty buckets keep their previous centroid
+        cents = [(cid, means.get(cid, vec)) for cid, vec in cents]
+    return cents
 
 
 def cosine_topk(emb: DataFrame, probe_ids: list[int], k: int = 5,
@@ -55,33 +139,41 @@ def cosine_topk(emb: DataFrame, probe_ids: list[int], k: int = 5,
 
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.99,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-duplicate pairs.
+                             vec_col: str = "embedding",
+                             n_centroids: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, IVF-BLOCKED.
 
     A perturbed clone of every vector (first component * 1.01, id+10000)
-    guarantees true near-dups exist; pairs above threshold are emitted.
-    At scale the all-pairs stage is replaced by IVF/LSH blocking
-    (ivf_assign) — here the candidate set is the broadcast clone join."""
+    guarantees true near-dups exist. Every vector (originals + clones) is
+    assigned to its nearest centroid by projection; candidate pairs are an
+    EQUI-join on centroid_id (a < b), then the exact cosine filters at
+    `threshold`. The plan contains no nested-loop join: cost is
+    sum(bucket^2)/2, not n^2/2 — the scale path the all-pairs inequality
+    join (round-1 implementation) lacked."""
     base = emb.select(
         F.col(id_col).alias("a"), _to_double(F.col(vec_col)).alias("va")
     )
     clones = base.select(
-        (F.col("a") + 10_000).alias("b"),
+        (F.col("a") + 10_000).alias("a"),
         F.concat(
             F.transform(F.slice("va", 1, 1), lambda x: x * 1.01),
             F.slice("va", 2, 100_000),
-        ).alias("vb"),
+        ).alias("va"),
     )
-    both = base.unionByName(
-        clones.select(F.col("b").alias("a"), F.col("vb").alias("va"))
+    cents = seed_centroids(emb, n_centroids, id_col, vec_col)
+    both = base.unionByName(clones).withColumn(
+        "centroid_id", _nearest(F.col("va"), cents)["cid"]
     )
-    left = both.select(F.col("a"), F.col("va"))
-    right = both.select(F.col("a").alias("b"), F.col("va").alias("vb"))
+    left = both.select("a", "va", "centroid_id")
+    right = both.select(
+        F.col("a").alias("b"), F.col("va").alias("vb"), "centroid_id"
+    )
     sim = _dot(F.col("va"), F.col("vb")) / (
         F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
     )
     return (
-        left.join(right, F.col("a") < F.col("b"))
+        left.join(right, "centroid_id")
+        .filter(F.col("a") < F.col("b"))
         .select("a", "b", sim.alias("sim_raw"))
         .filter(F.col("sim_raw") >= threshold)
         .select("a", "b", F.round("sim_raw", 4).alias("cosine"))
@@ -89,44 +181,41 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.99,
 
 
 def ivf_assign(emb: DataFrame, n_centroids: int = 8,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF bucketing: centroids = first K vectors (deterministic seed set);
-    each vector goes to its nearest centroid by squared L2."""
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               centroids: Centroids | None = None) -> DataFrame:
+    """IVF bucketing: nearest-centroid assignment as a single projection
+    (literal centroids, argmin over structs) — no join, no window."""
+    cents = centroids or seed_centroids(emb, n_centroids, id_col, vec_col)
     base = emb.select(
         F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
     )
-    cents = base.filter(F.col("vid") < n_centroids).select(
-        F.col("vid").alias("centroid_id"), F.col("v").alias("c")
+    best = _nearest(F.col("v"), cents)
+    return base.select(
+        "vid",
+        best["cid"].alias("centroid_id"),
+        F.round(best["dist"], 3).alias("dist"),
     )
-    dist = (
-        _dot(F.col("v"), F.col("v"))
-        - 2 * _dot(F.col("v"), F.col("c"))
-        + _dot(F.col("c"), F.col("c"))
-    )
-    w = Window.partitionBy("vid").orderBy(F.asc("dist"), F.asc("centroid_id"))
-    assigned = (
-        base.crossJoin(F.broadcast(cents))
-        .select("vid", "centroid_id", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
-    return assigned.select("vid", "centroid_id", F.round("dist", 3).alias("dist"))
 
 
 def ivf_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
              n_centroids: int = 8, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """IVF-bucketed ANN: each probe searches ONLY its nearest centroid's
-    bucket — the scale path where the candidate set shrinks ~n_centroids-
-    fold (vs cosine_topk's brute force). Join keys: centroid_id."""
-    assigned = ivf_assign(emb, n_centroids, id_col, vec_col)
+             vec_col: str = "embedding", nprobe: int = 2,
+             centroids: Centroids | None = None) -> DataFrame:
+    """IVF-bucketed ANN: each probe searches the buckets of its `nprobe`
+    nearest centroids — the scale path where the candidate set shrinks
+    ~n_centroids/nprobe-fold vs brute force. Join key: centroid_id."""
+    cents = centroids or seed_centroids(emb, n_centroids, id_col, vec_col)
     base = emb.select(
         F.col(id_col).alias("nb_id"), _to_double(F.col(vec_col)).alias("v")
-    ).join(assigned.select(F.col("vid").alias("nb_id"), "centroid_id"), "nb_id")
+    ).withColumn("centroid_id", _nearest(F.col("v"), cents)["cid"])
+    probe_cents = F.transform(
+        F.slice(F.array_sort(_dist_entries(F.col("v"), cents)), 1, nprobe),
+        lambda s: s["cid"],
+    )
     probes = base.filter(F.col("nb_id").isin(probe_ids)).select(
         F.col("nb_id").alias("probe_id"),
         F.col("v").alias("p"),
-        F.col("centroid_id"),
+        F.explode(probe_cents).alias("centroid_id"),
     )
     cands = base.join(F.broadcast(probes), "centroid_id").filter(
         F.col("nb_id") != F.col("probe_id")

@@ -515,39 +515,61 @@ _register(
 
 
 def _minhash_pairs_ctes() -> str:
-    """Shared CTE chain: cloned corpus -> shingle minhash signatures ->
-    LSH band candidate pairs with similarity estimate."""
+    """Shared CTE chain: cloned corpus -> affine-permutation minhash
+    signatures (same MINHASH_COEFFS as the Spark operator) -> LSH band
+    candidate pairs -> sim_est over the full signature. Final CTE is
+    ``cand(a, b, sim_est)``."""
+    from .operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_COEFFS,
+        MINHASH_K,
+        MINHASH_P,
+    )
+
+    k, b, p = MINHASH_K, MINHASH_BANDS, MINHASH_P
+    r = k // b
     sh = (
         "list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), "
         "i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))"
     )
     mh = ",\n      ".join(
-        f"min(substr(d, {1 + 8 * i}, 8)) AS mh_{i}" for i in range(4)
+        f"min(({a} * x + {c}) % {p}) AS mh_{i}"
+        for i, (a, c) in enumerate(MINHASH_COEFFS[:k])
     )
-    eq = " + ".join(f"CASE WHEN l.mh_{i} = r.mh_{i} THEN 1 ELSE 0 END" for i in range(4))
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {bi} AS band_idx, "
+        + " || '|' || ".join(f"CAST(mh_{bi * r + j} AS VARCHAR)" for j in range(r))
+        + " AS band_key FROM sig"
+        for bi in range(b)
+    )
+    eq = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
     return f"""
     corpus AS ({_CLONED_SQL}),
     ex AS (
       SELECT doc_id, md5(unnest({sh})) AS d FROM corpus
     ),
+    hx AS (
+      SELECT doc_id, ('0x' || substr(d, 1, 8))::BIGINT % {p} AS x FROM ex
+    ),
     sig AS (
       SELECT doc_id, {mh}
-      FROM ex GROUP BY doc_id
+      FROM hx GROUP BY doc_id
     ),
     banded AS (
-      SELECT doc_id, mh_0, mh_1, mh_2, mh_3,
-             mh_0 || '|' || mh_1 AS band_0, mh_2 || '|' || mh_3 AS band_1
-      FROM sig
+      {band_selects}
     ),
-    raw_pairs AS (
-      SELECT l.doc_id AS a, r.doc_id AS b, ({eq}) / 4.0 AS sim_est
-      FROM banded l JOIN banded r ON l.band_0 = r.band_0 AND l.doc_id < r.doc_id
-      UNION ALL
-      SELECT l.doc_id, r.doc_id, ({eq}) / 4.0
-      FROM banded l JOIN banded r ON l.band_1 = r.band_1 AND l.doc_id < r.doc_id
+    cpairs AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM banded l JOIN banded r USING (band_idx, band_key)
+      WHERE l.doc_id < r.doc_id
     ),
     cand AS (
-      SELECT a, b, max(sim_est) AS sim_est FROM raw_pairs GROUP BY a, b
+      SELECT c.a, c.b, ({eq}) / {float(k)} AS sim_est
+      FROM cpairs c
+      JOIN sig sa ON c.a = sa.doc_id
+      JOIN sig sb ON c.b = sb.doc_id
     )"""
 
 
@@ -565,19 +587,54 @@ _register(
 )
 
 
-def _simhash_oracle() -> str:
-    highs = "'8','9','a','b','c','d','e','f'"
-    bits = " || ".join(
-        "(CASE WHEN 2 * len(list_filter(words, w -> substr(md5(w), "
-        f"{p}, 1) IN ({highs}))) > len(words) THEN '1' ELSE '0' END)"
-        for p in range(1, 17)
+def _simhash_chunk_sql(t: int) -> str:
+    """16-bit chunk t of the 64-bit SimHash: majority vote per md5 bit
+    (digest list precomputed once per doc in the ``ds`` column)."""
+    parts = []
+    for j in range(16):
+        jj = 16 * t + j
+        pos, mask = jj // 4 + 1, 8 >> (jj % 4)
+        parts.append(
+            f"(CASE WHEN 2 * len(list_filter(ds, d -> ('0x' || substr(d, {pos}, 1))::INT & {mask} != 0)) "
+            f"> len(ds) THEN {1 << (15 - j)} ELSE 0 END)"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+def _simhash_ctes() -> str:
+    chunks = ",\n           ".join(
+        f"CAST({_simhash_chunk_sql(t)} AS INT) AS c{t}" for t in range(4)
     )
     return f"""
-    WITH corpus AS ({_CLONED_SQL}),
-    base AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
-    sh AS (SELECT doc_id, {bits} AS simhash FROM base)
-    SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc
-    FROM sh GROUP BY simhash HAVING count(*) > 1
+    corpus AS ({_CLONED_SQL}),
+    base AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '), w -> md5(w)) AS ds
+      FROM corpus
+    ),
+    sh AS (
+      SELECT doc_id, {chunks} FROM base
+    )"""
+
+
+def _simhash_oracle() -> str:
+    return f"""
+    WITH {_simhash_ctes()}
+    SELECT c0, c1, c2, c3, count(*) AS n_docs, min(doc_id) AS min_doc
+    FROM sh GROUP BY c0, c1, c2, c3 HAVING count(*) > 1
+    """
+
+
+def _simhash_hamming_oracle() -> str:
+    # All-pairs Hamming at oracle scale; equals the Spark chunk-band LSH
+    # result exactly, because any pair within distance 3 of a 64-bit
+    # signature shares >= 1 of the 4 16-bit chunks (pigeonhole).
+    ham = " + ".join(f"bit_count(xor(l.c{t}, r.c{t}))" for t in range(4))
+    return f"""
+    WITH {_simhash_ctes()}
+    SELECT l.doc_id AS a, r.doc_id AS b, CAST({ham} AS INT) AS hamming
+    FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+    WHERE ({ham}) <= 3
     """
 
 
@@ -607,6 +664,12 @@ _register(
     "simhash_buckets",
     lambda s, d: dedup.simhash_buckets(_cloned_docs(s, d)),
     _simhash_oracle(),
+)
+
+_register(
+    "simhash_hamming_pairs",
+    lambda s, d: dedup.simhash_hamming_pairs(_cloned_docs(s, d)),
+    _simhash_hamming_oracle(),
 )
 
 _register(
@@ -690,19 +753,31 @@ _register(
     "embedding_near_dup",
     lambda s, d: simsearch.embedding_near_dup_pairs(_t(s, d, "embeddings")),
     """
-    WITH base AS (
+    WITH orig AS (
       SELECT vec_id AS a, embedding::DOUBLE[] AS va FROM embeddings
+    ), allv AS (
+      SELECT a, va FROM orig
       UNION ALL
-      SELECT vec_id + 10000,
-             list_concat([embedding[1]::DOUBLE * 1.01],
-                         (embedding::DOUBLE[])[2:])
-      FROM embeddings
+      SELECT a + 10000, list_concat([va[1] * 1.01], va[2:]) FROM orig
+    ), cents AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+      FROM embeddings WHERE vec_id < 8
+    ), dist AS (
+      SELECT b.a, b.va, c.cid,
+             list_dot_product(va, va) - 2 * list_dot_product(va, c)
+               + list_dot_product(c, c) AS dd
+      FROM allv b, cents c
+    ), assigned AS (
+      SELECT a, va, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY a ORDER BY dd ASC, cid ASC) AS rn
+        FROM dist
+      ) WHERE rn = 1
     ), pairs AS (
       SELECT l.a, r.a AS b,
              list_dot_product(l.va, r.va)
                / (sqrt(list_dot_product(l.va, l.va))
                   * sqrt(list_dot_product(r.va, r.va))) AS sim_raw
-      FROM base l JOIN base r ON l.a < r.a
+      FROM assigned l JOIN assigned r ON l.cid = r.cid AND l.a < r.a
     )
     SELECT a, b, round(sim_raw, 4) AS cosine
     FROM pairs WHERE sim_raw >= 0.99
@@ -746,24 +821,25 @@ _register(
     WITH base AS (
       SELECT vec_id AS nb_id, embedding::DOUBLE[] AS v FROM embeddings
     ), cents AS (
-      SELECT nb_id AS centroid_id, v AS c FROM base WHERE nb_id < 8
+      SELECT nb_id AS cid, v AS c FROM base WHERE nb_id < 8
     ), dist AS (
-      SELECT nb_id, centroid_id,
+      SELECT nb_id, cid,
              list_dot_product(v, v) - 2 * list_dot_product(v, c)
                + list_dot_product(c, c) AS dd
       FROM base, cents
-    ), assigned AS (
-      SELECT nb_id, centroid_id FROM (
-        SELECT nb_id, centroid_id,
-               row_number() OVER (PARTITION BY nb_id
-                                  ORDER BY dd ASC, centroid_id ASC) AS rn
-        FROM dist
-      ) WHERE rn = 1
+    ), ranked AS (
+      SELECT nb_id, cid,
+             row_number() OVER (PARTITION BY nb_id
+                                ORDER BY dd ASC, cid ASC) AS rn
+      FROM dist
     ), withc AS (
-      SELECT b.nb_id, b.v, a.centroid_id FROM base b JOIN assigned a USING (nb_id)
+      SELECT b.nb_id, b.v, r.cid AS centroid_id
+      FROM base b JOIN ranked r ON b.nb_id = r.nb_id AND r.rn = 1
     ), probes AS (
-      SELECT nb_id AS probe_id, v AS p, centroid_id FROM withc
-      WHERE nb_id IN (0,1,2,3,4)
+      -- nprobe = 2: each probe searches its 2 nearest centroids' buckets
+      SELECT r.nb_id AS probe_id, b.v AS p, r.cid AS centroid_id
+      FROM ranked r JOIN base b ON r.nb_id = b.nb_id
+      WHERE r.nb_id IN (0,1,2,3,4) AND r.rn <= 2
     ), cands AS (
       SELECT pr.probe_id, w.centroid_id, w.nb_id,
              list_dot_product(pr.p, w.v)

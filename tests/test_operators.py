@@ -64,6 +64,28 @@ def test_simhash_clones_same_bucket(spark):
     assert len(rows) == 1 and rows[0]["n_docs"] == 2 and rows[0]["min_doc"] == 1
 
 
+def test_simhash_hamming_pairs_clones(spark):
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8"), (2, "w1 w2 w3 w4 w5 w6 w7 w8"),
+         (3, "completely other vocabulary tokens entirely unrelated set")],
+        "doc_id long, text string",
+    )
+    rows = {(r["a"], r["b"]): r["hamming"] for r in
+            dedup.simhash_hamming_pairs(df).collect()}
+    assert rows.get((1, 2)) == 0
+    assert all(a == 1 and b == 2 for (a, b) in rows)
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(7, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    sig1 = dedup.minhash_signature(df).collect()[0]["sig"]
+    sig2 = dedup.minhash_signature(df).collect()[0]["sig"]
+    assert len(sig1) == dedup.MINHASH_K and sig1 == sig2
+    assert all(0 <= v < dedup.MINHASH_P for v in sig1)
+
+
 def test_ngram_jaccard_exact_clone(spark):
     df = spark.createDataFrame(
         [(1, "a b c d", "s"), (2, "a b c d", "s"), (3, "x y z w", "s")],
@@ -93,6 +115,41 @@ def test_ivf_assignment_nearest(spark):
     got = {r["vid"]: r["centroid_id"] for r in
            simsearch.ivf_assign(df, n_centroids=2).collect()}
     assert got[5] == 1 and got[6] == 0
+
+
+def _recall_at_k(approx, exact, k):
+    """fraction of exact top-k neighbors the approximate search found."""
+    hit = total = 0
+    for probe, truth in exact.items():
+        got = approx.get(probe, set())
+        hit += len(truth & got)
+        total += len(truth)
+    return hit / total
+
+
+def test_ivf_trained_recall_vs_brute_force(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    probes = [0, 1, 2, 3, 4]
+    k = 3
+
+    def topk_sets(df):
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["probe_id"], set()).add(r["nb_id"])
+        return out
+
+    exact = topk_sets(simsearch.cosine_topk(emb, probes, k=k))
+    cents = simsearch.train_centroids(emb, n_centroids=8, iters=1)
+    trained = topk_sets(
+        simsearch.ivf_topk(emb, probes, k=k, nprobe=2, centroids=cents)
+    )
+    seeded = topk_sets(simsearch.ivf_topk(emb, probes, k=k, nprobe=2))
+    r_trained = _recall_at_k(trained, exact, k)
+    r_seeded = _recall_at_k(seeded, exact, k)
+    # trained centroids + nprobe=2 must recover a solid fraction of the
+    # true neighbors and must not be worse than the untrained seeds
+    assert r_trained >= 0.4, (r_trained, r_seeded)
+    assert r_trained >= r_seeded - 1e-9, (r_trained, r_seeded)
 
 
 def test_langid_marker_votes(spark):

@@ -55,9 +55,20 @@ def test_no_python_udf_in_relational_queries(spark):
     no BatchEvalPython (row-at-a-time UDF) anywhere."""
     for name in (
         "pricing_summary", "sessionize", "dedup_exact", "minhash_lsh_pairs",
-        "simhash_buckets", "token_quality", "langid", "fingerprint",
-        "cosine_topk", "ivf_bucket_stats",
+        "simhash_buckets", "simhash_hamming_pairs", "token_quality", "langid",
+        "fingerprint", "cosine_topk", "ivf_bucket_stats",
     ):
         plan = formatted_plan(Q.QUERIES[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "PythonUDF" not in plan, name
+
+
+def test_candidate_joins_are_hash_joins_not_all_pairs(spark):
+    """The dedup/similarity candidate generators must never compile to a
+    nested-loop / cartesian join: candidates come from equi-joins on band
+    or bucket keys (the scale contract of SURVEY.md section 2)."""
+    for name in ("minhash_lsh_pairs", "simhash_hamming_pairs",
+                 "embedding_near_dup", "ivf_bucket_stats"):
+        plan = formatted_plan(Q.QUERIES[name](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
