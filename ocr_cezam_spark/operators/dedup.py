@@ -325,6 +325,31 @@ def dedup_clusters(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def jaccard_verify_pairs(docs: DataFrame, cand: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         threshold: float = 0.9) -> DataFrame:
+    """Exact word-set Jaccard over a CANDIDATE pair set (a, b) — the scale
+    path for n-gram Jaccard: candidates come from LSH
+    (``minhash_lsh_pairs``), so the quadratic term is bounded by band
+    bucket sizes instead of a blocking column the data happens to have.
+    Two hash joins attach the word sets; no self-join anywhere."""
+    wset = docs.select(
+        F.col(id_col), F.array_distinct(_words(text_col)).alias("wset")
+    )
+    a = wset.select(F.col(id_col).alias("a"), F.col("wset").alias("wa"))
+    b = wset.select(F.col(id_col).alias("b"), F.col("wset").alias("wb"))
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size(F.array_union("wa", "wb"))
+    return (
+        cand.select("a", "b")
+        .join(a, "a")
+        .join(b, "b")
+        .select("a", "b", (inter / union).alias("j_raw"))
+        .filter(F.col("j_raw") >= threshold)
+        .select("a", "b", F.round("j_raw", 4).alias("jaccard"))
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, group_col: str = "source",
                         id_col: str = "doc_id", text_col: str = "text",
                         threshold: float = 0.9) -> DataFrame:

@@ -672,6 +672,34 @@ _register(
     _simhash_hamming_oracle(),
 )
 
+def _lsh_jaccard(s: SparkSession, d: str) -> DataFrame:
+    docs = _cloned_docs(s, d)
+    cand = dedup.minhash_lsh_pairs(docs).filter(F.col("sim_est") >= 0.5)
+    return dedup.jaccard_verify_pairs(docs, cand)
+
+
+_register(
+    "lsh_jaccard_verify",
+    _lsh_jaccard,
+    f"""
+    WITH {_minhash_pairs_ctes()},
+    fpairs AS (SELECT a, b FROM cand WHERE sim_est >= 0.5),
+    ws AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset
+      FROM corpus
+    ),
+    j AS (
+      SELECT f.a, f.b,
+             CAST(len(list_intersect(wa.wset, wb.wset)) AS DOUBLE)
+               / len(list_distinct(list_concat(wa.wset, wb.wset))) AS j_raw
+      FROM fpairs f
+      JOIN ws wa ON f.a = wa.doc_id
+      JOIN ws wb ON f.b = wb.doc_id
+    )
+    SELECT a, b, round(j_raw, 4) AS jaccard FROM j WHERE j_raw >= 0.9
+    """,
+)
+
 _register(
     "ngram_jaccard",
     lambda s, d: dedup.ngram_jaccard_pairs(_cloned_docs(s, d)),
