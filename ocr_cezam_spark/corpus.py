@@ -24,10 +24,15 @@ import datetime as dt
 import random
 from html import escape as _esc
 
-from .kernel import FISCAL_LETTER_CODES, FISCAL_NUMBER_CODES, FR_MONTHS
+from .kernel import (
+    BANK_DATE_FORMATS,
+    FISCAL_LETTER_CODES,
+    FISCAL_NUMBER_CODES,
+    FR_MONTHS,
+)
 
 SEED = 42
-N_VARIANTS = 8
+N_VARIANTS = 9
 
 _HOT_HOSTS = ("news.bigportal.example", "shop.megastore.example",
               "blog.contentfarm.example")
@@ -54,6 +59,21 @@ _BANK_MARKERS = (
     "Banque Populaire", "Crédit Agricole", "CIC", "LCL", "Crédit du Nord",
     "Crédit Mutuel", "BNP Paribas", "Caisse d'Épargne",
 )
+# parallel to _BANK_MARKERS: the bank_id the kernel detects for each marker
+_BANK_IDS = (
+    "banque_populaire", "credit_agricole", "cic", "lcl", "credit_du_nord",
+    "credit_mutuel", "bnp_paribas", "caisse_d_epargne",
+)
+
+
+def _date_in_bank_format(day: int, month: int, year: int, fmt: str) -> str:
+    if fmt == "slash":
+        return f"{day:02d}/{month:02d}/{year}"
+    if fmt == "us_slash":
+        return f"{month:02d}/{day:02d}/{year}"
+    if fmt == "dot":
+        return f"{day:02d}.{month:02d}.{year}"
+    return f"{day:02d} {FR_MONTHS[month - 1]} {year}"
 
 _LETTER_CODE_POOL = tuple(FISCAL_LETTER_CODES[1][:8] + FISCAL_LETTER_CODES[2][:8])
 _NUMBER_CODE_POOL = tuple(
@@ -92,18 +112,26 @@ def _statement_rows(rng: random.Random, corrupt: bool, drop_date: bool,
         label = _sentence(rng, _FR_WORDS, 2, 4)
         v = _amount(rng)
         if rng.random() < 0.5:
-            rows.append([date, label, _fr(v), ""])
+            row = [date, label, _fr(v), ""]
             deb_sum = round(deb_sum + v, 2)
         else:
-            rows.append([date, label, "", _fr(v)])
+            row = [date, label, "", _fr(v)]
             cred_sum = round(cred_sum + v, 2)
+        # ragged tail beyond header width ('solde' marker that must be
+        # truncated away, check_solde body slicing / ADVICE ragged cases)
+        if rng.random() < 0.12:
+            row = row + ["cf solde"]
+        rows.append(row)
+        # occasional short row (fewer cells than the header)
+        if rng.random() < 0.10:
+            rows.append([f"{day:02d}/04/2024", _sentence(rng, _FR_WORDS, 1, 2)])
     closing = round(opening + deb_sum - cred_sum, 2)
     if corrupt:
         closing = round(closing + 7.77, 2)
     if not no_solde:
         rows.append(["", "Solde final", _fr(closing), ""])
     if drop_date:
-        rows = [[r[1], r[2], r[3]] for r in rows]
+        rows = [r[1:4] for r in rows]
     return rows
 
 
@@ -181,15 +209,18 @@ def make_page(doc_id: int, seed: int = SEED) -> dict:
         first, last = rng.choice(_FIRST_NAMES), rng.choice(_LAST_NAMES)
         street = rng.choice(_STREETS)
         honorific = rng.choice(("M.", "Mme"))
-        day, month, year = rng.randint(1, 28), rng.choice(FR_MONTHS), 2024
+        bank_i = rng.randrange(len(_BANK_MARKERS))
+        fmt = BANK_DATE_FORMATS.get(_BANK_IDS[bank_i], "fr")
+        day, month, year = rng.randint(1, 28), rng.randint(1, 12), 2024
         content_parts.append(
             f"<p>{honorific} {first} {last}</p>"
             f"<p>{rng.randint(1, 99)} {street} des {rng.choice(_FR_WORDS)}</p>"
             f"<p>75{rng.randint(1, 20):03d} Paris</p>"
             f"<p>Tél: 01{rng.randint(10 ** 7, 10 ** 8 - 1)}</p>"
             f"<p>contact.{doc_id}@agence-{rng.randint(0, 99)}.fr</p>"
-            f"<p>Relevé édité le</p><p>{day:02d} {month} {year}</p>"
-            f"<p>{rng.choice(_BANK_MARKERS)} — relevé de compte</p>"
+            f"<p>Relevé édité le</p>"
+            f"<p>{_date_in_bank_format(day, month, year, fmt)}</p>"
+            f"<p>{_BANK_MARKERS[bank_i]} — relevé de compte</p>"
         )
         rows = _statement_rows(
             rng,
@@ -203,16 +234,28 @@ def make_page(doc_id: int, seed: int = SEED) -> dict:
         content_parts.append(
             "<p>Carte nationale d'identité</p>"
             f"<pre>{_esc(l1)}\n{_esc(l2)}</pre>"
+            f"<p>Nom: {rng.choice(_LAST_NAMES)}</p>"
+            f"<p>Prénom: {rng.choice(_FIRST_NAMES)}</p>"
+            f"<p>Taille: 1,{rng.randint(50, 95)}</p>"
+            f"<p>N° de carte {rng.randint(10 ** 11, 10 ** 12 - 1)}</p>"
         )
     elif variant == 6:
         l1, l2 = _mrz_passport(rng)
         content_parts.append(
             "<p>Passeport République Française</p>"
             f"<pre>{_esc(l1)}\n{_esc(l2)}</pre>"
+            f"<p>Taille: 1,{rng.randint(50, 95)}</p>"
         )
-    else:  # variant == 7: fiscal bundle page
+    elif variant == 7:  # fiscal bundle page
         content_parts.append("<p>Liasse fiscale formulaire 2050</p>")
         content_parts.append(_table_html(_fiscal_rows(rng)))
+    else:  # variant == 8: tax notice page
+        day, month = rng.randint(1, 28), rng.randint(1, 12)
+        content_parts.append(
+            "<p>Direction générale des finances publiques</p>"
+            "<p>Impôt sur le revenu</p>"
+            f"<p>Avis d’impôt établi le {day:02d}/{month:02d}/2024</p>"
+        )
 
     footer_links = " ".join(
         f'<a href="/{w}">{w}</a>' for w in rng.sample(_VOCAB, 8)

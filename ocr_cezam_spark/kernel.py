@@ -68,6 +68,46 @@ BANK_PATTERNS = (
     ("caisse_d_epargne", ("caisse d'épargne", "caisse d'epargne")),
 )
 
+# Per-bank date formats (the reference's file_configs/bank_configs/*.json
+# date_format field, consumed at process_fields.py:110-121: the bank's
+# format is tried FIRST, then the generic multi-try). Banks absent here use
+# the generic order. Named formats, never strptime/locale.
+BANK_DATE_FORMATS = {
+    "cic": "us_slash",       # MM/DD/YYYY — disambiguates vs generic slash
+    "lcl": "slash",          # DD/MM/YYYY
+    "credit_mutuel": "dot",  # DD.MM.YYYY
+}
+
+# Doc-type detection (J5, document_identite.py:148-162): ALL patterns of a
+# kind must appear in the page text (apostrophe-normalized, lowered);
+# first match in fixed order wins, like the reference's ordered dispatch
+# dict (ocr_cezam.py:35-44). The fiscal kind uses the K8 page-type probe
+# (bilan.py:109-136): a marker plus one of the DGFiP form numbers.
+DOC_KIND_PATTERNS = (
+    ("id_card", ("carte nationale",)),
+    ("passport", ("passeport",)),
+    ("tax_notice", ("avis d'imp",)),
+)
+FISCAL_PROBE_MARKERS = ("liasse fiscale", "dgfip")
+FISCAL_FORM_NUMBERS = ("2033", "2050", "2035")
+STATEMENT_PATTERNS = ("relevé",)
+
+# F20 field-spec table (document_identite.py:119-130): field name, trigger
+# token, index of the ':' whose following token is the value.
+FIELD_SPECS = (
+    ("kv_nom", "nom:", 0),
+    ("kv_prenom", "prénom:", 0),
+    ("kv_taille", "taille:", 0),
+)
+# F21 trigger words (document_identite.py:203-209): a row containing one
+# of these may carry the 12-char document number.
+ID_NUMBER_TRIGGERS = ("carte", "n°", "numéro", "numero")
+
+# F7 tax-notice date pattern (avis_imposition.py:133-147, dict.json:7) —
+# matched on the apostrophe-normalized lowered row; 'imp' without accent
+# covers both impôt and impot renderings.
+TAX_NOTICE_PATTERNS = ("avis d'imp",)
+
 # Explicit French month mapping — replaces the reference's process-global
 # locale dependence for %B parsing (ocr_cezam.py:26-31, a determinism hazard).
 FR_MONTHS = (
@@ -420,31 +460,112 @@ _DATE_DOT = re.compile(r"^(\d{1,2})\.(\d{1,2})\.(\d{4})$")
 _DATE_FR = re.compile(r"^(\d{1,2}) (\w+) (\d{4})$", re.UNICODE)
 
 
-def _try_date(s: str) -> tuple[int, int, int] | None:
-    """Multi-format date parse (process_fields.py:110-122), locale-free."""
-    m = _DATE_FR.match(s)
-    if m and m.group(2).lower() in _FR_MONTH_NUM:
+def _try_date_fmt(s: str, fmt: str) -> tuple[int, int, int] | None:
+    """Parse s strictly in one named format ('fr', 'slash', 'us_slash',
+    'dot') — the locale-free analog of a single strptime format string."""
+    if fmt == "fr":
+        m = _DATE_FR.match(s)
+        if not (m and m.group(2).lower() in _FR_MONTH_NUM):
+            return None
         d, mo, y = int(m.group(1)), _FR_MONTH_NUM[m.group(2).lower()], int(m.group(3))
-    else:
-        m = _DATE_SLASH.match(s) or _DATE_DOT.match(s)
+    elif fmt in ("slash", "us_slash"):
+        m = _DATE_SLASH.match(s)
+        if not m:
+            return None
+        if fmt == "slash":
+            d, mo, y = int(m.group(1)), int(m.group(2)), int(m.group(3))
+        else:
+            mo, d, y = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    elif fmt == "dot":
+        m = _DATE_DOT.match(s)
         if not m:
             return None
         d, mo, y = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    else:
+        return None
     if not (1 <= mo <= 12 and 1 <= d <= 31):
         return None
     return (d, mo, y)
 
 
-def get_date(lines) -> str | None:
-    """Whole line first, then per word (process_fields.py:110-121);
+def _try_date(s: str) -> tuple[int, int, int] | None:
+    """Multi-format date parse (process_fields.py:110-122), locale-free."""
+    for fmt in ("fr", "slash", "dot"):
+        parsed = _try_date_fmt(s, fmt)
+        if parsed:
+            return parsed
+    return None
+
+
+def get_date(lines, date_format: str | None = None) -> str | None:
+    """Whole line first, then per word (process_fields.py:110-121); the
+    bank's configured format is tried before the generic multi-try
+    (process_fields.py:110-121 parses with the per-bank format first);
     re-rendered '%d %B %Y' French (releve_bancaire.py:117)."""
     for row in lines:
         for cand in [" ".join(row)] + row:
-            parsed = _try_date(cand)
+            parsed = None
+            if date_format:
+                parsed = _try_date_fmt(cand, date_format)
+            if parsed is None:
+                parsed = _try_date(cand)
             if parsed:
                 d, mo, y = parsed
                 return f"{d:02d} {FR_MONTHS[mo - 1]} {y}"
     return None
+
+
+def get_tax_date(lines) -> str | None:
+    """F7: apostrophe-normalized row matching the tax-notice patterns ->
+    last token of that row (avis_imposition.py:133-147)."""
+    for row in lines:
+        norm = " ".join(row).replace("’", "'").lower()
+        if all(p in norm for p in TAX_NOTICE_PATTERNS):
+            return row[-1]
+    return None
+
+
+def get_field_after_colon(lines, trigger: str, idx: int) -> str | None:
+    """F20 generic key:value extract (document_identite.py:264-280):
+    first row containing the trigger token whose segment after the idx-th
+    ':' is non-empty -> first token of that segment."""
+    for row in lines:
+        if not any(w.lower() == trigger for w in row):
+            continue
+        parts = " ".join(row).split(":")
+        if len(parts) > idx + 1:
+            seg = parts[idx + 1].strip()
+            if seg:
+                return seg.split(" ")[0]
+    return None
+
+
+def get_id_number(lines) -> str | None:
+    """F21 12-char id heuristic (document_identite.py:203-209): first
+    12-char token in a row containing an id trigger word."""
+    for row in lines:
+        if any(w.lower() in ID_NUMBER_TRIGGERS for w in row):
+            for w in row:
+                if len(w) == 12:
+                    return w
+    return None
+
+
+def detect_doc_kind(text: str) -> str:
+    """J5 forall-pattern classifier + K8 fiscal page-type probe over the
+    extracted main text; ordered first-match like the reference's dispatch
+    dict. Unclassified pages are generic 'web_page'."""
+    low = text.lower().replace("’", "'")
+    for kind, patterns in DOC_KIND_PATTERNS:
+        if all(p in low for p in patterns):
+            return kind
+    if any(m in low for m in FISCAL_PROBE_MARKERS) and any(
+        n in low for n in FISCAL_FORM_NUMBERS
+    ):
+        return "fiscal"
+    if all(p in low for p in STATEMENT_PATTERNS):
+        return "statement"
+    return "web_page"
 
 
 def get_bank_id(text: str) -> str | None:
@@ -702,37 +823,63 @@ def _extract_inner(url: str, html: bytes, lang: str) -> dict:
                 parts.append(t)
         text = "\n".join(parts)
 
-    # 2. Line model + field parsers (first-page-only analog: fields come
-    #    from the main text, P2).
+    # 2. Doc-kind detection (J5+K8) then per-kind dispatch (J2, the
+    #    reference's switcher dict ocr_cezam.py:35-44): each document runs
+    #    ONLY its kind's extractors — statements get zone fields and the
+    #    balance reconciliation, id docs get MRZ + key:value + id-number,
+    #    tax notices get the F7 date, fiscal forms get code extraction.
     lines = _lines_of_words(text)
-    fields: dict[str, str] = {}
-    for key, value in (
-        ("full_name", get_full_name(lines)),
-        ("address", get_address(lines)),
-        ("phone", get_phone(lines)),
-        ("email", get_email(lines)),
-        ("date", get_date(lines)),
-        ("bank_id", get_bank_id(text)),
-    ):
-        if value is not None:
-            fields[key] = value
-    fields.update(decode_mrz(lines))
+    kind = detect_doc_kind(text)
+    fields: dict[str, str] = {"doc_kind": kind}
 
-    # 3. Tables -> long-format cells + reconciliation + fiscal codes.
+    # Tables -> long-format cells for every kind (the generic K3 table
+    # model); per-kind analytics over those tables happen below.
     tables: list = []
     _find_tables(root, tables)
     cells: list[tuple[int, int, int, str]] = []
     statuses: list[tuple[int, str, str]] = []
     codes: list[tuple[int, str, int, str]] = []
+    table_rows: list[list[list[str]]] = []
     for t_id, table in enumerate(tables):
         rows = _table_cells(table)
+        table_rows.append(rows)
         for r_id, row in enumerate(rows):
             for c_id, value in enumerate(row):
                 cells.append((t_id, r_id, c_id, value))
-        status, detail = check_solde(rows)
-        statuses.append((t_id, status, detail))
-        for code, pos, value in extract_fiscal_codes(rows[1:] if rows else []):
-            codes.append((t_id, code, pos, value))
+
+    if kind == "statement":
+        bank_id = get_bank_id(text)
+        date_fmt = BANK_DATE_FORMATS.get(bank_id) if bank_id else None
+        for key, value in (
+            ("full_name", get_full_name(lines)),
+            ("address", get_address(lines)),
+            ("phone", get_phone(lines)),
+            ("email", get_email(lines)),
+            ("date", get_date(lines, date_fmt)),
+            ("bank_id", bank_id),
+        ):
+            if value is not None:
+                fields[key] = value
+        for t_id, rows in enumerate(table_rows):
+            status, detail = check_solde(rows)
+            statuses.append((t_id, status, detail))
+    elif kind in ("id_card", "passport"):
+        fields.update(decode_mrz(lines))
+        for name, trigger, idx in FIELD_SPECS:
+            value = get_field_after_colon(lines, trigger, idx)
+            if value is not None:
+                fields[name] = value
+        id_number = get_id_number(lines)
+        if id_number is not None:
+            fields["id_number"] = id_number
+    elif kind == "tax_notice":
+        tax_date = get_tax_date(lines)
+        if tax_date is not None:
+            fields["tax_date"] = tax_date
+    elif kind == "fiscal":
+        for t_id, rows in enumerate(table_rows):
+            for code, pos, value in extract_fiscal_codes(rows[1:] if rows else []):
+                codes.append((t_id, code, pos, value))
 
     return {
         "url": url,

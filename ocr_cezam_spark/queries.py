@@ -1115,22 +1115,44 @@ _register(
 )
 
 
-# F5 native multi-format date extraction over the line model: first line
-# that parses in any supported format, rendered back as French '%d %B %Y'
-# (process_fields.py:110-122 without the process-locale hazard); must
-# agree with the kernel's scan via the golden fields.
+# F5/F6 native multi-format date extraction over the line model, with the
+# PER-BANK format tried first (process_fields.py:110-121 parses with the
+# bank's configured date_format before the generic order): bank_id comes
+# from the broadcast keyword join (J1), its date_format from the
+# bank_rules dimension (bank_configs/*.json analog), and the first
+# parseable line is rendered back as French '%d %B %Y'. Must agree with
+# the kernel's dispatch+scan via the golden fields.
 def _date_field_native(s: SparkSession, d: str) -> DataFrame:
     from .functions.text import format_fr_date, parse_fr_date
+    from .sources.dimensions import bank_rules_df, keywords_df
 
     text = X.extracted_text(_kernel_out(s))
-    lines = text.select(
-        "url", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    banks = keywords_df(s).filter(F.col("kind") == "bank")
+    bank = (
+        text.select("url", F.lower("text").alias("low"))
+        .join(F.broadcast(banks), F.col("low").contains(F.col("pattern")))
+        .groupBy("url")
+        .agg(F.min_by("target_id", "priority").alias("bank_id"))
     )
-    parsed = F.coalesce(
-        parse_fr_date(F.col("line")),
-        F.expr("try_to_date(line, 'dd/MM/yyyy')"),
-        F.expr("try_to_date(line, 'dd.MM.yyyy')"),
+    with_fmt = text.join(bank, "url", "left").join(
+        F.broadcast(bank_rules_df(s)), "bank_id", "left"
     )
+    lines = with_fmt.select(
+        "url",
+        "date_format",
+        F.posexplode(F.split("text", "\n")).alias("pos", "line"),
+    )
+    fr = parse_fr_date(F.col("line"))
+    slash = F.expr("try_to_date(line, 'dd/MM/yyyy')")
+    dot = F.expr("try_to_date(line, 'dd.MM.yyyy')")
+    us = F.expr("try_to_date(line, 'MM/dd/yyyy')")
+    bank_first = (
+        F.when(F.col("date_format") == "us_slash", us)
+        .when(F.col("date_format") == "slash", slash)
+        .when(F.col("date_format") == "dot", dot)
+        .when(F.col("date_format") == "fr", fr)
+    )
+    parsed = F.coalesce(bank_first, fr, slash, dot)
     return (
         lines.select("url", "pos", parsed.alias("dt"))
         .filter(F.col("dt").isNotNull())
@@ -1161,14 +1183,22 @@ _register(
     f"""
     WITH c AS (
       SELECT * FROM read_parquet('{GOLDEN_DIR}/extract_cells_n{KERNEL_N}.parquet')
-    ), hdr AS (
-      SELECT url, table_id,
-             string_agg(col_id || ' - ' || value, '|' ORDER BY col_id)
-               AS header_sig
-      FROM c WHERE row_id = 0 GROUP BY url, table_id
     ), shape AS (
       SELECT url, table_id, max(row_id) + 1 AS n_rows, max(col_id) + 1 AS n_cols
       FROM c GROUP BY url, table_id
+    ), cols AS (
+      -- every table column 0..n_cols-1: ragged columns absent from the
+      -- header row still get a '{{i}} - ' entry (empty name), matching the
+      -- F12 disambiguation over the full table width
+      SELECT url, table_id, unnest(range(n_cols)) AS col_id FROM shape
+    ), hdr AS (
+      SELECT cols.url, cols.table_id,
+             string_agg(cols.col_id || ' - ' || coalesce(h.value, ''),
+                        '|' ORDER BY cols.col_id) AS header_sig
+      FROM cols LEFT JOIN (
+        SELECT url, table_id, col_id, value FROM c WHERE row_id = 0
+      ) h USING (url, table_id, col_id)
+      GROUP BY cols.url, cols.table_id
     )
     SELECT s.url, s.table_id, s.n_rows, s.n_cols,
            coalesce(h.header_sig, '') AS header_sig
@@ -1226,8 +1256,159 @@ _register("french_date_roundtrip", _french_dates, _fr_date_oracle())
 # (releve_bancaire.py:172-231) must agree bit-for-bit.
 from .operators.solde import reconcile_cells  # noqa: E402
 
+def _solde_native(s: SparkSession, d: str) -> DataFrame:
+    """J2 dispatch in relational form: reconciliation runs ONLY on
+    statement documents (semi-join on the doc_kind field), exactly like
+    the kernel's per-kind dispatch — fiscal/tax tables never enter the
+    balance check."""
+    out = _kernel_out(s)
+    stmt = (
+        X.extracted_fields(out)
+        .filter((F.col("field") == "doc_kind") & (F.col("value") == "statement"))
+        .select("url")
+    )
+    return reconcile_cells(X.extracted_cells(out).join(stmt, "url", "left_semi"))
+
+
 _register(
     "solde_native",
-    lambda s, d: reconcile_cells(X.extracted_cells(_kernel_out(s))),
+    _solde_native,
     f"SELECT url, table_id, status, detail FROM read_parquet('{GOLDEN_DIR}/solde_status_n{KERNEL_N}.parquet')",
+)
+
+
+# J2/J5/K8: the doc-kind classifier in native-relational form (forall
+# pattern containment + the fiscal page-type probe), checked against the
+# kernel's dispatch decision in the golden fields.
+def _doc_kind(s: SparkSession, d: str) -> DataFrame:
+    text = X.extracted_text(_kernel_out(s))
+    low = F.lower(F.regexp_replace("text", "’", "'"))
+    kind = (
+        F.when(low.contains("carte nationale"), F.lit("id_card"))
+        .when(low.contains("passeport"), F.lit("passport"))
+        .when(low.contains("avis d'imp"), F.lit("tax_notice"))
+        .when(
+            (low.contains("liasse fiscale") | low.contains("dgfip"))
+            & (low.contains("2033") | low.contains("2050") | low.contains("2035")),
+            F.lit("fiscal"),
+        )
+        .when(low.contains("relevé"), F.lit("statement"))
+        .otherwise(F.lit("web_page"))
+    )
+    return text.select("url", F.lit("doc_kind").alias("field"), kind.alias("value"))
+
+
+_register(
+    "doc_kind",
+    _doc_kind,
+    f"""
+    SELECT url, field, value
+    FROM read_parquet('{GOLDEN_DIR}/extract_fields_n{KERNEL_N}.parquet')
+    WHERE field = 'doc_kind'
+    """,
+)
+
+
+# F20 generic key:value extractor in native form: trigger token row ->
+# segment after the idx-th ':' -> first token (document_identite.py:264-280
+# semantics, field specs from the kernel's FIELD_SPECS table).
+def _key_value_fields(s: SparkSession, d: str) -> DataFrame:
+    from .kernel import FIELD_SPECS
+
+    text = X.extracted_text(_kernel_out(s))
+    lines = text.select(
+        "url", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    )
+    out = None
+    for name, trigger, idx in FIELD_SPECS:
+        has_trigger = F.array_contains(
+            F.transform(F.split("line", " "), F.lower), F.lit(trigger)
+        )
+        seg = F.trim(F.get(F.split("line", ":"), idx + 1))
+        value = F.get(F.split(seg, " "), 0)
+        part = (
+            lines.filter(has_trigger)
+            .select("url", "pos", value.alias("value"))
+            .filter(F.coalesce("value", F.lit("")) != "")
+            .groupBy("url")
+            .agg(F.min_by("value", "pos").alias("value"))
+            .select("url", F.lit(name).alias("field"), "value")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+_register(
+    "key_value_fields",
+    _key_value_fields,
+    f"""
+    SELECT url, field, value
+    FROM read_parquet('{GOLDEN_DIR}/extract_fields_n{KERNEL_N}.parquet')
+    WHERE field LIKE 'kv_%'
+    """,
+)
+
+
+# F21 12-char id heuristic in native form: first row containing an id
+# trigger token that carries a 12-char token -> that token.
+def _id_number_12(s: SparkSession, d: str) -> DataFrame:
+    from .kernel import ID_NUMBER_TRIGGERS
+
+    text = X.extracted_text(_kernel_out(s))
+    lines = text.select(
+        "url", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    )
+    toks = F.split("line", " ")
+    has_trigger = F.arrays_overlap(
+        F.transform(toks, F.lower),
+        F.array(*[F.lit(t) for t in ID_NUMBER_TRIGGERS]),
+    )
+    twelve = F.get(F.filter(toks, lambda w: F.length(w) == 12), 0)
+    return (
+        lines.filter(has_trigger)
+        .select("url", "pos", twelve.alias("value"))
+        .filter(F.col("value").isNotNull())
+        .groupBy("url")
+        .agg(F.min_by("value", "pos").alias("value"))
+        .select("url", F.lit("id_number").alias("field"), "value")
+    )
+
+
+_register(
+    "id_number_12",
+    _id_number_12,
+    f"""
+    SELECT url, field, value
+    FROM read_parquet('{GOLDEN_DIR}/extract_fields_n{KERNEL_N}.parquet')
+    WHERE field = 'id_number'
+    """,
+)
+
+
+# F7 tax-notice date in native form: apostrophe-normalized row matching
+# the pattern -> last token (avis_imposition.py:133-147).
+def _tax_notice_date(s: SparkSession, d: str) -> DataFrame:
+    text = X.extracted_text(_kernel_out(s))
+    lines = text.select(
+        "url", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    )
+    norm = F.lower(F.regexp_replace("line", "’", "'"))
+    last_tok = F.element_at(F.split("line", " "), -1)
+    return (
+        lines.filter(norm.contains("avis d'imp"))
+        .select("url", "pos", last_tok.alias("value"))
+        .groupBy("url")
+        .agg(F.min_by("value", "pos").alias("value"))
+        .select("url", F.lit("tax_date").alias("field"), "value")
+    )
+
+
+_register(
+    "tax_notice_date",
+    _tax_notice_date,
+    f"""
+    SELECT url, field, value
+    FROM read_parquet('{GOLDEN_DIR}/extract_fields_n{KERNEL_N}.parquet')
+    WHERE field = 'tax_date'
+    """,
 )

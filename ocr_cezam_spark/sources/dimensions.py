@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..kernel import (
     ADDRESS_KEYWORDS,
+    BANK_DATE_FORMATS,
     BANK_PATTERNS,
     CREDIT_KEYWORDS,
     DEBIT_KEYWORDS,
@@ -66,3 +67,18 @@ _RULES = [
 
 def rules_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(_RULES, RULES_SCHEMA)
+
+
+BANK_RULES_SCHEMA = "bank_id string, date_format string"
+
+
+def bank_rules_df(spark: SparkSession) -> DataFrame:
+    """Per-bank config rows (the reference's bank_configs/*.json
+    date_format field): consumed by the native date extraction so the
+    bank's format is tried before the generic order — same precedence as
+    the kernel (process_fields.py:110-121)."""
+    rows = [
+        (bank_id, BANK_DATE_FORMATS.get(bank_id, "fr"))
+        for bank_id, _patterns in BANK_PATTERNS
+    ]
+    return spark.createDataFrame(rows, BANK_RULES_SCHEMA)

@@ -45,7 +45,7 @@ def test_statement_variants_statuses():
         2: ("Unknown", "Not enough solde infos"),
         4: ("Unknown", "columns missing : date"),
     }
-    for base in (0, 8, 16, 24):
+    for base in (0, 9, 18, 27):
         for v, (status, detail) in expected.items():
             got = _run(base + v)["statuses"]
             assert got and got[0][1] == status and got[0][2] == detail
@@ -70,10 +70,66 @@ def test_solde_arithmetic_matches_construction():
 
 
 def test_fields_present_on_statement_pages():
-    for base in (0, 8, 40):
+    for base in (0, 9, 45):
         f = _run(base)["fields"]
+        assert f["doc_kind"] == "statement"
         for key in ("full_name", "address", "phone", "email", "date", "bank_id"):
             assert key in f, (base, key, f)
+
+
+def test_doc_kind_dispatch_per_variant():
+    """J2+J5+K8: every variant classifies to its kind and runs ONLY that
+    kind's extractors — no cross-contamination fields."""
+    kinds = {0: "statement", 5: "id_card", 6: "passport", 7: "fiscal",
+             8: "tax_notice"}
+    for i, kind in kinds.items():
+        r = _run(i)
+        assert r["fields"]["doc_kind"] == kind, i
+        if kind != "statement":
+            assert not r["statuses"] and "bank_id" not in r["fields"]
+        if kind != "fiscal":
+            assert not r["codes"]
+        if kind not in ("id_card", "passport"):
+            assert "mrz_type" not in r["fields"]
+
+
+def test_key_value_and_id_number_fields():
+    f = _run(5)["fields"]  # id card
+    assert f["kv_nom"].isupper()
+    assert f["kv_prenom"].isupper()
+    assert f["kv_taille"].startswith("1,")
+    assert f["id_number"].isdigit() and len(f["id_number"]) == 12
+    # passport: only the taille key:value line exists
+    f6 = _run(6)["fields"]
+    assert f6["kv_taille"].startswith("1,") and "kv_nom" not in f6
+
+
+def test_tax_notice_date_last_token():
+    f = _run(8)["fields"]
+    assert f["doc_kind"] == "tax_notice"
+    d, m, y = f["tax_date"].split("/")
+    assert y == "2024" and 1 <= int(d) <= 28 and 1 <= int(m) <= 12
+
+
+def test_bank_date_format_precedence():
+    # CIC pages render MM/DD/YYYY: the bank format must win over the
+    # generic DD/MM reading (process_fields.py:110-121 precedence)
+    assert kernel.get_date([["03/04/2024"]], "us_slash") == "04 mars 2024"
+    assert kernel.get_date([["03/04/2024"]]) == "03 avril 2024"
+    assert kernel.get_date([["03/04/2024"]], "slash") == "03 avril 2024"
+    # bank format misses -> generic fallback still applies
+    assert kernel.get_date([["13/05/2024"]], "us_slash") == "13 mai 2024"
+    assert kernel.get_date([["01.02.2024"]], "dot") == "01 février 2024"
+
+
+def test_field_after_colon_and_id_number_units():
+    lines = [["Titre"], ["Nom:", "DUPONT"], ["Prénom:", "ANNE", "MARIE"],
+             ["N°", "de", "carte", "123456789012"]]
+    assert kernel.get_field_after_colon(lines, "nom:", 0) == "DUPONT"
+    assert kernel.get_field_after_colon(lines, "prénom:", 0) == "ANNE"
+    assert kernel.get_field_after_colon(lines, "taille:", 0) is None
+    assert kernel.get_id_number(lines) == "123456789012"
+    assert kernel.get_id_number([["carte", "courte"]]) is None
 
 
 def test_mrz_id_card_decode():

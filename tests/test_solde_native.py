@@ -22,10 +22,20 @@ def _cells_df(spark, rows):
 
 
 def test_native_matches_kernel_over_corpus(spark):
+    from pyspark.sql import functions as F  # noqa: N812
+
     out = X.run_extract(corpus_df(spark, 120), 8)
+    # J2 dispatch in relational form: reconcile statement documents only,
+    # exactly the set the kernel runs check_solde on
+    stmt = (
+        X.extracted_fields(out)
+        .filter((F.col("field") == "doc_kind") & (F.col("value") == "statement"))
+        .select("url")
+    )
+    cells = X.extracted_cells(out).join(stmt, "url", "left_semi")
     native = {
         (r["url"], r["table_id"]): (r["status"], r["detail"])
-        for r in reconcile_cells(X.extracted_cells(out)).collect()
+        for r in reconcile_cells(cells).collect()
     }
     n = 0
     for i in range(120):
