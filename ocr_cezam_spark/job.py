@@ -82,8 +82,15 @@ def run_job(
         ("codes", X.extracted_codes(out)),
         ("metrics", X.partition_metrics(out)),
     ):
-        catalog.append(df, f"{output_prefix}/{name}")
-        counts[name] = df.count()
+        # Row counts ride the write action itself via observe() — one
+        # action per table, never a second .count() pass re-executing the
+        # projection (pure waste at scale).
+        table_obs = Observation(f"rows_{name}")
+        catalog.append(
+            df.observe(table_obs, F.count(F.lit(1)).alias("n")),
+            f"{output_prefix}/{name}",
+        )
+        counts[name] = int(table_obs.get.get("n") or 0)
     counts["observed_docs"] = int(obs.get.get("docs") or 0)
     counts["observed_errors"] = int(obs.get.get("errors") or 0)
     out.unpersist()  # releases the localCheckpoint blocks

@@ -40,18 +40,27 @@ def detect_hot_hosts(docs: DataFrame, threshold: float = HOT_HOST_THRESHOLD):
 
 
 def salted_repartition(
-    docs: DataFrame, num_partitions: int, salt_buckets: int = 16
+    docs: DataFrame, num_partitions: int, salt_buckets: int = 16,
+    hot_hosts: list[str] | None = None,
 ) -> DataFrame:
-    """Repartition on (host, salt) where salt splits hot keys.
+    """Repartition on (host, salt) where salt splits ONLY the hot hosts —
+    the two-pass hot-key pattern: a cheap url-column pre-aggregation finds
+    the hosts owning > threshold of rows (pass 1), then the repartition
+    keys hot hosts by (host, pmod(xxhash64(url), salt_buckets)) and cold
+    hosts by (host, 0) so cold hosts stay co-located while no single hot
+    host can own a straggler partition (pass 2). Deterministic, so output
+    bytes are reproducible.
 
-    salt = pmod(xxhash64(url), salt_buckets) — deterministic, so the output
-    stays reproducible. Cold hosts keep salt=0 semantics implicitly since
-    hashing (host, salt) still spreads them.
+    Pass ``hot_hosts`` explicitly to skip the detection scan (e.g. when the
+    caller already knows the skew profile).
     """
-    salted = docs.withColumn(
-        "_salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
-    )
-    out = salted.repartition(num_partitions, host_of(), F.col("_salt")).drop(
-        "_salt"
-    )
-    return out
+    if hot_hosts is None:
+        hot_hosts = detect_hot_hosts(docs)
+    host = host_of()
+    if hot_hosts:
+        salt = F.when(
+            host.isin(hot_hosts), F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
+        ).otherwise(F.lit(0))
+    else:
+        salt = F.lit(0)
+    return docs.repartition(num_partitions, host, salt)

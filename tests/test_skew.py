@@ -1,0 +1,56 @@
+"""Two-pass hot-host salting: detection, partition spread, and
+byte-identity of the extraction output with and without salting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: N812
+
+from ocr_cezam_spark.corpus import corpus_df
+from ocr_cezam_spark.operators import extract as X
+from ocr_cezam_spark.skew import detect_hot_hosts, host_of, salted_repartition
+
+N = 300
+
+
+def test_detect_hot_hosts_finds_the_skewed_hosts(spark):
+    docs = corpus_df(spark, N)
+    hot = set(detect_hot_hosts(docs))
+    # corpus puts ~30% of rows on 3 designated hot hosts (~10% each,
+    # > the 5% threshold); every site-NNN host is far below it
+    assert hot == {
+        "news.bigportal.example",
+        "shop.megastore.example",
+        "blog.contentfarm.example",
+    }
+
+
+def test_salting_spreads_hot_hosts_and_colocates_cold(spark):
+    docs = corpus_df(spark, N)
+    parted = salted_repartition(docs, 16).select(
+        host_of().alias("host"), F.spark_partition_id().alias("pid")
+    )
+    spread = {
+        r["host"]: r["n_parts"]
+        for r in parted.groupBy("host")
+        .agg(F.countDistinct("pid").alias("n_parts"))
+        .collect()
+    }
+    for hot in ("news.bigportal.example", "shop.megastore.example"):
+        assert spread[hot] > 1, (hot, spread[hot])
+    cold = [h for h in spread if h.endswith(".example.org")]
+    assert cold and all(spread[h] == 1 for h in cold)
+
+
+def test_salted_output_byte_identical(spark):
+    docs = corpus_df(spark, N)
+    plain = {
+        r["url"]: r["text"]
+        for r in X.run_extract(docs, num_partitions=8).select("url", "text").collect()
+    }
+    salted = {
+        r["url"]: r["text"]
+        for r in X.run_extract(salted_repartition(docs, 16), num_partitions=None)
+        .select("url", "text")
+        .collect()
+    }
+    assert plain == salted
