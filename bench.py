@@ -40,6 +40,10 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash_buckets",
+    "simhash_hamming_pairs",
+    "lsh_jaccard_verify",
+    "embedding_near_dup",
+    "ann_ivf_topk",
     "cosine_topk",
     "ivf_bucket_stats",
     "extract_text",

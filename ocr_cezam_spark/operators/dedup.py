@@ -160,37 +160,46 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     """64-bit SimHash as four 16-bit chunks (c0..c3).
 
     Bit j = majority vote over words of bit j of md5(word) (first 16 hex
-    digits = 64 bits, MSB-first within each digit). The digest is computed
-    ONCE per word (transform into a digest array), then the 64 bit-votes
-    are cheap substring/conv/bitmask filters over that array — all
-    JVM-side, portable to the DuckDB oracle."""
+    digits = 64 bits, MSB-first within each digit). One md5 + four
+    hex-to-int convs per word, materialized as an int-array column in a
+    separate projection (CollapseProject keeps a 64-times-referenced
+    non-cheap expression from being re-inlined), so the 64 bit-votes are
+    pure integer mask filters — all JVM-side, bit-identical to the DuckDB
+    oracle's per-digit construction."""
     words = _words(text_col)
     digests = F.transform(words, lambda w: F.md5(w))
-    n = F.size(words)
+    ints = F.transform(
+        digests,
+        lambda d: F.array(
+            *[
+                F.conv(F.substring(d, 1 + 4 * t, 4), 16, 10).cast("int")
+                for t in range(SIMHASH_CHUNKS)
+            ]
+        ),
+    )
+    base = docs.select(
+        F.col(id_col), F.size(words).alias("_n"), ints.alias("_wi")
+    )
 
-    def bit_high(j: int) -> F.Column:
-        # count words whose md5 bit j is set
-        pos, mask = j // 4 + 1, 8 >> (j % 4)
+    def bit_high(t: int, j: int) -> F.Column:
+        mask = 1 << (15 - j)
         return F.size(
             F.filter(
-                digests,
-                lambda d: F.conv(F.substring(d, pos, 1), 16, 10)
-                .cast("int")
-                .bitwiseAND(F.lit(mask))
-                != 0,
+                F.col("_wi"),
+                lambda a: F.element_at(a, t + 1).bitwiseAND(F.lit(mask)) != 0,
             )
         )
 
     chunk_cols = []
     for t in range(SIMHASH_CHUNKS):
         bits = [
-            F.when(bit_high(16 * t + j) * 2 > n, F.lit(1 << (15 - j))).otherwise(
+            F.when(bit_high(t, j) * 2 > F.col("_n"), F.lit(1 << (15 - j))).otherwise(
                 F.lit(0)
             )
             for j in range(16)
         ]
         chunk_cols.append(sum(bits).cast("int").alias(f"c{t}"))
-    return docs.select(F.col(id_col), *chunk_cols)
+    return base.select(F.col(id_col), *chunk_cols)
 
 
 def simhash_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -215,35 +224,33 @@ def simhash_hamming_pairs(docs: DataFrame, id_col: str = "doc_id",
     bucket-bounded, never all-pairs — and the exact Hamming distance
     (bit_count of xor per chunk) filters the survivors."""
     sig = simhash64(docs, id_col, text_col)
+    # carry the 4 chunk ints (tiny) through the band join so the signature
+    # is never recomputed or re-joined; multi-chunk matches dedup at the end
     banded = sig.select(
         F.col(id_col),
+        "c0", "c1", "c2", "c3",
         F.posexplode(F.array("c0", "c1", "c2", "c3")).alias("chunk_idx", "chunk_val"),
     )
-    cand = (
-        banded.select(F.col(id_col).alias("a"), "chunk_idx", "chunk_val")
-        .join(
-            banded.select(F.col(id_col).alias("b"), "chunk_idx", "chunk_val"),
-            ["chunk_idx", "chunk_val"],
-        )
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+    left = banded.select(
+        F.col(id_col).alias("a"),
+        *[F.col(f"c{t}").alias(f"a{t}") for t in range(4)],
+        "chunk_idx", "chunk_val",
     )
-    sa = sig.select(
-        F.col(id_col).alias("a"), *[F.col(f"c{t}").alias(f"a{t}") for t in range(4)]
-    )
-    sb = sig.select(
-        F.col(id_col).alias("b"), *[F.col(f"c{t}").alias(f"b{t}") for t in range(4)]
+    right = banded.select(
+        F.col(id_col).alias("b"),
+        *[F.col(f"c{t}").alias(f"b{t}") for t in range(4)],
+        "chunk_idx", "chunk_val",
     )
     hamming = sum(
         F.bit_count(F.col(f"a{t}").bitwiseXOR(F.col(f"b{t}")).cast("long"))
         for t in range(4)
     ).cast("int")
     return (
-        cand.join(sa, "a")
-        .join(sb, "b")
+        left.join(right, ["chunk_idx", "chunk_val"])
+        .filter(F.col("a") < F.col("b"))
         .select("a", "b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -60,17 +60,25 @@ def seed_centroids(emb: DataFrame, n_centroids: int = 8,
     return [(int(r["cid"]), [float(x) for x in r["c"]]) for r in rows]
 
 
-def _dist_entries(v: F.Column, cents: Centroids) -> F.Column:
+def _self_dot(vals: list[float]) -> float:
+    """Sequential left-to-right x*x accumulation — the same float op order
+    as the _dot fold and DuckDB's list_dot_product, so the precomputed
+    centroid norm is bit-identical to computing it in-engine."""
+    acc = 0.0
+    for x in vals:
+        acc = acc + x * x
+    return acc
+
+
+def _dist_entries(v: F.Column, cents: Centroids, vv: F.Column) -> F.Column:
     """Array of (dist, cid) structs for every centroid — argmin / top-n
-    probing both read from this one expression."""
+    probing both read from this one expression. ``vv`` is the precomputed
+    v.v column (computed once per row, not once per centroid); c.c is a
+    Python-precomputed literal."""
     return F.array(
         *[
             F.struct(
-                (
-                    _dot(v, v)
-                    - 2 * _dot(v, _lit_vec(c))
-                    + _dot(_lit_vec(c), _lit_vec(c))
-                ).alias("dist"),
+                (vv - 2 * _dot(v, _lit_vec(c)) + F.lit(_self_dot(c))).alias("dist"),
                 F.lit(int(cid)).cast("long").alias("cid"),
             )
             for cid, c in cents
@@ -78,10 +86,10 @@ def _dist_entries(v: F.Column, cents: Centroids) -> F.Column:
     )
 
 
-def _nearest(v: F.Column, cents: Centroids) -> F.Column:
+def _nearest(v: F.Column, cents: Centroids, vv: F.Column) -> F.Column:
     # struct comparison is lexicographic: min dist, then min cid (the same
     # tie-break as ORDER BY dist ASC, centroid_id ASC in the oracle)
-    return F.array_min(_dist_entries(v, cents))
+    return F.array_min(_dist_entries(v, cents, vv))
 
 
 def train_centroids(emb: DataFrame, n_centroids: int = 8,
@@ -96,9 +104,11 @@ def train_centroids(emb: DataFrame, n_centroids: int = 8,
     dim = len(cents[0][1])
     base = emb.select(
         F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
-    )
+    ).withColumn("_vv", _dot(F.col("v"), F.col("v")))
     for _ in range(iters):
-        assigned = base.withColumn("cid", _nearest(F.col("v"), cents)["cid"])
+        assigned = base.withColumn(
+            "cid", _nearest(F.col("v"), cents, F.col("_vv"))["cid"]
+        )
         rows = (
             assigned.groupBy("cid")
             .agg(*[F.avg(F.element_at("v", i + 1)).alias(f"d{i}") for i in range(dim)])
@@ -161,16 +171,22 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.99,
         ).alias("va"),
     )
     cents = seed_centroids(emb, n_centroids, id_col, vec_col)
-    both = base.unionByName(clones).withColumn(
-        "centroid_id", _nearest(F.col("va"), cents)["cid"]
+    # norms computed once per VECTOR (not once per candidate pair): the
+    # pair stage then does exactly one dot product per pair
+    both = (
+        base.unionByName(clones)
+        .withColumn("_vv", _dot(F.col("va"), F.col("va")))
+        .withColumn("centroid_id", _nearest(F.col("va"), cents, F.col("_vv"))["cid"])
+        .withColumn("norm", F.sqrt(F.col("_vv")))
     )
-    left = both.select("a", "va", "centroid_id")
+    left = both.select("a", "va", F.col("norm").alias("na"), "centroid_id")
     right = both.select(
-        F.col("a").alias("b"), F.col("va").alias("vb"), "centroid_id"
+        F.col("a").alias("b"),
+        F.col("va").alias("vb"),
+        F.col("norm").alias("nb"),
+        "centroid_id",
     )
-    sim = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
-    )
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         left.join(right, "centroid_id")
         .filter(F.col("a") < F.col("b"))
@@ -188,8 +204,8 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8,
     cents = centroids or seed_centroids(emb, n_centroids, id_col, vec_col)
     base = emb.select(
         F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
-    )
-    best = _nearest(F.col("v"), cents)
+    ).withColumn("_vv", _dot(F.col("v"), F.col("v")))
+    best = _nearest(F.col("v"), cents, F.col("_vv"))
     return base.select(
         "vid",
         best["cid"].alias("centroid_id"),
@@ -205,24 +221,29 @@ def ivf_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
     nearest centroids — the scale path where the candidate set shrinks
     ~n_centroids/nprobe-fold vs brute force. Join key: centroid_id."""
     cents = centroids or seed_centroids(emb, n_centroids, id_col, vec_col)
-    base = emb.select(
-        F.col(id_col).alias("nb_id"), _to_double(F.col(vec_col)).alias("v")
-    ).withColumn("centroid_id", _nearest(F.col("v"), cents)["cid"])
+    base = (
+        emb.select(
+            F.col(id_col).alias("nb_id"), _to_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("_vv", _dot(F.col("v"), F.col("v")))
+        .withColumn("centroid_id", _nearest(F.col("v"), cents, F.col("_vv"))["cid"])
+    )
     probe_cents = F.transform(
-        F.slice(F.array_sort(_dist_entries(F.col("v"), cents)), 1, nprobe),
+        F.slice(
+            F.array_sort(_dist_entries(F.col("v"), cents, F.col("_vv"))), 1, nprobe
+        ),
         lambda s: s["cid"],
     )
     probes = base.filter(F.col("nb_id").isin(probe_ids)).select(
         F.col("nb_id").alias("probe_id"),
         F.col("v").alias("p"),
+        F.sqrt(F.col("_vv")).alias("np"),
         F.explode(probe_cents).alias("centroid_id"),
     )
     cands = base.join(F.broadcast(probes), "centroid_id").filter(
         F.col("nb_id") != F.col("probe_id")
     )
-    sim = _dot(F.col("p"), F.col("v")) / (
-        F.sqrt(_dot(F.col("p"), F.col("p"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
-    )
+    sim = _dot(F.col("p"), F.col("v")) / (F.col("np") * F.sqrt(F.col("_vv")))
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim_raw"), F.asc("nb_id"))
     return (
         cands.select("probe_id", "centroid_id", "nb_id", sim.alias("sim_raw"))
