@@ -885,6 +885,82 @@ _register(
     """,
 )
 
+def _pq_oracle() -> str:
+    """PQ-ANN twin: codebooks, encodings, and ADC tables all derived from
+    the embeddings view with the same distance identity; the 8-term ADC
+    sum is an explicit left-to-right chain (8 joins), matching the Spark
+    fold order bit-for-bit."""
+    from .operators.pq import PQ_K, PQ_M, PQ_SUBDIM
+
+    d = PQ_SUBDIM
+    encw_cols = ",\n             ".join(
+        f"max(CASE WHEN mi = {mi} THEN code END) AS c{mi}" for mi in range(PQ_M)
+    )
+    dt_joins = "\n      ".join(
+        f"JOIN dtt d{mi} ON d{mi}.probe_id = d0.probe_id AND d{mi}.mi = {mi} "
+        f"AND d{mi}.code = e.c{mi}"
+        for mi in range(1, PQ_M)
+    )
+    adc_chain = " + ".join(f"d{mi}.dval" for mi in range(PQ_M))
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS nb_id, embedding::DOUBLE[] AS va FROM embeddings
+    ), mis AS (
+      SELECT unnest(range({PQ_M})) AS mi
+    ), cb AS (
+      SELECT m.mi, b.nb_id AS ki, b.va[m.mi*{d}+1 : m.mi*{d}+{d}] AS sub
+      FROM base b, mis m WHERE b.nb_id < {PQ_K}
+    ), enc_d AS (
+      SELECT b.nb_id, c.mi, c.ki,
+             list_dot_product(b.va[c.mi*{d}+1 : c.mi*{d}+{d}],
+                              b.va[c.mi*{d}+1 : c.mi*{d}+{d}])
+               - 2 * list_dot_product(b.va[c.mi*{d}+1 : c.mi*{d}+{d}], c.sub)
+               + list_dot_product(c.sub, c.sub) AS dd
+      FROM base b, cb c
+    ), enc AS (
+      SELECT nb_id, mi, CAST(ki AS INT) AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY nb_id, mi
+                                     ORDER BY dd ASC, ki ASC) AS rn
+        FROM enc_d
+      ) WHERE rn = 1
+    ), encw AS (
+      SELECT nb_id,
+             {encw_cols}
+      FROM enc GROUP BY nb_id
+    ), probes AS (
+      SELECT nb_id AS probe_id, va AS pv FROM base WHERE nb_id IN (0,1,2,3,4)
+    ), dtt AS (
+      SELECT p.probe_id, c.mi, CAST(c.ki AS INT) AS code,
+             list_dot_product(p.pv[c.mi*{d}+1 : c.mi*{d}+{d}],
+                              p.pv[c.mi*{d}+1 : c.mi*{d}+{d}])
+               - 2 * list_dot_product(p.pv[c.mi*{d}+1 : c.mi*{d}+{d}], c.sub)
+               + list_dot_product(c.sub, c.sub) AS dval
+      FROM probes p, cb c
+    ), adc AS (
+      SELECT d0.probe_id, e.nb_id, {adc_chain} AS adc_raw
+      FROM encw e
+      JOIN dtt d0 ON d0.mi = 0 AND d0.code = e.c0
+      {dt_joins}
+      WHERE e.nb_id <> d0.probe_id
+    )
+    SELECT probe_id, rank, nb_id, round(adc_raw, 4) AS adc
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY adc_raw ASC, nb_id ASC) AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """
+
+
+def _pq_topk(s: SparkSession, d: str) -> DataFrame:
+    from .operators import pq
+
+    return pq.pq_topk(_t(s, d, "embeddings"), _PROBES)
+
+
+_register("pq_ann_topk", _pq_topk, _pq_oracle())
+
+
 # ===========================================================================
 # Multimodal plumbing (binary payload -> typed metadata via mapInPandas)
 # ===========================================================================
