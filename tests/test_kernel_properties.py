@@ -7,6 +7,7 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from ocr_cezam_spark import kernel
 from ocr_cezam_spark.kernel import extract
 
 html_fragments = st.lists(
@@ -34,6 +35,48 @@ def test_never_raises_and_deterministic(frag):
 def test_arbitrary_bytes(payload):
     r = extract("u", payload, "eng")
     assert r["error"] is None or isinstance(r["error"], str)
+
+
+words = st.text(
+    alphabet=st.sampled_from(list("abcxyz:°’'0123456789 ")), max_size=40
+)
+lines_of_words = st.lists(
+    st.lists(st.sampled_from(
+        ["Nom:", "nom:", "x", ":", "carte", "N°", "avis", "d'impôt",
+         "Avis", "d’impôt", "12/03/2024", "123456789012", "", "a:b:c"]
+    ), min_size=1, max_size=8),
+    max_size=10,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lines_of_words)
+def test_field_parsers_never_raise(lines):
+    for trigger, idx in (("nom:", 0), ("taille:", 1)):
+        v = kernel.get_field_after_colon(lines, trigger, idx)
+        assert v is None or (isinstance(v, str) and v)
+    idn = kernel.get_id_number(lines)
+    assert idn is None or len(idn) == 12
+    td = kernel.get_tax_date(lines)
+    assert td is None or isinstance(td, str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(words)
+def test_doc_kind_total_function(text):
+    kind = kernel.detect_doc_kind(text)
+    assert kind in ("statement", "id_card", "passport", "tax_notice",
+                    "fiscal", "web_page")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.sampled_from(list("0123456789/. ")), max_size=16),
+       st.sampled_from([None, "fr", "slash", "us_slash", "dot"]))
+def test_get_date_never_raises(cand, fmt):
+    out = kernel.get_date([[cand]], fmt)
+    if out is not None:
+        day, month, year = out.split(" ")
+        assert month in kernel.FR_MONTHS and 1 <= int(day) <= 31
 
 
 def test_deep_nesting_fault_isolated():
