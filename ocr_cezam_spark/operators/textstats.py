@@ -136,3 +136,68 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
         F.array_max(hashes).alias("fp_max"),
         F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
     )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     dup_threshold: float = 0.3) -> DataFrame:
+    """Gopher-style repetition quality filters: duplicate 3-gram fraction
+    and top-word fraction per document. Shingle stats are pure array
+    expressions; the top-word count is one explode + two hash aggregations
+    (map-side combined) — the standard pre-training repetition gate."""
+    from .dedup import shingles
+
+    sh = shingles(text_col)
+    gram = docs.select(
+        F.col(id_col),
+        F.size(sh).alias("n_grams"),
+        F.size(F.array_distinct(sh)).alias("n_distinct_grams"),
+    ).select(
+        F.col(id_col),
+        "n_grams",
+        "n_distinct_grams",
+        F.round(
+            1.0 - F.col("n_distinct_grams") / F.col("n_grams"), 4
+        ).alias("dup_gram_frac"),
+    )
+    words = docs.select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
+    top = (
+        words.groupBy(id_col, "w")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.max("count").alias("top_word_n"),
+            F.sum("count").alias("n_words"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_words").cast("int").alias("n_words"),
+            F.round(F.col("top_word_n") / F.col("n_words"), 4).alias("top_word_frac"),
+        )
+    )
+    out = gram.join(top, id_col)
+    flagged = (F.col("dup_gram_frac") > dup_threshold).cast("int")
+    return out.withColumn("repetitive", flagged)
+
+
+def source_skew_stats(docs: DataFrame, source_col: str = "source",
+                      threshold: float = 0.05) -> DataFrame:
+    """The hot-key pre-aggregation (skew.detect_hot_hosts) as a checked
+    relational operator: per source, row share of the corpus and the
+    hot flag at `threshold`. One hash aggregation + a broadcast of the
+    single-row total."""
+    per = docs.groupBy(F.col(source_col).alias("src")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+    total = per.agg(F.sum("n_docs").alias("total_docs"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "src",
+            "n_docs",
+            "total_chars",
+            F.round(F.col("n_docs") / F.col("total_docs"), 4).alias("share"),
+            (F.col("n_docs") > threshold * F.col("total_docs")).cast("int").alias("is_hot"),
+        )
+    )

@@ -414,6 +414,57 @@ _register(
     _hash_embedding_oracle(),
 )
 
+_SHINGLE_SQL = (
+    "list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), "
+    "i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))"
+)
+
+_register(
+    "repetition_stats",
+    lambda s, d: textstats.repetition_stats(_t(s, d, "documents")),
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents
+    ), gram AS (
+      SELECT doc_id, CAST(len(sh) AS INT) AS n_grams,
+             CAST(len(list_distinct(sh)) AS INT) AS n_distinct_grams,
+             round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 4)
+               AS dup_gram_frac
+      FROM base
+    ), wc AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY doc_id, w
+    ), top AS (
+      SELECT doc_id, CAST(sum(c) AS INT) AS n_words,
+             round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_word_frac
+      FROM wc GROUP BY doc_id
+    )
+    SELECT g.doc_id, n_grams, n_distinct_grams, dup_gram_frac,
+           n_words, top_word_frac,
+           CAST(dup_gram_frac > 0.3 AS INT) AS repetitive
+    FROM gram g JOIN top USING (doc_id)
+    """,
+)
+
+_register(
+    "source_skew_stats",
+    lambda s, d: textstats.source_skew_stats(_t(s, d, "documents")),
+    """
+    WITH per AS (
+      SELECT source AS src, count(*) AS n_docs,
+             sum(length(text)) AS total_chars
+      FROM documents GROUP BY source
+    ), t AS (
+      SELECT sum(n_docs) AS total_docs FROM per
+    )
+    SELECT src, n_docs, CAST(total_chars AS BIGINT) AS total_chars,
+           round(CAST(n_docs AS DOUBLE) / total_docs, 4) AS share,
+           CAST(n_docs > 0.05 * total_docs AS INT) AS is_hot
+    FROM per, t
+    """,
+)
+
 # ===========================================================================
 # Scalar-function parity (MRZ fixed-slice, digit filter / decimal comma)
 # ===========================================================================
