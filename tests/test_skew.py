@@ -41,6 +41,20 @@ def test_salting_spreads_hot_hosts_and_colocates_cold(spark):
     assert cold and all(spread[h] == 1 for h in cold)
 
 
+def test_no_straggler_partition_in_metrics(spark):
+    """SURVEY section 5 scale/skew test: with ~30% of rows on 3 hot hosts,
+    the salted kernel run must leave no straggler — no partition holding
+    more than 2x the median document count (checked from the metrics
+    table, not from driver-side resampling)."""
+    docs = corpus_df(spark, 320)
+    out = X.run_extract(salted_repartition(docs, 16), num_partitions=None)
+    sizes = sorted(
+        r["n_docs"] for r in X.partition_metrics(out).collect() if r["n_docs"] > 0
+    )
+    median = sizes[len(sizes) // 2]
+    assert sizes[-1] <= 2 * median, (sizes, median)
+
+
 def test_salted_output_byte_identical(spark):
     docs = corpus_df(spark, N)
     plain = {
