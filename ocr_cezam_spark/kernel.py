@@ -249,9 +249,10 @@ MAX_TREE_DEPTH = 256  # browser-like nesting cap: deeper elements flatten
 # pathological pages (50k unclosed <p>) stay linear and recursion-safe.
 
 
-def _fast_parse(html: str) -> _Node:
-    from html import unescape
+from html import unescape  # noqa: E402 — used by the fast parser below
 
+
+def _fast_parse(html: str) -> _Node:
     root = _Node("#root", 0)
     stack = [root]
     order = 0
@@ -463,6 +464,11 @@ _DATE_FR = re.compile(r"^(\d{1,2}) (\w+) (\d{4})$", re.UNICODE)
 def _try_date_fmt(s: str, fmt: str) -> tuple[int, int, int] | None:
     """Parse s strictly in one named format ('fr', 'slash', 'us_slash',
     'dot') — the locale-free analog of a single strptime format string."""
+    # every supported format starts with a digit; the guard skips the
+    # regex machinery for the overwhelmingly common non-date candidate
+    # (semantics identical: all three patterns are ^\d-anchored)
+    if not s[:1].isdigit():
+        return None
     if fmt == "fr":
         m = _DATE_FR.match(s)
         if not (m and m.group(2).lower() in _FR_MONTH_NUM):
