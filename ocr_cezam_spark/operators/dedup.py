@@ -82,6 +82,12 @@ def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
     Shape: explode(shingles) -> md5 -> x = hex32 mod P ->
     groupBy(id).agg(min((a_i*x+b_i) mod P) for i in 0..k) -> sig array.
     One shuffle, k longs per doc per map partition (partial agg).
+
+    A shuffle-free variant (array_min over transforms, pure projection)
+    was measured SLOWER end-to-end: LSH pairing consumes the signature
+    three times (bands + both join sides), and this groupBy's exchange is
+    a ReusedExchange for all three consumers, whereas the narrow form
+    recomputes the per-shingle md5 pass per consumer. Keep the aggregate.
     Returns (id, sig: array<long> length k)."""
     exploded = docs.select(
         F.col(id_col), F.explode(shingles(text_col)).alias("sh")
