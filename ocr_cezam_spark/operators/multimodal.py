@@ -56,9 +56,65 @@ def decode_metadata(with_payload: DataFrame, id_col: str = "doc_id") -> DataFram
     return with_payload.mapInPandas(run, schema=META_SCHEMA)
 
 
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_ts_ms int, frame_hex string, "
+    "frame binary, width int, height int"
+)
+
+
+def _grab_frames(payload: bytes) -> list[tuple[int, int, str, bytes, int, int]]:
+    """Deterministic fake frame grabber: a real one (av/opencv — absent in
+    this container) would seek the container and decode n sampled frames;
+    this derives 1-4 'frames' from the payload so the 1-row-in/N-rows-out
+    plumbing (batch shape, schema, ordering) is fully real and testable."""
+    import hashlib
+
+    if not payload:
+        return []
+    ph = payload.hex()
+    n_frames = 1 + (payload[0] % 4)
+    out = []
+    for i in range(n_frames):
+        fh = hashlib.md5(f"{ph}#{i}".encode()).hexdigest()
+        fb = bytes.fromhex(fh)
+        out.append((i, i * 40, fh, fb, fb[0], fb[1]))
+    return out
+
+
+def frame_sample(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Video-style frame sampling plumbing: one payload row explodes into
+    its sampled frames inside an Arrow-batched ``mapInPandas`` (the
+    UDTF-shaped 1->N operator); frame bytes stay executor-side, never on
+    the driver. Swap ``_grab_frames`` for a codec-backed grabber."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {
+                    "doc_id": int(doc_id),
+                    "frame_idx": fi,
+                    "frame_ts_ms": ts,
+                    "frame_hex": fh,
+                    "frame": fb,
+                    "width": w,
+                    "height": h,
+                }
+                for doc_id, payload in zip(pdf[id_col], pdf["payload"])
+                for (fi, ts, fh, fb, w, h) in _grab_frames(payload)
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "frame_ts_ms", "frame_hex",
+                         "frame", "width", "height"],
+            )
+
+    return with_payload.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def frame_sample_stub(*_args, **_kwargs):
-    """Video frame sampling requires codec libraries absent here."""
+    """Codec-backed frame sampling requires av/opencv, absent here; the
+    tested plumbing (schema, batching, 1->N explode) is frame_sample."""
     raise NotImplementedError(
-        "frame sampling requires av/opencv; plumbing pattern is "
-        "decode_metadata — swap _decode_payload for a frame grabber"
+        "frame sampling requires av/opencv; swap _grab_frames inside "
+        "frame_sample for a codec-backed grabber"
     )

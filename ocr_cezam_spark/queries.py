@@ -1030,6 +1030,27 @@ _register(
     """,
 )
 
+_register(
+    "frame_sample",
+    lambda s, d: multimodal.frame_sample(
+        multimodal.attach_payload(_t(s, d, "documents"))
+    ).drop("frame"),
+    """
+    WITH f AS (
+      SELECT doc_id, md5(text) AS ph,
+             1 + (('0x' || substr(md5(text), 1, 2))::INT % 4) AS n_frames
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, ph, unnest(range(n_frames)) AS i FROM f
+    )
+    SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 40 AS INT) AS frame_ts_ms,
+           md5(ph || '#' || CAST(i AS VARCHAR)) AS frame_hex,
+           ('0x' || substr(md5(ph || '#' || CAST(i AS VARCHAR)), 1, 2))::INT AS width,
+           ('0x' || substr(md5(ph || '#' || CAST(i AS VARCHAR)), 3, 2))::INT AS height
+    FROM ex
+    """,
+)
+
 # ===========================================================================
 # Kernel-backed extraction queries (synthetic corpus, deterministic seed).
 # extract_text / solde_status check against frozen pure-Python goldens.
