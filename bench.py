@@ -38,12 +38,14 @@ HEADLINE = [
     "line_grouping",
     "token_quality",
     "dedup_exact",
+    "repetition_stats",
     "minhash_lsh_pairs",
     "simhash_buckets",
     "simhash_hamming_pairs",
     "lsh_jaccard_verify",
     "embedding_near_dup",
     "ann_ivf_topk",
+    "pq_ann_topk",
     "cosine_topk",
     "ivf_bucket_stats",
     "extract_text",

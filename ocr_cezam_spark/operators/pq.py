@@ -98,22 +98,21 @@ def train_codebooks(emb: DataFrame, codebooks: Codebooks | None = None,
     return cb
 
 
-def _sub_code(v: F.Column, cb_mi: list[list[float]], mi: int,
-              subdim: int) -> F.Column:
-    """argmin code for subspace mi: array_min over (dist, code) structs —
-    ties break to the smaller code, same as ORDER BY dd ASC, ki ASC."""
-    sub = F.slice(v, mi * subdim + 1, subdim)
-    svv = _dot(sub, sub)
-    entries = F.array(
-        *[
-            F.struct(
-                (svv - 2 * _dot(sub, _lit_vec(c)) + F.lit(_self_dot(c))).alias(
-                    "dist"
-                ),
-                F.lit(ki).cast("int").alias("code"),
-            )
-            for ki, c in enumerate(cb_mi)
-        ]
+def _sub_code(sub: F.Column, svv: F.Column,
+              cb_mi: list[list[float]]) -> F.Column:
+    """argmin code for one subspace: array_min over (dist, code) structs —
+    ties break to the smaller code, same as ORDER BY dd ASC, ki ASC.
+    ``sub``/``svv`` are materialized columns, so the K per-code distances
+    share one subvector slice and one self-dot. The codebook enters as one
+    literal array-of-arrays with a 2-arg transform (element, index) — the
+    K-fold inlined struct form made Catalyst analysis dominate wall time."""
+    cb_arr = F.array(*[_lit_vec(c) for c in cb_mi])
+    entries = F.transform(
+        cb_arr,
+        lambda c, ki: F.struct(
+            (svv - 2 * _dot(sub, c) + _dot(c, c)).alias("dist"),
+            ki.cast("int").alias("code"),
+        ),
     )
     return F.array_min(entries)["code"]
 
@@ -121,15 +120,38 @@ def _sub_code(v: F.Column, cb_mi: list[list[float]], mi: int,
 def pq_encode(emb: DataFrame, codebooks: Codebooks | None = None,
               id_col: str = "vec_id", vec_col: str = "embedding",
               subdim: int = PQ_SUBDIM) -> DataFrame:
-    """(id, codes array<int> length M) — the stored sketch."""
+    """(id, codes array<int> length M) — the stored sketch.
+
+    Staged projections: subvectors first, their self-dots second, argmin
+    third — each many-times-referenced non-cheap expression lands in its
+    own projection so CollapseProject cannot re-inline it K times."""
     cb = codebooks or pq_codebooks(emb, id_col, vec_col)
+    m = len(cb)
     base = emb.select(
         F.col(id_col).alias("nb_id"), _to_double(F.col(vec_col)).alias("v")
     )
-    codes = F.array(
-        *[_sub_code(F.col("v"), cb[mi], mi, subdim) for mi in range(len(cb))]
+    subs = base.select(
+        "nb_id",
+        *[
+            F.slice(F.col("v"), mi * subdim + 1, subdim).alias(f"_s{mi}")
+            for mi in range(m)
+        ],
     )
-    return base.select("nb_id", codes.alias("codes"))
+    with_svv = subs.select(
+        "nb_id",
+        *[F.col(f"_s{mi}") for mi in range(m)],
+        *[
+            _dot(F.col(f"_s{mi}"), F.col(f"_s{mi}")).alias(f"_svv{mi}")
+            for mi in range(m)
+        ],
+    )
+    codes = F.array(
+        *[
+            _sub_code(F.col(f"_s{mi}"), F.col(f"_svv{mi}"), cb[mi])
+            for mi in range(m)
+        ]
+    )
+    return with_svv.select("nb_id", codes.alias("codes"))
 
 
 def adc_tables(probe_vecs: dict[int, list[float]], codebooks: Codebooks,

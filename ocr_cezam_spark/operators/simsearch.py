@@ -73,16 +73,22 @@ def _self_dot(vals: list[float]) -> float:
 def _dist_entries(v: F.Column, cents: Centroids, vv: F.Column) -> F.Column:
     """Array of (dist, cid) structs for every centroid — argmin / top-n
     probing both read from this one expression. ``vv`` is the precomputed
-    v.v column (computed once per row, not once per centroid); c.c is a
-    Python-precomputed literal."""
-    return F.array(
-        *[
-            F.struct(
-                (vv - 2 * _dot(v, _lit_vec(c)) + F.lit(_self_dot(c))).alias("dist"),
-                F.lit(int(cid)).cast("long").alias("cid"),
-            )
-            for cid, c in cents
-        ]
+    v.v column (computed once per row, not once per centroid).
+
+    The centroids enter as ONE literal array-of-arrays consumed by a
+    runtime zip_with, not K inlined per-centroid expression trees — the
+    inlined form made Catalyst analysis of the query dominate wall time
+    (K x dim literals replicated per struct). Arithmetic is unchanged:
+    vv - 2*(v.c) + (c.c), sequential folds, so oracle hashes are stable."""
+    cb_arr = F.array(*[_lit_vec(c) for _cid, c in cents])
+    cid_arr = F.array(*[F.lit(int(cid)).cast("long") for cid, _c in cents])
+    return F.zip_with(
+        cb_arr,
+        cid_arr,
+        lambda c, cid: F.struct(
+            (vv - 2 * _dot(v, c) + _dot(c, c)).alias("dist"),
+            cid.alias("cid"),
+        ),
     )
 
 
