@@ -235,7 +235,11 @@ _TOKEN_RX = re.compile(
     r"<!--.*?-->"                       # comment (dropped)
     r"|<!\[CDATA\[.*?\]\]>"             # CDATA (dropped)
     r"|<!(?:[^>]*)>"                    # doctype / declarations (dropped)
-    r"|<(/?)([a-zA-Z][a-zA-Z0-9:-]*)[^>]*?(/?)>",  # start / end / self-close
+    # start / end tag; attributes matched GREEDILY ([^>]* cannot cross the
+    # '>', so greedy == the old non-greedy '[^>]*?(/?)' semantics without
+    # its per-char backtracking) — self-close is a trailing-'/' check on
+    # the match text instead of a capture group
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9:-]*)[^>]*>",
     re.DOTALL,
 )
 _RAWTEXT_CLOSE = {
@@ -286,7 +290,7 @@ def _fast_parse(html: str) -> _Node:
         order += 1
         node = _Node(tag, order)
         stack[-1].children.append(node)
-        if m.group(3):  # explicit self-close: empty element
+        if html[m.end() - 2] == "/":  # explicit self-close: empty element
             continue
         if tag in _RAWTEXT_CLOSE:  # raw-text element: skip to its close tag
             mc = _RAWTEXT_CLOSE[tag].search(html, pos)
