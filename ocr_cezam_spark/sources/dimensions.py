@@ -49,19 +49,21 @@ def keywords_df(spark: SparkSession) -> DataFrame:
 
 RULES_SCHEMA = (
     "doc_kind string, zone_name string, x0 double, x1 double, "
-    "y0 double, y1 double, date_format string"
+    "y0 double, y1 double"
 )
 
 # FIXTURES section 2: fractional zone windows per doc kind (the lcl.json
 # shape). The web-text kernel selects content by DOM scoring rather than
 # pixel windows, so these rows parameterize the *relational* zone form:
-# fraction-of-document line windows.
+# fraction-of-document line windows. Per-bank date formats live in
+# bank_rules_df below (the bank_configs/*.json date_format field), which
+# the native date extraction actually consumes.
 _RULES = [
-    ("statement", "client_info", 0.0, 1.0, 0.0, 0.35, "%d %B %Y"),
-    ("statement", "bank_info", 0.0, 1.0, 0.0, 0.5, "%d %B %Y"),
-    ("statement", "date_info", 0.0, 1.0, 0.0, 0.6, "%d %B %Y"),
-    ("statement", "table_info", 0.0, 1.0, 0.3, 1.0, "%d/%m/%Y"),
-    ("id_card", "mrz", 0.0, 1.0, 0.6, 1.0, "%d.%m.%Y"),
+    ("statement", "client_info", 0.0, 1.0, 0.0, 0.35),
+    ("statement", "bank_info", 0.0, 1.0, 0.0, 0.5),
+    ("statement", "date_info", 0.0, 1.0, 0.0, 0.6),
+    ("statement", "table_info", 0.0, 1.0, 0.3, 1.0),
+    ("id_card", "mrz", 0.0, 1.0, 0.6, 1.0),
 ]
 
 
