@@ -379,9 +379,13 @@ def ngram_jaccard_pairs(docs: DataFrame, group_col: str = "source",
     b = base.select(F.col(id_col).alias("b"), "grp", F.col("wset").alias("wb"))
     inter = F.size(F.array_intersect("wa", "wb"))
     union = F.size(F.array_union("wa", "wb"))
+    # threshold on the UNROUNDED value (both engines), rounding only the
+    # emitted column — filtering the rounded value would keep a j_raw of
+    # 0.89996 that the oracle (and any downstream consumer) drops
     return (
         a.join(b, "grp")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(inter / union, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", (inter / union).alias("j_raw"))
+        .filter(F.col("j_raw") >= threshold)
+        .select("a", "b", F.round("j_raw", 4).alias("jaccard"))
     )
