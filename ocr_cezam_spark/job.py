@@ -24,7 +24,7 @@ from pyspark.sql import functions as F  # noqa: N812
 from pyspark.sql import Observation
 
 from .operators import extract as X
-from .skew import salted_repartition
+from .skew import HOT_HOST_THRESHOLD, detect_hot_hosts, salted_repartition
 from .sources import catalog
 
 
@@ -39,6 +39,15 @@ def run_job(
     """Run the extraction job; returns row counts per output table."""
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism * 2
 
+    # Hot-host detection runs ONCE here, on the column-pruned raw source
+    # (one action over the url column), never on the post-anti-join plan —
+    # detecting inside salted_repartition would re-execute the scan +
+    # html filter + resume anti-join once per detection action.
+    hot_hosts: list[str] = []
+    if salt_hot_hosts:
+        threshold = min(HOT_HOST_THRESHOLD, 0.5 / max(num_partitions, 1))
+        hot_hosts = detect_hot_hosts(docs.select("url"), threshold)
+
     # Native pre-filter before the kernel (predicate stays below the UDF
     # boundary — P7 analog: only rows that look like pages enter Python).
     docs = docs.filter(F.col("html").isNotNull() & (F.length("url") > 0))
@@ -48,7 +57,7 @@ def run_job(
         docs = catalog.resume_filter(docs, spark, extracted_table)
 
     if salt_hot_hosts:
-        docs = salted_repartition(docs, num_partitions)
+        docs = salted_repartition(docs, num_partitions, hot_hosts=hot_hosts)
         out = X.run_extract(docs, num_partitions=None)
     else:
         out = X.run_extract(docs, num_partitions=num_partitions)

@@ -17,11 +17,13 @@ over (dist, code) structs; no join, no window), identical in shape to
 simsearch.ivf_assign.
 
 Float parity with the DuckDB oracle: encoding distances use the
-``a.a - 2 a.b + b.b`` identity with the engine's sequential fold; the ADC
-tables are computed ONCE in Python and injected into BOTH engines (Spark
-as DataFrame literals, DuckDB as VALUES literals), and the 8-term ADC sum
-is an explicit left-to-right chain in both, so the compared values are
-bit-identical by construction.
+``a.a - 2 a.b + b.b`` identity; the Spark ADC tables are computed in
+Python with explicit left-to-right accumulation, while the oracle derives
+its dtt CTE with list_dot_product over the same embeddings view — parity
+therefore rests on the same sequential-fold equivalence (Python loop ==
+Spark aggregate fold == DuckDB list_dot_product) that every other
+simsearch oracle in this suite relies on, and the 8-term ADC sum is an
+explicit left-to-right chain in both engines.
 """
 
 from __future__ import annotations

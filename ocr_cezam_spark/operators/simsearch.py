@@ -156,16 +156,19 @@ def cosine_topk(emb: DataFrame, probe_ids: list[int], k: int = 5,
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.99,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             n_centroids: int = 8) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, IVF-BLOCKED.
+                             n_centroids: int = 8,
+                             nprobe: int = 2) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, IVF-BLOCKED with multi-probe.
 
     A perturbed clone of every vector (first component * 1.01, id+10000)
     guarantees true near-dups exist. Every vector (originals + clones) is
-    assigned to its nearest centroid by projection; candidate pairs are an
-    EQUI-join on centroid_id (a < b), then the exact cosine filters at
-    `threshold`. The plan contains no nested-loop join: cost is
-    sum(bucket^2)/2, not n^2/2 — the scale path the all-pairs inequality
-    join (round-1 implementation) lacked."""
+    assigned to its ``nprobe`` nearest centroids by projection; candidate
+    pairs are an EQUI-join on centroid_id (a < b, deduped), then the exact
+    cosine filters at `threshold`. Multi-probe closes the single-bucket
+    recall hole: a pair straddling a centroid boundary (each member's
+    argmin flips to a different centroid) still shares its second-nearest
+    bucket. The plan contains no nested-loop join: cost is
+    nprobe^2 * sum(bucket^2)/2, not n^2/2."""
     base = emb.select(
         F.col(id_col).alias("a"), _to_double(F.col(vec_col)).alias("va")
     )
@@ -179,14 +182,25 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.99,
     cents = seed_centroids(emb, n_centroids, id_col, vec_col)
     # norms computed once per VECTOR (not once per candidate pair): the
     # pair stage then does exactly one dot product per pair
-    both = (
-        base.unionByName(clones)
-        .withColumn("_vv", _dot(F.col("va"), F.col("va")))
-        .withColumn("centroid_id", _nearest(F.col("va"), cents, F.col("_vv"))["cid"])
-        .withColumn("norm", F.sqrt(F.col("_vv")))
+    prepped = base.unionByName(clones).withColumn(
+        "_vv", _dot(F.col("va"), F.col("va"))
     )
-    left = both.select("a", "va", F.col("norm").alias("na"), "centroid_id")
-    right = both.select(
+    probe_cents = F.transform(
+        F.slice(
+            F.array_sort(_dist_entries(F.col("va"), cents, F.col("_vv"))),
+            1,
+            nprobe,
+        ),
+        lambda s: s["cid"],
+    )
+    buckets = prepped.select(
+        "a",
+        "va",
+        F.sqrt(F.col("_vv")).alias("norm"),
+        F.explode(probe_cents).alias("centroid_id"),
+    )
+    left = buckets.select("a", "va", F.col("norm").alias("na"), "centroid_id")
+    right = buckets.select(
         F.col("a").alias("b"),
         F.col("va").alias("vb"),
         F.col("norm").alias("nb"),
@@ -199,6 +213,7 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.99,
         .select("a", "b", sim.alias("sim_raw"))
         .filter(F.col("sim_raw") >= threshold)
         .select("a", "b", F.round("sim_raw", 4).alias("cosine"))
+        .distinct()
     )
 
 

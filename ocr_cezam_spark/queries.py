@@ -579,10 +579,7 @@ def _minhash_pairs_ctes() -> str:
 
     k, b, p = MINHASH_K, MINHASH_BANDS, MINHASH_P
     r = k // b
-    sh = (
-        "list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), "
-        "i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))"
-    )
+    sh = _SHINGLE_SQL
     mh = ",\n      ".join(
         f"min(({a} * x + {c}) % {p}) AS mh_{i}"
         for i, (a, c) in enumerate(MINHASH_COEFFS[:k])
@@ -847,10 +844,11 @@ _register(
                + list_dot_product(c, c) AS dd
       FROM allv b, cents c
     ), assigned AS (
+      -- multi-probe: each vector joins through its 2 nearest centroids
       SELECT a, va, cid FROM (
         SELECT *, row_number() OVER (PARTITION BY a ORDER BY dd ASC, cid ASC) AS rn
         FROM dist
-      ) WHERE rn = 1
+      ) WHERE rn <= 2
     ), pairs AS (
       SELECT l.a, r.a AS b,
              list_dot_product(l.va, r.va)
@@ -858,7 +856,7 @@ _register(
                   * sqrt(list_dot_product(r.va, r.va))) AS sim_raw
       FROM assigned l JOIN assigned r ON l.cid = r.cid AND l.a < r.a
     )
-    SELECT a, b, round(sim_raw, 4) AS cosine
+    SELECT DISTINCT a, b, round(sim_raw, 4) AS cosine
     FROM pairs WHERE sim_raw >= 0.99
     """,
 )
@@ -1274,7 +1272,10 @@ def _date_field_native(s: SparkSession, d: str) -> DataFrame:
     from .functions.text import format_fr_date, parse_fr_date
     from .sources.dimensions import bank_rules_df, keywords_df
 
-    text = X.extracted_text(_kernel_out(s))
+    out = _kernel_out(s)
+    text = X.extracted_text(out).join(
+        _urls_of_kind(out, "statement"), "url", "left_semi"
+    )
     banks = keywords_df(s).filter(F.col("kind") == "bank")
     bank = (
         text.select("url", F.lower("text").alias("low"))
@@ -1404,17 +1405,25 @@ _register("french_date_roundtrip", _french_dates, _fr_date_oracle())
 # (releve_bancaire.py:172-231) must agree bit-for-bit.
 from .operators.solde import reconcile_cells  # noqa: E402
 
+def _urls_of_kind(out: DataFrame, *kinds: str) -> DataFrame:
+    """urls whose kernel doc_kind is one of ``kinds`` — the J2 dispatch
+    predicate every kind-specific native twin must apply, or a lookalike
+    line on another kind (e.g. a statement label containing an id trigger
+    plus a 12-char token) would emit rows the dispatched kernel does not."""
+    return (
+        X.extracted_fields(out)
+        .filter((F.col("field") == "doc_kind") & F.col("value").isin(*kinds))
+        .select("url")
+    )
+
+
 def _solde_native(s: SparkSession, d: str) -> DataFrame:
     """J2 dispatch in relational form: reconciliation runs ONLY on
     statement documents (semi-join on the doc_kind field), exactly like
     the kernel's per-kind dispatch — fiscal/tax tables never enter the
     balance check."""
     out = _kernel_out(s)
-    stmt = (
-        X.extracted_fields(out)
-        .filter((F.col("field") == "doc_kind") & (F.col("value") == "statement"))
-        .select("url")
-    )
+    stmt = _urls_of_kind(out, "statement")
     return reconcile_cells(X.extracted_cells(out).join(stmt, "url", "left_semi"))
 
 
@@ -1463,7 +1472,10 @@ _register(
 def _key_value_fields(s: SparkSession, d: str) -> DataFrame:
     from .kernel import FIELD_SPECS
 
-    text = X.extracted_text(_kernel_out(s))
+    out = _kernel_out(s)
+    text = X.extracted_text(out).join(
+        _urls_of_kind(out, "id_card", "passport"), "url", "left_semi"
+    )
     lines = text.select(
         "url", F.posexplode(F.split("text", "\n")).alias("pos", "line")
     )
@@ -1502,7 +1514,10 @@ _register(
 def _id_number_12(s: SparkSession, d: str) -> DataFrame:
     from .kernel import ID_NUMBER_TRIGGERS
 
-    text = X.extracted_text(_kernel_out(s))
+    out = _kernel_out(s)
+    text = X.extracted_text(out).join(
+        _urls_of_kind(out, "id_card", "passport"), "url", "left_semi"
+    )
     lines = text.select(
         "url", F.posexplode(F.split("text", "\n")).alias("pos", "line")
     )
@@ -1536,7 +1551,10 @@ _register(
 # F7 tax-notice date in native form: apostrophe-normalized row matching
 # the pattern -> last token (avis_imposition.py:133-147).
 def _tax_notice_date(s: SparkSession, d: str) -> DataFrame:
-    text = X.extracted_text(_kernel_out(s))
+    out = _kernel_out(s)
+    text = X.extracted_text(out).join(
+        _urls_of_kind(out, "tax_notice"), "url", "left_semi"
+    )
     lines = text.select(
         "url", F.posexplode(F.split("text", "\n")).alias("pos", "line")
     )

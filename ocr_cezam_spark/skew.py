@@ -5,9 +5,10 @@ AQE splits skewed partitions for joins, but cannot rebalance a
 balance must be created *before* the kernel runs. ``xxhash64(url)`` already
 spreads urls uniformly — including urls of a hot host — so the default
 repartition is skew-proof at the url grain. The salted variant below
-additionally documents/handles the case where batching were keyed by host
-(e.g. politeness grouping): hot hosts are split across ``salt_buckets``
-sub-keys detected via a cheap pre-aggregation (the two-pass hot-key pattern).
+additionally handles host-keyed batching (e.g. politeness grouping): hosts
+big enough to dominate a partition are detected via a cheap pre-aggregation
+(the two-pass hot-key pattern) and split across ``salt_buckets`` sub-keys,
+while genuinely small hosts stay co-located.
 """
 
 from __future__ import annotations
@@ -15,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
-HOT_HOST_THRESHOLD = 0.05  # a host owning >5% of rows is "hot"
+HOT_HOST_THRESHOLD = 0.05  # absolute cap: a host owning >5% of rows is hot
 
 
 def host_of(col: str = "url") -> F.Column:
@@ -23,17 +24,20 @@ def host_of(col: str = "url") -> F.Column:
 
 
 def detect_hot_hosts(docs: DataFrame, threshold: float = HOT_HOST_THRESHOLD):
-    """Cheap pre-aggregation returning the list of hot host names.
+    """Pre-aggregation returning the list of hot host names in ONE action:
+    per-host counts and the grand total share the same aggregation
+    exchange (ReusedExchange), and only the hosts above threshold are
+    collected — never the full host list.
 
     At 100 TB this runs on the url column only (column-pruned scan) and the
     result is tiny (a handful of hosts) — safe to collect and broadcast.
     """
-    total = docs.count()
+    per = docs.select(host_of().alias("host")).groupBy("host").count()
+    total = per.agg(F.sum("count").alias("total"))
     rows = (
-        docs.select(host_of().alias("host"))
-        .groupBy("host")
-        .count()
-        .filter(F.col("count") > threshold * total)
+        per.crossJoin(F.broadcast(total))
+        .filter(F.col("count") > threshold * F.col("total"))
+        .select("host")
         .collect()
     )
     return [r["host"] for r in rows]
@@ -43,19 +47,23 @@ def salted_repartition(
     docs: DataFrame, num_partitions: int, salt_buckets: int = 16,
     hot_hosts: list[str] | None = None,
 ) -> DataFrame:
-    """Repartition on (host, salt) where salt splits ONLY the hot hosts —
-    the two-pass hot-key pattern: a cheap url-column pre-aggregation finds
-    the hosts owning > threshold of rows (pass 1), then the repartition
-    keys hot hosts by (host, pmod(xxhash64(url), salt_buckets)) and cold
-    hosts by (host, 0) so cold hosts stay co-located while no single hot
-    host can own a straggler partition (pass 2). Deterministic, so output
-    bytes are reproducible.
+    """Repartition on (host, salt) where salt splits the hosts that could
+    dominate a partition — the two-pass hot-key pattern: pass 1 finds hosts
+    owning more than min(HOT_HOST_THRESHOLD, 0.5/num_partitions) of rows
+    (i.e. anything that would fill over half a partition — tying the
+    threshold to the partition count removes the cliff where a 4.9% host
+    lands whole in one partition), pass 2 keys hot hosts by
+    (host, pmod(xxhash64(url), salt_buckets)) and cold hosts by (host, 0)
+    so small hosts stay co-located while no host can create a straggler.
+    Deterministic, so output bytes are reproducible.
 
     Pass ``hot_hosts`` explicitly to skip the detection scan (e.g. when the
-    caller already knows the skew profile).
+    caller already knows the skew profile, or detected it on the pruned
+    source before other transformations — see job.run_job).
     """
     if hot_hosts is None:
-        hot_hosts = detect_hot_hosts(docs)
+        threshold = min(HOT_HOST_THRESHOLD, 0.5 / max(num_partitions, 1))
+        hot_hosts = detect_hot_hosts(docs, threshold)
     host = host_of()
     if hot_hosts:
         salt = F.when(

@@ -73,7 +73,9 @@ def parse_warc(data: bytes) -> Iterator[tuple[str, dt.datetime | None, bytes]]:
             # boundary delimiter (\r\n\r\nWARC/1.0), never on a bare
             # 'WARC/1.0' that may occur inside the skipped payload (an HTML
             # page *about* WARC would otherwise fabricate spurious records).
-            nxt = data.find(_CRLF2 + b"WARC/1.0", head_end + len(_CRLF2))
+            # Search FROM head_end: for an empty-payload malformed record
+            # the header's own terminating CRLFCRLF is the boundary.
+            nxt = data.find(_CRLF2 + b"WARC/1.0", head_end)
             if nxt < 0:
                 return
             pos = nxt + len(_CRLF2)

@@ -56,6 +56,16 @@ def test_bad_content_length_resyncs_on_record_boundary():
     assert got[0][0] == make_page(0)["url"] and got[0][2] == b"<p>ok</p>"
 
 
+def test_bad_content_length_empty_payload_boundary_at_header_end():
+    # malformed record with NO Content-Length and an empty payload: its
+    # header-terminating CRLFCRLF is itself the record boundary — the next
+    # valid record must not be skipped
+    bad = b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://x/\r\n"
+    good = write_warc([(make_page(0)["url"], make_page(0)["warc_ts"], b"<p>ok</p>")])
+    got = list(parse_warc(bad + b"\r\n" + good))  # header ends \r\n + \r\n of next
+    assert len(got) == 1 and got[0][2] == b"<p>ok</p>"
+
+
 def test_spark_explode_matches_direct_extraction(spark):
     n = 60
     chunks = spark.createDataFrame(_chunks(n, 20), "chunk_id int, data binary")
