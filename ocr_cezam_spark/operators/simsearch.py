@@ -193,27 +193,33 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.99,
         ),
         lambda s: s["cid"],
     )
-    buckets = prepped.select(
-        "a",
-        "va",
-        F.sqrt(F.col("_vv")).alias("norm"),
-        F.explode(probe_cents).alias("centroid_id"),
-    )
-    left = buckets.select("a", "va", F.col("norm").alias("na"), "centroid_id")
-    right = buckets.select(
-        F.col("a").alias("b"),
-        F.col("va").alias("vb"),
-        F.col("norm").alias("nb"),
-        "centroid_id",
-    )
-    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        left.join(right, "centroid_id")
+    # candidate generation on (id, centroid_id) ONLY — the multi-probe
+    # explode duplicates pairs up to nprobe^2 times, so dedup the id pairs
+    # BEFORE attaching vectors: the dim-wide cosine is computed exactly
+    # once per unique candidate (same shape as minhash_lsh_pairs)
+    buckets = prepped.select("a", F.explode(probe_cents).alias("centroid_id"))
+    cand = (
+        buckets.join(
+            buckets.select(F.col("a").alias("b"), "centroid_id"), "centroid_id"
+        )
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", sim.alias("sim_raw"))
+        .select("a", "b")
+        .distinct()
+    )
+    vecs = prepped.select("a", "va", F.sqrt(F.col("_vv")).alias("norm"))
+    pairs = cand.join(vecs, "a").join(
+        vecs.select(
+            F.col("a").alias("b"),
+            F.col("va").alias("vb"),
+            F.col("norm").alias("nb"),
+        ),
+        "b",
+    )
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("norm") * F.col("nb"))
+    return (
+        pairs.select("a", "b", sim.alias("sim_raw"))
         .filter(F.col("sim_raw") >= threshold)
         .select("a", "b", F.round("sim_raw", 4).alias("cosine"))
-        .distinct()
     )
 
 
