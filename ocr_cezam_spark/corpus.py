@@ -69,8 +69,6 @@ _BANK_IDS = (
 def _date_in_bank_format(day: int, month: int, year: int, fmt: str) -> str:
     if fmt == "slash":
         return f"{day:02d}/{month:02d}/{year}"
-    if fmt == "us_slash":
-        return f"{month:02d}/{day:02d}/{year}"
     if fmt == "dot":
         return f"{day:02d}.{month:02d}.{year}"
     return f"{day:02d} {FR_MONTHS[month - 1]} {year}"
@@ -231,21 +229,33 @@ def make_page(doc_id: int, seed: int = SEED) -> dict:
         content_parts.append(_table_html(rows))
     elif variant == 5:
         l1, l2 = _mrz_id_card(rng)
+        # 'Carte,' and 'n°:' are punctuation-attached on purpose: the
+        # reference's trigger match is substring-in-word, and these tokens
+        # only hit under that semantics (exact word equality misses them).
         content_parts.append(
             "<p>Carte nationale d'identité</p>"
             f"<pre>{_esc(l1)}\n{_esc(l2)}</pre>"
             f"<p>Nom: {rng.choice(_LAST_NAMES)}</p>"
             f"<p>Prénom: {rng.choice(_FIRST_NAMES)}</p>"
             f"<p>Taille: 1,{rng.randint(50, 95)}</p>"
-            f"<p>N° de carte {rng.randint(10 ** 11, 10 ** 12 - 1)}</p>"
+            f"<p>Carte, n°: {rng.randint(10 ** 11, 10 ** 12 - 1)}</p>"
         )
     elif variant == 6:
         l1, l2 = _mrz_passport(rng)
-        content_parts.append(
-            "<p>Passeport République Française</p>"
-            f"<pre>{_esc(l1)}\n{_esc(l2)}</pre>"
-            f"<p>Taille: 1,{rng.randint(50, 95)}</p>"
-        )
+        if rng.random() < 0.5:
+            content_parts.append(
+                "<p>Passeport République Française</p>"
+                f"<pre>{_esc(l1)}\n{_esc(l2)}</pre>"
+                f"<p>Taille: 1,{rng.randint(50, 95)}</p>"
+            )
+        else:
+            # titre de séjour: same 44-char MRZ shape as a passport
+            # (document_identite.py:173-177); 'sejour' rendered unaccented
+            # the way the reference's accent-sensitive pattern expects.
+            content_parts.append(
+                "<p>Carte de sejour / titre de séjour</p>"
+                f"<pre>{_esc(l1)}\n{_esc(l2)}</pre>"
+            )
     elif variant == 7:  # fiscal bundle page
         content_parts.append("<p>Liasse fiscale formulaire 2050</p>")
         content_parts.append(_table_html(_fiscal_rows(rng)))

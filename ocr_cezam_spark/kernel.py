@@ -38,6 +38,7 @@ dict-order hazards (all iteration orders fixed); float rendering via
 
 from __future__ import annotations
 
+import datetime
 import re
 from html.parser import HTMLParser
 
@@ -68,39 +69,51 @@ BANK_PATTERNS = (
     ("caisse_d_epargne", ("caisse d'épargne", "caisse d'epargne")),
 )
 
-# Per-bank date formats (the reference's file_configs/bank_configs/*.json
-# date_format field, consumed at process_fields.py:110-121: the bank's
-# format is tried FIRST, then the generic multi-try). Banks absent here use
-# the generic order. Named formats, never strptime/locale.
+# Per-bank date formats — the reference's file_configs/bank_configs/*.json
+# date_format field, consumed at process_fields.py:110-121. All 8 banks,
+# exactly the reference values: '%d %B %Y' -> 'fr', '%d/%m/%Y' -> 'slash',
+# '%d.%m.%Y' -> 'dot'. The reference tries ONLY the configured format;
+# falling back to the generic multi-try when it misses (get_date below) is
+# an extension for bankless pages. Named formats, never strptime/locale.
 BANK_DATE_FORMATS = {
-    "cic": "us_slash",       # MM/DD/YYYY — disambiguates vs generic slash
-    "lcl": "slash",          # DD/MM/YYYY
-    "credit_mutuel": "dot",  # DD.MM.YYYY
+    "banque_populaire": "slash",
+    "bnp_paribas": "slash",
+    "caisse_d_epargne": "slash",
+    "cic": "fr",
+    "credit_agricole": "fr",
+    "credit_du_nord": "dot",
+    "credit_mutuel": "fr",
+    "lcl": "fr",
 }
 
-# Doc-type detection (J5, document_identite.py:148-162): ALL patterns of a
-# kind must appear in the page text (apostrophe-normalized, lowered);
-# first match in fixed order wins, like the reference's ordered dispatch
-# dict (ocr_cezam.py:35-44). The fiscal kind uses the K8 page-type probe
-# (bilan.py:109-136): a marker plus one of the DGFiP form numbers.
-DOC_KIND_PATTERNS = (
-    ("id_card", ("carte nationale",)),
+# Doc-type detection (J5, document_identite.py:148-162): every pattern of
+# a kind must be a SUBSTRING of some whitespace-separated word of the page
+# ("pattern in w.lower()" in the reference — 'nationale,' matches
+# 'nationale'); first match in the reference's dict order wins
+# (document_identite.py:27-40: passeport, carte_identite, titre_sejour).
+# The fiscal kind uses the K8 page-type probe (bilan.py:109-136): a marker
+# plus one of the DGFiP form numbers; tax_notice is a phrase match on the
+# normalized text (avis_imposition.py:133-147).
+DOC_KIND_TOKEN_PATTERNS = (
     ("passport", ("passeport",)),
-    ("tax_notice", ("avis d'imp",)),
+    ("id_card", ("carte", "nationale")),
+    ("residence_permit", ("carte", "sejour")),
 )
+DOC_KIND_PHRASE_PATTERNS = (("tax_notice", ("avis d'imp",)),)
 FISCAL_PROBE_MARKERS = ("liasse fiscale", "dgfip")
 FISCAL_FORM_NUMBERS = ("2033", "2050", "2035")
 STATEMENT_PATTERNS = ("relevé",)
 
 # F20 field-spec table (document_identite.py:119-130): field name, trigger
-# token, index of the ':' whose following token is the value.
+# substring (matched by containment in any word, like the reference's
+# `f in w.lower()`), index of the ':' whose following token is the value.
 FIELD_SPECS = (
     ("kv_nom", "nom:", 0),
     ("kv_prenom", "prénom:", 0),
     ("kv_taille", "taille:", 0),
 )
-# F21 trigger words (document_identite.py:203-209): a row containing one
-# of these may carry the 12-char document number.
+# F21 trigger words (document_identite.py:203-209): a row where one of
+# these is a substring of some word may carry the 12-char document number.
 ID_NUMBER_TRIGGERS = ("carte", "n°", "numéro", "numero")
 
 # F7 tax-notice date pattern (avis_imposition.py:133-147, dict.json:7) —
@@ -466,8 +479,10 @@ _DATE_FR = re.compile(r"^(\d{1,2}) (\w+) (\d{4})$", re.UNICODE)
 
 
 def _try_date_fmt(s: str, fmt: str) -> tuple[int, int, int] | None:
-    """Parse s strictly in one named format ('fr', 'slash', 'us_slash',
-    'dot') — the locale-free analog of a single strptime format string."""
+    """Parse s strictly in one named format ('fr', 'slash', 'dot') — the
+    locale-free analog of a single strptime format string. Calendar-valid
+    only (30/02 rejected), matching both the reference's strptime and the
+    native twin's try_to_date."""
     # every supported format starts with a digit; the guard skips the
     # regex machinery for the overwhelmingly common non-date candidate
     # (semantics identical: all three patterns are ^\d-anchored)
@@ -478,14 +493,11 @@ def _try_date_fmt(s: str, fmt: str) -> tuple[int, int, int] | None:
         if not (m and m.group(2).lower() in _FR_MONTH_NUM):
             return None
         d, mo, y = int(m.group(1)), _FR_MONTH_NUM[m.group(2).lower()], int(m.group(3))
-    elif fmt in ("slash", "us_slash"):
+    elif fmt == "slash":
         m = _DATE_SLASH.match(s)
         if not m:
             return None
-        if fmt == "slash":
-            d, mo, y = int(m.group(1)), int(m.group(2)), int(m.group(3))
-        else:
-            mo, d, y = int(m.group(1)), int(m.group(2)), int(m.group(3))
+        d, mo, y = int(m.group(1)), int(m.group(2)), int(m.group(3))
     elif fmt == "dot":
         m = _DATE_DOT.match(s)
         if not m:
@@ -493,7 +505,9 @@ def _try_date_fmt(s: str, fmt: str) -> tuple[int, int, int] | None:
         d, mo, y = int(m.group(1)), int(m.group(2)), int(m.group(3))
     else:
         return None
-    if not (1 <= mo <= 12 and 1 <= d <= 31):
+    try:
+        datetime.date(y, mo, d)
+    except ValueError:
         return None
     return (d, mo, y)
 
@@ -509,9 +523,11 @@ def _try_date(s: str) -> tuple[int, int, int] | None:
 
 def get_date(lines, date_format: str | None = None) -> str | None:
     """Whole line first, then per word (process_fields.py:110-121); the
-    bank's configured format is tried before the generic multi-try
-    (process_fields.py:110-121 parses with the per-bank format first);
-    re-rendered '%d %B %Y' French (releve_bancaire.py:117)."""
+    bank's configured format is tried first. The reference tries ONLY the
+    configured format — the generic multi-try fallback here is an
+    EXTENSION for pages with no recognized bank (never reached for the 8
+    configured banks' own renderings). Re-rendered '%d %B %Y' French
+    (releve_bancaire.py:117)."""
     for row in lines:
         for cand in [" ".join(row)] + row:
             parsed = None
@@ -536,11 +552,13 @@ def get_tax_date(lines) -> str | None:
 
 
 def get_field_after_colon(lines, trigger: str, idx: int) -> str | None:
-    """F20 generic key:value extract (document_identite.py:264-280):
-    first row containing the trigger token whose segment after the idx-th
-    ':' is non-empty -> first token of that segment."""
+    """F20 generic key:value extract (document_identite.py 'get_field'
+    semantics): first row where the trigger is a SUBSTRING of some word
+    (the reference's `f in w.lower()` — matches 'nom:' inside 'prénom:'-
+    free contexts and punctuation-attached tokens) and whose segment
+    after the idx-th ':' is non-empty -> first token of that segment."""
     for row in lines:
-        if not any(w.lower() == trigger for w in row):
+        if not any(trigger in w.lower() for w in row):
             continue
         parts = " ".join(row).split(":")
         if len(parts) > idx + 1:
@@ -552,9 +570,10 @@ def get_field_after_colon(lines, trigger: str, idx: int) -> str | None:
 
 def get_id_number(lines) -> str | None:
     """F21 12-char id heuristic (document_identite.py:203-209): first
-    12-char token in a row containing an id trigger word."""
+    12-char token in a row where some word CONTAINS an id trigger (the
+    reference's `f in w.lower()` — 'carte,' and 'n°:' qualify)."""
     for row in lines:
-        if any(w.lower() in ID_NUMBER_TRIGGERS for w in row):
+        if any(t in w.lower() for w in row for t in ID_NUMBER_TRIGGERS):
             for w in row:
                 if len(w) == 12:
                     return w
@@ -564,9 +583,16 @@ def get_id_number(lines) -> str | None:
 def detect_doc_kind(text: str) -> str:
     """J5 forall-pattern classifier + K8 fiscal page-type probe over the
     extracted main text; ordered first-match like the reference's dispatch
-    dict. Unclassified pages are generic 'web_page'."""
+    dict. Identity kinds use per-word substring containment
+    (document_identite.py:153-158: `pattern in w.lower()` — each pattern
+    must hit SOME word, words need not be adjacent); tax_notice is a
+    phrase match. Unclassified pages are generic 'web_page'."""
     low = text.lower().replace("’", "'")
-    for kind, patterns in DOC_KIND_PATTERNS:
+    words = low.split()
+    for kind, patterns in DOC_KIND_TOKEN_PATTERNS:
+        if all(any(p in w for w in words) for p in patterns):
+            return kind
+    for kind, patterns in DOC_KIND_PHRASE_PATTERNS:
         if all(p in low for p in patterns):
             return kind
     if any(m in low for m in FISCAL_PROBE_MARKERS) and any(
@@ -609,11 +635,15 @@ def _mrz_date(d: str) -> str:
     return d[4:6] + "." + d[2:4] + "." + d[0:2]
 
 
-def decode_mrz(lines) -> dict[str, str]:
+def decode_mrz(lines, width: int | None = None) -> dict[str, str]:
     """ID-card (36-char) then passport (44-char) fixed-slice decode
-    (document_identite.py:211-246)."""
+    (document_identite.py:211-246). The reference dispatches the MRZ
+    width by document kind (parse_carte_identite uses get_mrz default
+    char=36, parse_passeport/parse_titre_sejour pass char=44); width=36
+    or 44 reproduces that, width=None keeps the generic 36-then-44 probe
+    for direct callers."""
     fields: dict[str, str] = {}
-    idc = _mrz_lines(lines, 36)
+    idc = _mrz_lines(lines, 36) if width in (None, 36) else None
     if idc:
         l1, l2 = idc
         fields["mrz_type"] = "id_card"
@@ -624,7 +654,7 @@ def decode_mrz(lines) -> dict[str, str]:
         fields["mrz_date_remise"] = l2[2:4] + "." + l2[0:2]
         fields["mrz_lieu_remise"] = l1[30:32]
         return fields
-    pp = _mrz_lines(lines, 44)
+    pp = _mrz_lines(lines, 44) if width in (None, 44) else None
     if pp:
         l1, l2 = pp
         full = l1[5:]
@@ -873,8 +903,12 @@ def _extract_inner(url: str, html: bytes, lang: str) -> dict:
         for t_id, rows in enumerate(table_rows):
             status, detail = check_solde(rows)
             statuses.append((t_id, status, detail))
-    elif kind in ("id_card", "passport"):
-        fields.update(decode_mrz(lines))
+    elif kind == "id_card":
+        # parse_carte_identite: 36-char MRZ, then the key:value field
+        # table, then the 12-char id fallback (document_identite.py:
+        # 185-201). Passports/titres de séjour get NONE of the textual
+        # field scan in the reference — MRZ only.
+        fields.update(decode_mrz(lines, width=36))
         for name, trigger, idx in FIELD_SPECS:
             value = get_field_after_colon(lines, trigger, idx)
             if value is not None:
@@ -882,6 +916,10 @@ def _extract_inner(url: str, html: bytes, lang: str) -> dict:
         id_number = get_id_number(lines)
         if id_number is not None:
             fields["id_number"] = id_number
+    elif kind in ("passport", "residence_permit"):
+        # parse_passeport / parse_titre_sejour: identical 44-char MRZ
+        # decode (document_identite.py:173-183).
+        fields.update(decode_mrz(lines, width=44))
     elif kind == "tax_notice":
         tax_date = get_tax_date(lines)
         if tax_date is not None:

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
@@ -1261,13 +1262,14 @@ _register(
 )
 
 
-# F5/F6 native multi-format date extraction over the line model, with the
-# PER-BANK format tried first (process_fields.py:110-121 parses with the
-# bank's configured date_format before the generic order): bank_id comes
-# from the broadcast keyword join (J1), its date_format from the
-# bank_rules dimension (bank_configs/*.json analog), and the first
-# parseable line is rendered back as French '%d %B %Y'. Must agree with
-# the kernel's dispatch+scan via the golden fields.
+# F5/F6 native date extraction over the line model, with the PER-BANK
+# format tried first (process_fields.py:110-121 parses with ONLY the
+# bank's configured date_format; the generic multi-try fallback is this
+# repo's extension for bankless pages): bank_id comes from the broadcast
+# keyword join (J1), its date_format from the bank_rules dimension
+# (bank_configs/*.json analog), and the first parseable line is rendered
+# back as French '%d %B %Y'. Must agree with the kernel's dispatch+scan
+# via the golden fields.
 def _date_field_native(s: SparkSession, d: str) -> DataFrame:
     from .functions.text import format_fr_date, parse_fr_date
     from .sources.dimensions import bank_rules_df, keywords_df
@@ -1294,10 +1296,8 @@ def _date_field_native(s: SparkSession, d: str) -> DataFrame:
     fr = parse_fr_date(F.col("line"))
     slash = F.expr("try_to_date(line, 'dd/MM/yyyy')")
     dot = F.expr("try_to_date(line, 'dd.MM.yyyy')")
-    us = F.expr("try_to_date(line, 'MM/dd/yyyy')")
     bank_first = (
-        F.when(F.col("date_format") == "us_slash", us)
-        .when(F.col("date_format") == "slash", slash)
+        F.when(F.col("date_format") == "slash", slash)
         .when(F.col("date_format") == "dot", dot)
         .when(F.col("date_format") == "fr", fr)
     )
@@ -1434,15 +1434,22 @@ _register(
 )
 
 
-# J2/J5/K8: the doc-kind classifier in native-relational form (forall
-# pattern containment + the fiscal page-type probe), checked against the
-# kernel's dispatch decision in the golden fields.
+# J2/J5/K8: the doc-kind classifier in native-relational form (identity
+# kinds by per-word substring containment, the reference's
+# `pattern in w.lower()`; tax_notice by phrase; plus the fiscal page-type
+# probe), checked against the kernel's dispatch decision in the goldens.
 def _doc_kind(s: SparkSession, d: str) -> DataFrame:
     text = X.extracted_text(_kernel_out(s))
     low = F.lower(F.regexp_replace("text", "’", "'"))
+    words = F.split(low, r"\s+")
+
+    def has_tok(pat: str):
+        return F.exists(words, lambda w: w.contains(pat))
+
     kind = (
-        F.when(low.contains("carte nationale"), F.lit("id_card"))
-        .when(low.contains("passeport"), F.lit("passport"))
+        F.when(has_tok("passeport"), F.lit("passport"))
+        .when(has_tok("carte") & has_tok("nationale"), F.lit("id_card"))
+        .when(has_tok("carte") & has_tok("sejour"), F.lit("residence_permit"))
         .when(low.contains("avis d'imp"), F.lit("tax_notice"))
         .when(
             (low.contains("liasse fiscale") | low.contains("dgfip"))
@@ -1466,23 +1473,24 @@ _register(
 )
 
 
-# F20 generic key:value extractor in native form: trigger token row ->
-# segment after the idx-th ':' -> first token (document_identite.py:264-280
-# semantics, field specs from the kernel's FIELD_SPECS table).
+# F20 generic key:value extractor in native form: row where the trigger
+# is a substring of some word (`f in w.lower()`, document_identite.py
+# get_field) -> segment after the idx-th ':' -> first token. id_card only
+# (parse_carte_identite is the sole caller of the field table).
 def _key_value_fields(s: SparkSession, d: str) -> DataFrame:
     from .kernel import FIELD_SPECS
 
     out = _kernel_out(s)
     text = X.extracted_text(out).join(
-        _urls_of_kind(out, "id_card", "passport"), "url", "left_semi"
+        _urls_of_kind(out, "id_card"), "url", "left_semi"
     )
     lines = text.select(
         "url", F.posexplode(F.split("text", "\n")).alias("pos", "line")
     )
     out = None
     for name, trigger, idx in FIELD_SPECS:
-        has_trigger = F.array_contains(
-            F.transform(F.split("line", " "), F.lower), F.lit(trigger)
+        has_trigger = F.exists(
+            F.split("line", " "), lambda w: F.lower(w).contains(trigger)
         )
         seg = F.trim(F.get(F.split("line", ":"), idx + 1))
         value = F.get(F.split(seg, " "), 0)
@@ -1509,22 +1517,26 @@ _register(
 )
 
 
-# F21 12-char id heuristic in native form: first row containing an id
-# trigger token that carries a 12-char token -> that token.
+# F21 12-char id heuristic in native form: first row where some word
+# CONTAINS an id trigger (document_identite.py:203-209 `f in w.lower()`)
+# and that carries a 12-char token -> that token. id_card only.
 def _id_number_12(s: SparkSession, d: str) -> DataFrame:
     from .kernel import ID_NUMBER_TRIGGERS
 
     out = _kernel_out(s)
     text = X.extracted_text(out).join(
-        _urls_of_kind(out, "id_card", "passport"), "url", "left_semi"
+        _urls_of_kind(out, "id_card"), "url", "left_semi"
     )
     lines = text.select(
         "url", F.posexplode(F.split("text", "\n")).alias("pos", "line")
     )
     toks = F.split("line", " ")
-    has_trigger = F.arrays_overlap(
-        F.transform(toks, F.lower),
-        F.array(*[F.lit(t) for t in ID_NUMBER_TRIGGERS]),
+    has_trigger = F.exists(
+        toks,
+        lambda w: reduce(
+            lambda a, b: a | b,
+            [F.lower(w).contains(t) for t in ID_NUMBER_TRIGGERS],
+        ),
     )
     twelve = F.get(F.filter(toks, lambda w: F.length(w) == 12), 0)
     return (

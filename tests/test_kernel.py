@@ -79,18 +79,29 @@ def test_fields_present_on_statement_pages():
 
 def test_doc_kind_dispatch_per_variant():
     """J2+J5+K8: every variant classifies to its kind and runs ONLY that
-    kind's extractors — no cross-contamination fields."""
-    kinds = {0: "statement", 5: "id_card", 6: "passport", 7: "fiscal",
-             8: "tax_notice"}
-    for i, kind in kinds.items():
+    kind's extractors — no cross-contamination fields. Variant 6 splits
+    deterministically between passport and titre de séjour."""
+    kinds = {0: ("statement",), 5: ("id_card",),
+             6: ("passport", "residence_permit"), 7: ("fiscal",),
+             8: ("tax_notice",)}
+    for i, allowed in kinds.items():
         r = _run(i)
-        assert r["fields"]["doc_kind"] == kind, i
+        kind = r["fields"]["doc_kind"]
+        assert kind in allowed, i
         if kind != "statement":
             assert not r["statuses"] and "bank_id" not in r["fields"]
         if kind != "fiscal":
             assert not r["codes"]
-        if kind not in ("id_card", "passport"):
+        if kind not in ("id_card", "passport", "residence_permit"):
             assert "mrz_type" not in r["fields"]
+
+
+def _first_variant6_of_kind(kind):
+    for i in range(6, 6 + 9 * 40, 9):
+        r = _run(i)
+        if r["fields"]["doc_kind"] == kind:
+            return r
+    raise AssertionError(f"no variant-6 page of kind {kind} in 40 draws")
 
 
 def test_key_value_and_id_number_fields():
@@ -98,10 +109,20 @@ def test_key_value_and_id_number_fields():
     assert f["kv_nom"].isupper()
     assert f["kv_prenom"].isupper()
     assert f["kv_taille"].startswith("1,")
+    # the corpus attaches the triggers as 'Carte,' and 'n°:' — only the
+    # reference's substring-in-word match finds the 12-char number
     assert f["id_number"].isdigit() and len(f["id_number"]) == 12
-    # passport: only the taille key:value line exists
-    f6 = _run(6)["fields"]
-    assert f6["kv_taille"].startswith("1,") and "kv_nom" not in f6
+    # passport / titre de séjour: MRZ only, never the key:value scan
+    # (parse_passeport and parse_titre_sejour skip the field table)
+    f6 = _first_variant6_of_kind("passport")["fields"]
+    assert "kv_taille" not in f6 and "kv_nom" not in f6 and "id_number" not in f6
+
+
+def test_residence_permit_mrz_only():
+    r = _first_variant6_of_kind("residence_permit")
+    f = r["fields"]
+    assert f["mrz_type"] == "passport"  # 44-char passport-style decode
+    assert f["mrz_nom"] and "kv_nom" not in f and "id_number" not in f
 
 
 def test_tax_notice_date_last_token():
@@ -112,14 +133,27 @@ def test_tax_notice_date_last_token():
 
 
 def test_bank_date_format_precedence():
-    # CIC pages render MM/DD/YYYY: the bank format must win over the
-    # generic DD/MM reading (process_fields.py:110-121 precedence)
-    assert kernel.get_date([["03/04/2024"]], "us_slash") == "04 mars 2024"
+    # the bank's configured format is tried first (process_fields.py:
+    # 110-121 uses ONLY the configured format; the generic multi-try is
+    # this repo's extension for bankless pages)
     assert kernel.get_date([["03/04/2024"]]) == "03 avril 2024"
     assert kernel.get_date([["03/04/2024"]], "slash") == "03 avril 2024"
-    # bank format misses -> generic fallback still applies
-    assert kernel.get_date([["13/05/2024"]], "us_slash") == "13 mai 2024"
     assert kernel.get_date([["01.02.2024"]], "dot") == "01 février 2024"
+    # bank format misses -> generic fallback still applies
+    assert kernel.get_date([["13/05/2024"]], "dot") == "13 mai 2024"
+    # every reference bank maps to a named format (bank_configs/*.json)
+    assert set(kernel.BANK_DATE_FORMATS) == {b for b, _ in kernel.BANK_PATTERNS}
+    assert set(kernel.BANK_DATE_FORMATS.values()) <= {"fr", "slash", "dot"}
+
+
+def test_calendar_invalid_dates_rejected():
+    # strptime and try_to_date both reject impossible dates; the kernel
+    # must agree (30/02 used to pass the naive 1..31 day check)
+    assert kernel.get_date([["30/02/2024"]], "slash") is None
+    assert kernel.get_date([["31/04/2024"]]) is None
+    assert kernel.get_date([["29/02/2024"]], "slash") == "29 février 2024"
+    assert kernel.get_date([["29/02/2023"]], "slash") is None
+    assert kernel.get_date([["31.11.2020"]], "dot") is None
 
 
 def test_field_after_colon_and_id_number_units():
@@ -130,6 +164,10 @@ def test_field_after_colon_and_id_number_units():
     assert kernel.get_field_after_colon(lines, "taille:", 0) is None
     assert kernel.get_id_number(lines) == "123456789012"
     assert kernel.get_id_number([["carte", "courte"]]) is None
+    # substring-in-word trigger semantics (document_identite.py:203-209):
+    # punctuation-attached tokens still fire
+    assert kernel.get_id_number([["Carte,", "n°:", "123456789012"]]) == "123456789012"
+    assert kernel.get_field_after_colon([["Prénom:", "ANNE"]], "nom:", 0) == "ANNE"
 
 
 def test_mrz_id_card_decode():

@@ -65,13 +65,13 @@ def test_field_parsers_never_raise(lines):
 @given(words)
 def test_doc_kind_total_function(text):
     kind = kernel.detect_doc_kind(text)
-    assert kind in ("statement", "id_card", "passport", "tax_notice",
-                    "fiscal", "web_page")
+    assert kind in ("statement", "id_card", "passport", "residence_permit",
+                    "tax_notice", "fiscal", "web_page")
 
 
 @settings(max_examples=200, deadline=None)
 @given(st.text(alphabet=st.sampled_from(list("0123456789/. ")), max_size=16),
-       st.sampled_from([None, "fr", "slash", "us_slash", "dot"]))
+       st.sampled_from([None, "fr", "slash", "dot"]))
 def test_get_date_never_raises(cand, fmt):
     out = kernel.get_date([[cand]], fmt)
     if out is not None:
