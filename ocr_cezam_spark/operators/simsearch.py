@@ -160,8 +160,9 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.99,
                              nprobe: int = 2) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, IVF-BLOCKED with multi-probe.
 
-    A perturbed clone of every vector (first component * 1.01, id+10000)
-    guarantees true near-dups exist. Every vector (originals + clones) is
+    Operates on the input vectors EXACTLY as given — every emitted id
+    exists in `emb` (test fixtures that need guaranteed near-dups inject
+    clones in the query layer, like queries._cloned_docs). Each vector is
     assigned to its ``nprobe`` nearest centroids by projection; candidate
     pairs are an EQUI-join on centroid_id (a < b, deduped), then the exact
     cosine filters at `threshold`. Multi-probe closes the single-bucket
@@ -172,19 +173,10 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.99,
     base = emb.select(
         F.col(id_col).alias("a"), _to_double(F.col(vec_col)).alias("va")
     )
-    clones = base.select(
-        (F.col("a") + 10_000).alias("a"),
-        F.concat(
-            F.transform(F.slice("va", 1, 1), lambda x: x * 1.01),
-            F.slice("va", 2, 100_000),
-        ).alias("va"),
-    )
     cents = seed_centroids(emb, n_centroids, id_col, vec_col)
     # norms computed once per VECTOR (not once per candidate pair): the
     # pair stage then does exactly one dot product per pair
-    prepped = base.unionByName(clones).withColumn(
-        "_vv", _dot(F.col("va"), F.col("va"))
-    )
+    prepped = base.withColumn("_vv", _dot(F.col("va"), F.col("va")))
     probe_cents = F.transform(
         F.slice(
             F.array_sort(_dist_entries(F.col("va"), cents, F.col("_vv"))),

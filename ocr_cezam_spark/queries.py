@@ -826,9 +826,27 @@ _register(
     """,
 )
 
+def _cloned_embeddings(s: SparkSession, d: str) -> DataFrame:
+    """Near-dup test fixture, QUERY-layer like _cloned_docs: a perturbed
+    clone of every vector (first component * 1.01, id+10000) guarantees
+    true near-dups exist. The operator itself never synthesizes rows."""
+    base = _t(s, d, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    clones = base.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.concat(
+            F.transform(F.slice("embedding", 1, 1), lambda x: x * 1.01),
+            F.slice("embedding", 2, 100_000),
+        ).alias("embedding"),
+    )
+    return base.unionByName(clones)
+
+
 _register(
     "embedding_near_dup",
-    lambda s, d: simsearch.embedding_near_dup_pairs(_t(s, d, "embeddings")),
+    lambda s, d: simsearch.embedding_near_dup_pairs(_cloned_embeddings(s, d)),
     """
     WITH orig AS (
       SELECT vec_id AS a, embedding::DOUBLE[] AS va FROM embeddings
@@ -1066,9 +1084,19 @@ def _kernel_out(s: SparkSession) -> DataFrame:
 
     Keyed by applicationId, not id(session): CPython can reuse an id()
     after a stopped session is garbage-collected, which would hand back a
-    DataFrame bound to a dead context."""
+    DataFrame bound to a dead context.
+
+    Capacity 1: entering a NEW session unpersists and drops the previous
+    session's entry, so cached blocks never outlive their session in a
+    long-lived host process (a stopped context ignores the unpersist)."""
     key = s.sparkContext.applicationId
     if key not in _KERNEL_CACHE:
+        for old_key in list(_KERNEL_CACHE):
+            stale = _KERNEL_CACHE.pop(old_key)
+            try:
+                stale.unpersist()
+            except Exception:
+                pass  # context already stopped — blocks are gone anyway
         out = X.run_extract(corpus_df(s, KERNEL_N), num_partitions=8).persist()
         out.count()
         _KERNEL_CACHE[key] = out

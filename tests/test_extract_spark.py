@@ -100,3 +100,19 @@ def test_error_isolation(spark):
     docs = spark.createDataFrame(pdf)
     out = X.run_extract(docs, 2).collect()
     assert len(out) == 4
+
+
+def test_kernel_cache_evicts_previous_session_entry(spark):
+    """Capacity-1 cache: a new session's entry unpersists and drops the
+    stale one, so cached blocks never outlive their session."""
+    from ocr_cezam_spark import queries as q
+
+    q._KERNEL_CACHE.clear()
+    stale = spark.range(10).persist()
+    stale.count()
+    q._KERNEL_CACHE["app-from-a-stopped-session"] = stale
+
+    out = q._kernel_out(spark)
+    assert list(q._KERNEL_CACHE) == [spark.sparkContext.applicationId]
+    assert not stale.storageLevel.useMemory  # evicted entry was unpersisted
+    assert q._kernel_out(spark) is out  # current entry stays cached

@@ -195,3 +195,21 @@ def test_statement_reconciliation_verdicts(spark):
     got = {r["o_custkey"]: r["verdict"] for r in
            relational.statement_reconciliation(df).collect()}
     assert got == {10: "Error", 7: "Success"}  # custkey%10==0 corrupted
+
+
+def test_near_dup_pairs_emit_only_input_ids(spark):
+    """The operator must never synthesize rows: every id in the output
+    exists in the input (the clone fixture lives in the query layer)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = simsearch.embedding_near_dup_pairs(
+        emb, threshold=0.99, n_centroids=2, nprobe=2
+    ).collect()
+    got_ids = {r["a"] for r in out} | {r["b"] for r in out}
+    assert got_ids <= {0, 1, 2, 3}
+    assert (0, 1) in {(r["a"], r["b"]) for r in out}
