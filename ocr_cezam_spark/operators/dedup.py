@@ -112,7 +112,8 @@ def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = MINHASH_K,
-                      bands: int = MINHASH_BANDS) -> DataFrame:
+                      bands: int = MINHASH_BANDS,
+                      max_bucket: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
     The signature splits into `bands` bands of k/bands rows; docs sharing
@@ -120,7 +121,15 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     (band_idx, band_key, id) long-format rows — one self-join keyed on the
     band, never all-pairs, and never carrying the k-wide signature through
     the band join. Signatures are joined back onto the (distinct) candidate
-    pairs to compute sim_est = fraction of matching minhashes."""
+    pairs to compute sim_est = fraction of matching minhashes.
+
+    `max_bucket` bounds the quadratic band-bucket blowup on dup-heavy
+    corpora: buckets larger than the cap are dropped from candidate
+    generation (they are overwhelmingly exact-duplicate clusters, which
+    belong to exact_dedup / near_dup_pairs_dedup_first — composing
+    exact-dedup FIRST is the preferred fix; the cap is the backstop).
+    The size aggregation groups on the same (band_idx, band_key) as the
+    pair join, so AQE reuses the exchange rather than adding a shuffle."""
     r = k // bands
     sig = minhash_signature(docs, id_col, text_col, k)
     band_arr = F.array(
@@ -138,6 +147,14 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     banded = sig.select(
         F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_key")
     )
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("band_idx", "band_key")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band_idx", "band_key")
+        )
+        banded = banded.join(small, ["band_idx", "band_key"])
     left = banded.select(F.col(id_col).alias("a"), "band_idx", "band_key")
     right = banded.select(F.col(id_col).alias("b"), "band_idx", "band_key")
     cand = (
@@ -153,6 +170,42 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
     return cand.join(sa, "a").join(sb, "b").select(
         "a", "b", (matches / float(k)).alias("sim_est")
+    )
+
+
+def near_dup_pairs_dedup_first(docs: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text", k: int = MINHASH_K,
+                               bands: int = MINHASH_BANDS) -> DataFrame:
+    """Exact-dedup-first near-dup composition — the 100 TB-safe shape.
+
+    A crawl corpus where one boilerplate page has 10^7 exact copies would
+    put all 10^7 ids in the same LSH band buckets: a 10^14-pair join. This
+    composition collapses exact-duplicate groups (one hash aggregation on
+    the md5 digest) to their min-id representative FIRST, runs LSH banding
+    on representatives only, and reports pairs at representative level
+    with each side's exact-copy multiplicity. Results are deliberately NOT
+    fanned back out to member-level pairs — that would rebuild the same
+    quadratic blowup in the output; consumers needing members join
+    exact_dedup's (digest -> keeper) mapping.
+
+    Returns (a, b, sim_est, n_copies_a, n_copies_b), a/b representative
+    ids with a < b."""
+    digest = F.md5(F.col(text_col)).alias("digest")
+    groups = (
+        docs.select(F.col(id_col), digest)
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_copies"))
+    )
+    reps = docs.join(
+        groups.select(F.col("keeper").alias(id_col)), id_col, "left_semi"
+    )
+    pairs = minhash_lsh_pairs(reps, id_col, text_col, k, bands)
+    na = groups.select(F.col("keeper").alias("a"),
+                       F.col("n_copies").alias("n_copies_a"))
+    nb = groups.select(F.col("keeper").alias("b"),
+                       F.col("n_copies").alias("n_copies_b"))
+    return pairs.join(na, "a").join(nb, "b").select(
+        "a", "b", "sim_est", "n_copies_a", "n_copies_b"
     )
 
 

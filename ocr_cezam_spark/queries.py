@@ -566,8 +566,9 @@ _register(
 )
 
 
-def _minhash_pairs_ctes() -> str:
-    """Shared CTE chain: cloned corpus -> affine-permutation minhash
+def _minhash_pairs_ctes(corpus_sql: str | None = None) -> str:
+    """Shared CTE chain: corpus (cloned fixture by default, any
+    (doc_id, text) SQL via `corpus_sql`) -> affine-permutation minhash
     signatures (same MINHASH_COEFFS as the Spark operator) -> LSH band
     candidate pairs -> sim_est over the full signature. Final CTE is
     ``cand(a, b, sim_est)``."""
@@ -595,7 +596,7 @@ def _minhash_pairs_ctes() -> str:
         f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(k)
     )
     return f"""
-    corpus AS ({_CLONED_SQL}),
+    corpus AS ({corpus_sql or _CLONED_SQL}),
     ex AS (
       SELECT doc_id, md5(unnest({sh})) AS d FROM corpus
     ),
@@ -633,6 +634,44 @@ _register(
     "minhash_lsh_pairs",
     lambda s, d: dedup.minhash_lsh_pairs(_cloned_docs(s, d)),
     _minhash_oracle(),
+)
+
+
+def _dedup_first_docs(s: SparkSession, d: str) -> DataFrame:
+    """Fixture for the exact-dedup-first composition: every doc gets an
+    exact clone (+1M, a 2-copy exact group to collapse) AND a near clone
+    (+2M, one appended token — survives the collapse and must pair with
+    its original via LSH)."""
+    near = _t(s, d, "documents").select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" fin")).alias("text"),
+        "source",
+    )
+    return _cloned_docs(s, d).unionByName(near)
+
+
+_DEDUP_FIRST_SQL = (
+    _CLONED_SQL
+    + " UNION ALL SELECT doc_id + 2000000 AS doc_id, text || ' fin' AS text,"
+    " source FROM documents"
+)
+
+_register(
+    "near_dup_dedup_first",
+    lambda s, d: dedup.near_dup_pairs_dedup_first(_dedup_first_docs(s, d)),
+    f"""
+    WITH corpus0 AS ({_DEDUP_FIRST_SQL}),
+    groups AS (
+      SELECT min(doc_id) AS keeper, count(*) AS n_copies, text
+      FROM corpus0 GROUP BY text
+    ),
+    {_minhash_pairs_ctes("SELECT keeper AS doc_id, text FROM groups")}
+    SELECT c.a, c.b, c.sim_est,
+           ga.n_copies AS n_copies_a, gb.n_copies AS n_copies_b
+    FROM cand c
+    JOIN groups ga ON ga.keeper = c.a
+    JOIN groups gb ON gb.keeper = c.b
+    """,
 )
 
 

@@ -213,3 +213,43 @@ def test_near_dup_pairs_emit_only_input_ids(spark):
     got_ids = {r["a"] for r in out} | {r["b"] for r in out}
     assert got_ids <= {0, 1, 2, 3}
     assert (0, 1) in {(r["a"], r["b"]) for r in out}
+
+
+def test_dedup_first_bounds_pathological_identical_corpus(spark):
+    """A corpus that is ONE page copied 2000 times: raw LSH banding would
+    build a 2M-pair band bucket; the exact-dedup-first composition
+    collapses it to a single representative (zero pairs, multiplicity
+    2000) and completes in bounded time."""
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate page body repeated verbatim").alias("text"),
+    )
+    out = dedup.near_dup_pairs_dedup_first(docs)
+    assert out.count() == 0  # one rep -> no candidate pairs at all
+    g = dedup.exact_dedup(docs).collect()
+    assert len(g) == 1 and g[0]["n_copies"] == 2000 and g[0]["keeper"] == 0
+
+
+def test_dedup_first_pairs_near_clones_across_exact_groups(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta"),
+         (1, "alpha beta gamma delta epsilon zeta eta theta"),   # exact dup
+         (2, "alpha beta gamma delta epsilon zeta eta theta iota"),  # near
+         (3, "completely different words nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    rows = dedup.near_dup_pairs_dedup_first(docs).collect()
+    pairs = {(r["a"], r["b"]): (r["n_copies_a"], r["n_copies_b"]) for r in rows}
+    assert (0, 2) in pairs and pairs[(0, 2)] == (2, 1)
+    assert all(a != 1 and b != 1 for a, b in pairs)  # non-reps never appear
+
+
+def test_minhash_max_bucket_cap_drops_giant_buckets(spark):
+    docs = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical page text for every single row").alias("text"),
+    )
+    capped = dedup.minhash_lsh_pairs(docs, max_bucket=10)
+    assert capped.count() == 0  # every band bucket has 50 members > cap
+    uncapped_small = dedup.minhash_lsh_pairs(docs.limit(5), max_bucket=10)
+    assert uncapped_small.count() == 10  # 5 choose 2 under the cap
