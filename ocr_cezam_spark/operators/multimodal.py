@@ -1,10 +1,11 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio decode libraries are not available in this container, so the
-decode step is a deterministic stand-in (first payload bytes interpreted as
-dimensions) behind the same Spark-side plumbing a real decoder would use:
-binary column in, Arrow-batched ``mapInPandas`` kernel, typed metadata out.
-Swapping in a real decoder changes only ``_decode_payload``.
+Container-header metadata (PNG/GIF/JPEG dimensions) is parsed for REAL
+with stdlib byte-slicing inside an Arrow-batched ``mapInPandas`` kernel:
+binary column in, typed metadata out. Pixel decode and frame grabbing
+would need image/codec libraries (absent in this container), so those
+steps keep deterministic stand-ins behind the same plumbing — swapping in
+a real decoder changes only ``_decode_payload`` / ``_grab_frames``.
 """
 
 from __future__ import annotations
@@ -18,15 +19,49 @@ from pyspark.sql import functions as F  # noqa: N812
 META_SCHEMA = "doc_id long, n_bytes int, width int, height int"
 
 
-def _decode_payload(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic fake decode: (n_bytes, width, height).
+# JPEG start-of-frame markers that carry dimensions (C0-CF minus the
+# non-SOF C4/C8/CC: DHT, JPG extension, DAC)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
-    A real image decoder (PIL/cv2) would parse the container header here;
-    byte 0/1 stand in for the header-read so the pipeline shape (batched
-    bytes -> typed struct) is fully exercised and testable."""
+
+def _decode_payload(payload: bytes) -> tuple[int, int, int]:
+    """(n_bytes, width, height) from the real container header — pure
+    stdlib byte-slicing, no PIL/cv2:
+
+    - PNG: IHDR width/height, big-endian u32 at offsets 16/20 (the IHDR
+      chunk is required to be first after the 8-byte signature).
+    - GIF: logical-screen width/height, little-endian u16 at offsets 6/8.
+    - JPEG: walk the segment chain from SOI to the first SOF marker;
+      height/width are big-endian u16 at +5/+7 in the SOF payload. The
+      signature check requires the third byte to be 0xFF (every segment
+      marker starts with 0xFF in a real JPEG) so random binary payloads
+      don't false-positive on the 2-byte SOI alone.
+
+    Pixel decode would need an image library (absent in this container);
+    unrecognized containers keep the deterministic byte-0/1 stand-in so
+    synthetic payloads still exercise the plumbing."""
     if not payload:
         return (0, 0, 0)
-    return (len(payload), payload[0], payload[1] if len(payload) > 1 else 0)
+    n = len(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and n >= 24:
+        return (n, int.from_bytes(payload[16:20], "big"),
+                int.from_bytes(payload[20:24], "big"))
+    if payload[:6] in (b"GIF87a", b"GIF89a") and n >= 10:
+        return (n, int.from_bytes(payload[6:8], "little"),
+                int.from_bytes(payload[8:10], "little"))
+    if payload[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 4 <= n and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            if 0xD0 <= marker <= 0xD9 or marker == 0x01:  # bare markers
+                i += 2
+                continue
+            if marker in _JPEG_SOF and i + 9 <= n:
+                return (n, int.from_bytes(payload[i + 7:i + 9], "big"),
+                        int.from_bytes(payload[i + 5:i + 7], "big"))
+            i += 2 + int.from_bytes(payload[i + 2:i + 4], "big")
+        return (n, 0, 0)
+    return (n, payload[0], payload[1] if n > 1 else 0)
 
 
 def attach_payload(docs: DataFrame, id_col: str = "doc_id",

@@ -100,12 +100,20 @@ def _nearest(v: F.Column, cents: Centroids, vv: F.Column) -> F.Column:
 
 def train_centroids(emb: DataFrame, n_centroids: int = 8,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    iters: int = 1) -> Centroids:
+                    iters: int = 1,
+                    quantize: int | None = None) -> Centroids:
     """Lloyd iterations from the deterministic seed: assign every vector to
     its nearest centroid (projection, no join), recompute centroids as the
     per-bucket mean. One shuffle per iteration (the groupBy); the collected
-    state is K*dim floats. Deterministic up to float summation order — used
-    for recall quality (pytest), not for bit-checked oracle queries."""
+    state is K*dim floats.
+
+    The raw means are deterministic only up to float summation order (the
+    partial-aggregation merge order varies run to run and engine to
+    engine). `quantize` rounds each mean coordinate to that many decimals,
+    absorbing the ~1e-15 relative wobble so the trained centroids — and
+    every downstream bucket assignment — are bit-identical across engines:
+    the oracle-checked path. quantize=None keeps raw means (recall
+    pytest)."""
     cents = seed_centroids(emb, n_centroids, id_col, vec_col)
     dim = len(cents[0][1])
     base = emb.select(
@@ -121,7 +129,12 @@ def train_centroids(emb: DataFrame, n_centroids: int = 8,
             .collect()
         )
         means = {
-            int(r["cid"]): [float(r[f"d{i}"]) for i in range(dim)] for r in rows
+            int(r["cid"]): [
+                float(r[f"d{i}"]) if quantize is None
+                else round(float(r[f"d{i}"]), quantize)
+                for i in range(dim)
+            ]
+            for r in rows
         }
         # empty buckets keep their previous centroid
         cents = [(cid, means.get(cid, vec)) for cid, vec in cents]

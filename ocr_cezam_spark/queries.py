@@ -992,6 +992,82 @@ _register(
     """,
 )
 
+# IVF top-k with TRAINED centroids (one Lloyd step from the seeds),
+# oracle-checked bit-for-bit: the per-bucket means are rounded to 6
+# decimals on both sides, which absorbs float summation-order wobble, so
+# bucket assignments — and therefore candidates and ranks — are identical.
+def _ann_ivf_trained(s: SparkSession, d: str) -> DataFrame:
+    emb = _t(s, d, "embeddings")
+    cents = simsearch.train_centroids(emb, n_centroids=8, iters=1, quantize=6)
+    return simsearch.ivf_topk(emb, _PROBES, centroids=cents)
+
+
+_register(
+    "ann_ivf_trained_topk",
+    _ann_ivf_trained,
+    """
+    WITH base AS (
+      SELECT vec_id AS nb_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), seeds AS (
+      SELECT nb_id AS cid, v AS c FROM base WHERE nb_id < 8
+    ), d0 AS (
+      SELECT nb_id, cid,
+             list_dot_product(v, v) - 2 * list_dot_product(v, c)
+               + list_dot_product(c, c) AS dd
+      FROM base, seeds
+    ), a0 AS (
+      -- Lloyd assignment step on the seed centroids
+      SELECT nb_id, cid FROM (
+        SELECT nb_id, cid, row_number() OVER (PARTITION BY nb_id
+                                              ORDER BY dd ASC, cid ASC) AS rn
+        FROM d0
+      ) WHERE rn = 1
+    ), unnested AS (
+      SELECT a0.cid, unnest(b.v) AS x, generate_subscripts(b.v, 1) AS i
+      FROM a0 JOIN base b USING (nb_id)
+    ), m AS (
+      SELECT cid, i, round(avg(x), 6) AS cx FROM unnested GROUP BY cid, i
+    ), trained AS (
+      -- empty buckets keep their seed centroid
+      SELECT s.cid, coalesce(t.c, s.c) AS c
+      FROM seeds s LEFT JOIN (
+        SELECT cid, list(cx ORDER BY i) AS c FROM m GROUP BY cid
+      ) t USING (cid)
+    ), dist AS (
+      SELECT b.nb_id, t.cid,
+             list_dot_product(b.v, b.v) - 2 * list_dot_product(b.v, t.c)
+               + list_dot_product(t.c, t.c) AS dd
+      FROM base b, trained t
+    ), ranked AS (
+      SELECT nb_id, cid,
+             row_number() OVER (PARTITION BY nb_id
+                                ORDER BY dd ASC, cid ASC) AS rn
+      FROM dist
+    ), withc AS (
+      SELECT b.nb_id, b.v, r.cid AS centroid_id
+      FROM base b JOIN ranked r ON b.nb_id = r.nb_id AND r.rn = 1
+    ), probes AS (
+      SELECT r.nb_id AS probe_id, b.v AS p, r.cid AS centroid_id
+      FROM ranked r JOIN base b ON r.nb_id = b.nb_id
+      WHERE r.nb_id IN (0,1,2,3,4) AND r.rn <= 2
+    ), cands AS (
+      SELECT pr.probe_id, w.centroid_id, w.nb_id,
+             list_dot_product(pr.p, w.v)
+               / (sqrt(list_dot_product(pr.p, pr.p))
+                  * sqrt(list_dot_product(w.v, w.v))) AS sim_raw
+      FROM probes pr JOIN withc w USING (centroid_id)
+      WHERE w.nb_id <> pr.probe_id
+    )
+    SELECT probe_id, centroid_id, rank, nb_id, round(sim_raw, 4) AS cosine
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY sim_raw DESC, nb_id ASC) AS rank
+      FROM cands
+    ) WHERE rank <= 3
+    """,
+)
+
+
 def _pq_oracle() -> str:
     """PQ-ANN twin: codebooks, encodings, and ADC tables all derived from
     the embeddings view with the same distance identity; the 8-term ADC
@@ -1082,6 +1158,54 @@ _register(
            16 AS n_bytes,
            ('0x' || substr(md5(text), 1, 2))::INT AS width,
            ('0x' || substr(md5(text), 3, 2))::INT AS height
+    FROM documents
+    """,
+)
+
+def _image_payloads(s: SparkSession, d: str) -> DataFrame:
+    """Real container headers as the payload fixture: each doc gets a
+    minimal PNG (doc_id%3==0), GIF89a (==1) or JPEG SOI+SOF0 (==2) binary
+    with dimensions derived from doc_id — built entirely from JVM-side hex
+    expressions (no Python), decodable by any standards-following header
+    parser."""
+    docs = _t(s, d, "documents").select("doc_id")
+    w = (F.col("doc_id") % 640 + 1).cast("int")
+    h = (F.col("doc_id") % 480 + 1).cast("int")
+
+    def be32(c):
+        return F.lpad(F.hex(c), 8, "0")
+
+    def be16(c):
+        return F.lpad(F.hex(c), 4, "0")
+
+    def le16(c):
+        return F.concat(
+            F.lpad(F.hex(c % 256), 2, "0"),
+            F.lpad(F.hex(F.floor(c / 256).cast("int")), 2, "0"),
+        )
+
+    png = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"), be32(w), be32(h)
+    )
+    gif = F.concat(F.lit("474946383961"), le16(w), le16(h))
+    jpg = F.concat(F.lit("FFD8FFC0000808"), be16(h), be16(w))
+    hexs = (
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, gif)
+        .otherwise(jpg)
+    )
+    return docs.select("doc_id", F.unhex(hexs).alias("payload"))
+
+
+_register(
+    "image_header_meta",
+    lambda s, d: multimodal.decode_metadata(_image_payloads(s, d)),
+    """
+    SELECT doc_id,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 10 ELSE 11 END
+                AS INT) AS n_bytes,
+           CAST(doc_id % 640 + 1 AS INT) AS width,
+           CAST(doc_id % 480 + 1 AS INT) AS height
     FROM documents
     """,
 )

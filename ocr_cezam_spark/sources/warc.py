@@ -69,16 +69,28 @@ def parse_warc(data: bytes) -> Iterator[tuple[str, dt.datetime | None, bytes]]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            # Missing/unparsable Content-Length: resynchronize on the record
-            # boundary delimiter (\r\n\r\nWARC/1.0), never on a bare
-            # 'WARC/1.0' that may occur inside the skipped payload (an HTML
-            # page *about* WARC would otherwise fabricate spurious records).
+            # Missing/unparsable Content-Length: resynchronize on the next
+            # plausible record start. Without a length any resync is a
+            # heuristic; requiring BOTH the boundary delimiter
+            # (\r\n\r\nWARC/1.0) and a WARC-Type: header inside the
+            # candidate's own header block reduces false positives vs a
+            # bare 'WARC/1.0' scan (a payload embedding a raw WARC excerpt
+            # can still fool it, but then must embed a full header block).
             # Search FROM head_end: for an empty-payload malformed record
             # the header's own terminating CRLFCRLF is the boundary.
-            nxt = data.find(_CRLF2 + b"WARC/1.0", head_end)
-            if nxt < 0:
-                return
-            pos = nxt + len(_CRLF2)
+            search = head_end
+            while True:
+                nxt = data.find(_CRLF2 + b"WARC/1.0", search)
+                if nxt < 0:
+                    return
+                cand = nxt + len(_CRLF2)
+                cand_head_end = data.find(_CRLF2, cand)
+                if cand_head_end >= 0 and (
+                    b"\r\nwarc-type:" in data[cand:cand_head_end].lower()
+                ):
+                    pos = cand
+                    break
+                search = nxt + 1
             continue
         body = data[head_end + 4 : head_end + 4 + length]
         pos = head_end + 4 + length

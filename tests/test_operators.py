@@ -139,7 +139,9 @@ def test_ivf_trained_recall_vs_brute_force(spark):
         return out
 
     exact = topk_sets(simsearch.cosine_topk(emb, probes, k=k))
-    cents = simsearch.train_centroids(emb, n_centroids=8, iters=1)
+    # quantize=6 is the oracle-checked path: 6-decimal means must not
+    # cost recall (the wobble they absorb is ~1e-15)
+    cents = simsearch.train_centroids(emb, n_centroids=8, iters=1, quantize=6)
     trained = topk_sets(
         simsearch.ivf_topk(emb, probes, k=k, nprobe=2, centroids=cents)
     )
@@ -253,3 +255,32 @@ def test_minhash_max_bucket_cap_drops_giant_buckets(spark):
     assert capped.count() == 0  # every band bucket has 50 members > cap
     uncapped_small = dedup.minhash_lsh_pairs(docs.limit(5), max_bucket=10)
     assert uncapped_small.count() == 10  # 5 choose 2 under the cap
+
+
+def test_image_header_decode_stdlib():
+    """Real container-header parsing: PNG IHDR (big-endian), GIF logical
+    screen (little-endian), JPEG SOF0 behind an APP0 segment."""
+    import struct
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 800, 600))
+    assert multimodal._decode_payload(png) == (len(png), 800, 600)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+    assert multimodal._decode_payload(gif) == (len(gif), 320, 200)
+
+    # JPEG: SOI, APP0 (JFIF, 16 bytes), then SOF0 with h=480 w=640
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" \
+        + struct.pack(">HH", 480, 640) + b"\x01\x11\x00"
+    jpg = b"\xff\xd8" + app0 + sof0
+    assert multimodal._decode_payload(jpg) == (len(jpg), 640, 480)
+
+    # DHT (C4) must NOT be mistaken for SOF; truncated JPEG -> (n, 0, 0)
+    dht = b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
+    assert multimodal._decode_payload(b"\xff\xd8" + dht) == (6 + 2, 0, 0)
+
+    # random binary (md5 stand-in payloads) keeps the byte-0/1 fallback
+    blob = bytes([7, 9]) + b"\x00" * 14
+    assert multimodal._decode_payload(blob) == (16, 7, 9)
+    assert multimodal._decode_payload(b"") == (0, 0, 0)

@@ -81,3 +81,19 @@ def test_spark_explode_matches_direct_extraction(spark):
         p = make_page(i)
         g = kernel.extract(p["url"], p["html"], "fra")
         assert out[p["url"]] == g["text"]
+
+
+def test_resync_requires_warc_type_in_candidate_header():
+    # A skipped payload embedding CRLFCRLF+'WARC/1.0' followed by a
+    # header-looking block WITHOUT a WARC-Type header must not be chosen
+    # as the resync point: its bogus Content-Length would swallow the
+    # following genuine record.
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://bad/\r\n"
+        b"Content-Length: oops\r\n\r\n"
+        b"<html>raw excerpt:\r\n\r\nWARC/1.0\r\n"
+        b"Content-Length: 99999\r\n\r\nnot a record</html>"
+    )
+    good = write_warc([(make_page(0)["url"], make_page(0)["warc_ts"], b"<p>ok</p>")])
+    got = list(parse_warc(bad + b"\r\n\r\n" + good))
+    assert len(got) == 1 and got[0][2] == b"<p>ok</p>"
