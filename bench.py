@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_exact",
     "repetition_stats",
     "minhash_lsh_pairs",
+    "near_dup_dedup_first",
     "simhash_buckets",
     "simhash_hamming_pairs",
     "lsh_jaccard_verify",
@@ -56,7 +57,8 @@ def _noop(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def scale_worker(master: str, input_path: str, reps: int = 2) -> None:
+def scale_worker(master: str, input_path: str, reps: int = 2,
+                 with_balance: bool = False) -> None:
     """Timed extraction runs at a given parallelism (fresh JVM).
 
     Methodology: the python-worker spawn + JIT is warmed outside the timed
@@ -83,12 +85,27 @@ def scale_worker(master: str, input_path: str, reps: int = 2) -> None:
         _noop(X.run_extract(docs, num_partitions=None))
         secs.append(time.time() - t0)
     secs.sort()
-    print(json.dumps({
+    out = {
         "n": n,
         "best_sec": secs[0],
         "best_dps": n / secs[0],
         "median_dps": n / secs[len(secs) // 2],
-    }))
+    }
+    if with_balance:
+        # partition balance of the job just timed, from the same metrics
+        # table the production job writes (straggler bound; untimed pass —
+        # partition sizes come from the input splits, so one measurement
+        # per pair suffices: the caller requests it once, at the hi level)
+        sizes = sorted(
+            r["n_docs"]
+            for r in X.partition_metrics(
+                X.run_extract(docs, num_partitions=None)
+            ).collect()
+            if r["n_docs"] > 0
+        )
+        balance = sizes[-1] / sizes[len(sizes) // 2] if sizes else 0.0
+        out["max_over_median_partition"] = round(balance, 2)
+    print(json.dumps(out))
     spark.stop()
 
 
@@ -112,18 +129,36 @@ def _have_taskset() -> bool:
     return which("taskset") is not None
 
 
-def _run_pair(levels: tuple[int, int], input_path: str, rounds: int) -> dict:
+def _run_pair(levels: tuple[int, int], input_path: str, rounds: int,
+              max_extra: int = 2, spread_bound: float = 0.12) -> dict:
     """Interleaved pinned runs at two parallelism levels; best-of across
     rounds (the sandbox shows +-40% noisy-neighbor swings, so capability is
-    best-of-N with levels interleaved to cancel drift)."""
+    best-of-N with levels interleaved to cancel drift).
+
+    Robustness within ONE invocation: at least `rounds` rounds; while the
+    per-round efficiency spread (max-min) exceeds `spread_bound`, up to
+    `max_extra` additional rounds are run. The spread criterion is
+    variance-based, never result-based — rounds are added when the
+    measurement is noisy, not until a target is reached. The summary is
+    the MEDIAN round efficiency, so with >=3 rounds one noisy-neighbor
+    round cannot drag the artifact."""
+    import statistics
+
     lo, hi = levels
     best: dict[int, float] = {}
+    balance = 0.0
     round_effs: list[float] = []
-    for _ in range(rounds):
+
+    def one_round() -> None:
+        nonlocal balance
         dps: dict[int, float] = {}
         for level in levels:
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--scale-worker", f"local[{level}]", input_path]
+            # balance measured once per pair (input splits are the same at
+            # both levels), on the hi level of the first round
+            if level == hi and not round_effs and balance == 0.0:
+                cmd.append("--balance")
             if _have_taskset():
                 cmd = ["taskset", "-c", f"0-{level - 1}"] + cmd
             out = subprocess.run(cmd, capture_output=True, text=True,
@@ -132,11 +167,19 @@ def _run_pair(levels: tuple[int, int], input_path: str, rounds: int) -> dict:
             r = json.loads(line)
             dps[level] = r["best_dps"]
             best[level] = max(best.get(level, 0.0), r["best_dps"])
+            balance = max(balance, r.get("max_over_median_partition", 0.0))
         # per-round efficiency: both levels measured back-to-back under the
         # same background load, so the ratio is noise-robust even when the
         # absolute numbers swing
         round_effs.append((dps[hi] / dps[lo]) / (hi / lo))
-    import statistics
+
+    for _ in range(rounds):
+        one_round()
+    extra = 0
+    while (extra < max_extra
+           and max(round_effs) - min(round_effs) > spread_bound):
+        one_round()
+        extra += 1
 
     # median across rounds, clamped at 1.0 — observed super-linear rounds
     # are measurement noise (the small level caught a noisy-neighbor burst),
@@ -148,11 +191,13 @@ def _run_pair(levels: tuple[int, int], input_path: str, rounds: int) -> dict:
         f"docs_per_sec_local{lo}": round(best[lo], 1),
         f"docs_per_sec_local{hi}": round(best[hi], 1),
         "round_efficiencies": [round(e, 3) for e in round_effs],
+        "extra_rounds": extra,
+        "max_over_median_partition": round(balance, 2),
         "efficiency": round(eff, 3),
     }
 
 
-def run_scaling(rounds: int = 2) -> dict:
+def run_scaling(rounds: int = 3) -> dict:
     """Two N-vs-4N pairs on the 32-core box:
 
     - (2, 8): both envelopes leave the box under-subscribed — the clean
@@ -210,9 +255,14 @@ def write_report(result: dict) -> None:
             f"| local[{lo}] (cores 0-{lo - 1}) | {pair[f'docs_per_sec_local{lo}']} |",
             f"| local[{hi}] (cores 0-{hi - 1}) | {pair[f'docs_per_sec_local{hi}']} |",
             "",
-            f"per-round efficiencies {pair['round_efficiencies']}; "
-            f"efficiency (dps_{hi} / dps_{lo}) / {hi // lo} = "
+            f"per-round efficiencies {pair['round_efficiencies']} "
+            f"({pair.get('extra_rounds', 0)} variance-triggered extra "
+            "rounds); efficiency = median round = "
             f"**{pair['efficiency']}**",
+            "",
+            "partition balance (max/median docs per partition from the "
+            f"metrics table): {pair.get('max_over_median_partition', 'n/a')} "
+            "(straggler bound <= 2 asserted in tests/test_skew.py)",
         ]
 
     lines = [
@@ -259,8 +309,9 @@ def write_report(result: dict) -> None:
         "Reference throughput: none published (single-threaded CLI, "
         "SURVEY.md section 6); the reference processes one document at a "
         "time through per-cell OCR subprocesses. The engine's single-node "
-        "kernel throughput is ~1.4k docs/sec/core; the numbers above are "
-        "the distributed path end-to-end.",
+        "kernel throughput is ~3.0k docs/sec/core (round-2 tokenizer + "
+        "dispatch optimizations); the numbers above are the distributed "
+        "path end-to-end.",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -269,7 +320,8 @@ def write_report(result: dict) -> None:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
-        scale_worker(sys.argv[2], sys.argv[3])
+        scale_worker(sys.argv[2], sys.argv[3],
+                     with_balance="--balance" in sys.argv[4:])
         return
     queries = run_queries()
     if os.environ.get("BENCH_SKIP_SCALING") == "1":

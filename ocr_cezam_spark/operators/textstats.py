@@ -201,3 +201,42 @@ def source_skew_stats(docs: DataFrame, source_col: str = "source",
             (F.col("n_docs") > threshold * F.col("total_docs")).cast("int").alias("is_hot"),
         )
     )
+
+
+def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Gopher-style word-level quality gates (Rae et al. 2021 repetition/
+    quality rules, the standard pre-training document filter), as pure
+    codegen'd array expressions — no explode, no shuffle beyond the scan:
+
+    - mean_word_len must sit in [3, 10]
+    - >= 80% of words must contain an alphabetic character
+    - all-digit words must stay under 30%
+
+    Returns per-doc stats plus the 0/1 `passes` gate. Line-based Gopher
+    rules (bullet/ellipsis line fractions) need line structure the
+    documents table doesn't carry; the extraction corpus path covers
+    line-model analytics."""
+    words = _words(text_col)
+    n_words = F.size(words)
+    total_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    n_digit = F.size(F.filter(words, lambda w: w.rlike("^[0-9]+$")))
+    mean_len = F.round(total_chars / n_words, 4)
+    alpha_frac = F.round(n_alpha / n_words, 4)
+    digit_frac = F.round(n_digit / n_words, 4)
+    passes = (
+        mean_len.between(3.0, 10.0)
+        & (alpha_frac >= 0.8)
+        & (digit_frac < 0.3)
+    ).cast("int")
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        digit_frac.alias("digit_word_frac"),
+        passes.alias("passes"),
+    )

@@ -449,6 +449,31 @@ _register(
 )
 
 _register(
+    "gopher_quality",
+    lambda s, d: textstats.gopher_quality(_t(s, d, "documents")),
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), stats AS (
+      SELECT doc_id,
+             CAST(len(ws) AS INT) AS n_words,
+             round(CAST(list_sum(list_transform(ws, x -> length(x)))
+                        AS DOUBLE) / len(ws), 4) AS mean_word_len,
+             round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+                        AS DOUBLE) / len(ws), 4) AS alpha_word_frac,
+             round(CAST(len(list_filter(ws, x -> regexp_matches(x, '^[0-9]+$')))
+                        AS DOUBLE) / len(ws), 4) AS digit_word_frac
+      FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac, digit_word_frac,
+           CAST(mean_word_len BETWEEN 3.0 AND 10.0
+                AND alpha_word_frac >= 0.8
+                AND digit_word_frac < 0.3 AS INT) AS passes
+    FROM stats
+    """,
+)
+
+_register(
     "source_skew_stats",
     lambda s, d: textstats.source_skew_stats(_t(s, d, "documents")),
     """
