@@ -57,6 +57,7 @@ def test_no_python_udf_in_relational_queries(spark):
         "pricing_summary", "sessionize", "dedup_exact", "minhash_lsh_pairs",
         "simhash_buckets", "simhash_hamming_pairs", "token_quality", "langid",
         "fingerprint", "cosine_topk", "ivf_bucket_stats",
+        "near_dup_dedup_first", "gopher_quality",
     ):
         plan = formatted_plan(Q.QUERIES[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
@@ -68,7 +69,8 @@ def test_candidate_joins_are_hash_joins_not_all_pairs(spark):
     nested-loop / cartesian join: candidates come from equi-joins on band
     or bucket keys (the scale contract of SURVEY.md section 2)."""
     for name in ("minhash_lsh_pairs", "simhash_hamming_pairs",
-                 "embedding_near_dup", "ivf_bucket_stats"):
+                 "embedding_near_dup", "ivf_bucket_stats",
+                 "near_dup_dedup_first"):
         plan = formatted_plan(Q.QUERIES[name](spark, SF))
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
