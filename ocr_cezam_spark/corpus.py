@@ -338,3 +338,121 @@ def corpus_df(spark, n: int, seed: int = SEED):
     return base.mapInPandas(gen, schema=CORPUS_SCHEMA).select(
         "url", F.col("warc_ts").cast("timestamp"), "html", "text", "lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# PDF corpus: minimal valid PDFs (catalog/pages/page/font/content xref) with
+# deterministic text content — the fixture for the kernel's layout-parse
+# path (kernel.pdf_text). Even doc_ids get FlateDecode content streams,
+# odd ids raw streams, so both decode paths stay exercised.
+# ---------------------------------------------------------------------------
+
+
+def _pdf_escape(s: str) -> bytes:
+    # cp1252 = WinAnsiEncoding (the kernel decodes the same way)
+    out = s.encode("cp1252", errors="replace")
+    return out.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def build_pdf(lines: list[str], compress: bool) -> bytes:
+    """One-page PDF whose content stream shows `lines` top-to-bottom."""
+    import zlib
+
+    shows = b" ".join(
+        b"0 -14 Td (" + _pdf_escape(l) + b") Tj" for l in lines
+    )
+    content = b"BT /F1 12 Tf 50 780 Td " + shows + b" ET"
+    filt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b" /Filter /FlateDecode"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Length " + str(len(content)).encode() + filt
+        + b" >>\nstream\n" + content + b"\nendstream",
+    ]
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    buf += b"0000000000 65535 f \n"
+    for off in offsets:
+        buf += f"{off:010d} 00000 n \n".encode()
+    buf += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(buf)
+
+
+def make_pdf_page(doc_id: int, seed: int = SEED) -> dict:
+    """One deterministic PDF document row (same schema as make_page).
+
+    Three content kinds so the per-kind dispatch runs on PDF payloads too:
+    statements (with a bank marker and its configured date format), tax
+    notices, and plain articles."""
+    rng = random.Random(seed * 7_000_003 + doc_id)
+    url = f"https://files.site-{rng.randint(0, 99):03d}.example.org/docs/{doc_id:06d}.pdf"
+    warc_ts = dt.datetime(2024, 2, 1) + dt.timedelta(minutes=doc_id % 525_600)
+
+    kind = doc_id % 3
+    if kind == 0:  # bank statement rendered as PDF text
+        bank_i = rng.randrange(len(_BANK_MARKERS))
+        fmt = BANK_DATE_FORMATS.get(_BANK_IDS[bank_i], "fr")
+        day, month, year = rng.randint(1, 28), rng.randint(1, 12), 2024
+        lines = [
+            f"{rng.choice(('M.', 'Mme'))} {rng.choice(_FIRST_NAMES)} {rng.choice(_LAST_NAMES)}",
+            f"{rng.randint(1, 99)} {rng.choice(_STREETS)} des {rng.choice(_FR_WORDS)}",
+            f"Tél: 01{rng.randint(10 ** 7, 10 ** 8 - 1)}",
+            f"contact.{doc_id}@agence-{rng.randint(0, 99)}.fr",
+            "Relevé édité le",
+            _date_in_bank_format(day, month, year, fmt),
+            f"{_BANK_MARKERS[bank_i]} — relevé de compte (pdf)",
+        ]
+    elif kind == 1:  # tax notice
+        day, month = rng.randint(1, 28), rng.randint(1, 12)
+        lines = [
+            "Direction générale des finances publiques",
+            "Impôt sur le revenu",
+            f"Avis d'impôt établi le {day:02d}/{month:02d}/2024",
+        ]
+    else:  # plain article
+        lines = [
+            _sentence(rng, _VOCAB, 4, 7).capitalize(),
+            *(_sentence(rng, _VOCAB) for _ in range(rng.randint(2, 5))),
+        ]
+
+    return {
+        "url": url,
+        "warc_ts": warc_ts,
+        "html": build_pdf(lines, compress=(doc_id % 2 == 0)),
+        "text": " ".join(lines),
+        "lang": "fra",
+    }
+
+
+def pdf_corpus_df(spark, n: int, seed: int = SEED):
+    """PDF corpus as a Spark DataFrame (input_hint schema; the html column
+    carries PDF bytes — the content-type sniff in the kernel routes them)."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [make_pdf_page(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    n_parts = max(2, min(32, n // 250 or 2))
+    base = spark.range(0, n, 1, n_parts)
+    return base.mapInPandas(gen, schema=CORPUS_SCHEMA).select(
+        "url", F.col("warc_ts").cast("timestamp"), "html", "text", "lang"
+    )

@@ -800,6 +800,108 @@ def extract_fiscal_codes(rows: list[list[str]]) -> list[tuple[str, int, str]]:
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# PDF layout parse (the reference's pdf2image+OCR page path, utils/utils.py
+# :15-29 + pytesseract, re-expressed as direct content-stream text
+# recovery: no rasterization, no OCR — the text operators ARE the layout)
+# --------------------------------------------------------------------------
+
+
+_PDF_MAGIC = b"%PDF-"
+_PDF_STREAM_RX = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.DOTALL)
+_PDF_TEXTBLOCK_RX = re.compile(rb"BT(.*?)ET", re.DOTALL)
+_PDF_ESCAPES = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+
+
+def _pdf_string_at(b: bytes, i: int) -> tuple[str, int]:
+    """Parse a PDF literal string starting at b[i] == '(' — balanced
+    parens, backslash escapes, octal codes (PDF 32000-1 section 7.3.4.2).
+    Bytes decode as cp1252 (WinAnsiEncoding, the standard simple-font
+    encoding — covers the euro sign and em-dash latin-1 lacks).
+    Returns (decoded text, index past the closing paren)."""
+    i += 1
+    depth = 1
+    out = bytearray()
+    n = len(b)
+    while i < n and depth:
+        ch = b[i]
+        if ch == 0x5C:  # backslash
+            nxt = b[i + 1] if i + 1 < n else -1
+            if nxt in _PDF_ESCAPES:
+                out.append(_PDF_ESCAPES[nxt])
+                i += 2
+            elif 0x30 <= nxt <= 0x37:  # up to 3 octal digits
+                j = i + 1
+                code = 0
+                while j < n and j < i + 4 and 0x30 <= b[j] <= 0x37:
+                    code = code * 8 + (b[j] - 0x30)
+                    j += 1
+                out.append(code & 0xFF)
+                i = j
+            elif nxt in (0x28, 0x29, 0x5C):
+                out.append(nxt)
+                i += 2
+            elif nxt == 0x0A:  # line continuation
+                i += 2
+            else:
+                i += 1  # lone backslash: dropped per spec
+        elif ch == 0x28:
+            depth += 1
+            out.append(ch)
+            i += 1
+        elif ch == 0x29:
+            depth -= 1
+            if depth:
+                out.append(ch)
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return out.decode("cp1252", errors="replace"), i
+
+
+def pdf_text(data: bytes) -> str:
+    """Text recovery from a PDF's content streams — pure stdlib.
+
+    FlateDecode streams are inflated with zlib; inside each BT..ET text
+    block every literal string is shown text (the Tj/TJ/'/\" operands) and
+    the line-positioning operators Td/TD/T* flush the current line — the
+    naive text-extractor semantics, exact for the single-column documents
+    this pipeline targets. Non-content streams (no BT) and undecodable
+    streams are skipped; normalization matches the HTML path (_norm per
+    line, empties dropped)."""
+    import zlib
+
+    lines: list[str] = []
+    for dct, body in _PDF_STREAM_RX.findall(data):
+        if b"/FlateDecode" in dct:
+            try:
+                body = zlib.decompress(body)
+            except Exception:
+                continue
+        if b"BT" not in body:
+            continue
+        for block in _PDF_TEXTBLOCK_RX.findall(body):
+            cur: list[str] = []
+            i = 0
+            n = len(block)
+            while i < n:
+                ch = block[i]
+                if ch == 0x28:  # '('
+                    s, i = _pdf_string_at(block, i)
+                    cur.append(s)
+                elif ch == 0x54 and block[i:i + 2] in (b"Td", b"TD", b"T*"):
+                    if cur:
+                        lines.append("".join(cur))
+                        cur = []
+                    i += 2
+                else:
+                    i += 1
+            if cur:
+                lines.append("".join(cur))
+    return "\n".join(t for t in (_norm(l) for l in lines) if t)
+
+
 def extract(url: str, html: bytes, lang: str) -> dict:
     """Extract main text, fields, table cells, statuses from one page.
 
@@ -833,6 +935,12 @@ def _parse_tree(text: str) -> _Node:
 
 
 def _extract_inner(url: str, html: bytes, lang: str) -> dict:
+    # Content-type sniff (P7 analog, releve_bancaire.py:35-42 extension
+    # guard): PDF payloads take the layout-parse path (text operators from
+    # the content streams), everything else the HTML DOM path. Both feed
+    # the same per-kind analysis.
+    if html[:5] == _PDF_MAGIC:
+        return _analyze(url, pdf_text(html), [], [])
     root = _parse_tree(html.decode("utf-8", errors="replace"))
 
     # 1. Main-content container scoring (boilerplate strip + P4 analog).
@@ -863,22 +971,11 @@ def _extract_inner(url: str, html: bytes, lang: str) -> dict:
                 parts.append(t)
         text = "\n".join(parts)
 
-    # 2. Doc-kind detection (J5+K8) then per-kind dispatch (J2, the
-    #    reference's switcher dict ocr_cezam.py:35-44): each document runs
-    #    ONLY its kind's extractors — statements get zone fields and the
-    #    balance reconciliation, id docs get MRZ + key:value + id-number,
-    #    tax notices get the F7 date, fiscal forms get code extraction.
-    lines = _lines_of_words(text)
-    kind = detect_doc_kind(text)
-    fields: dict[str, str] = {"doc_kind": kind}
-
     # Tables -> long-format cells for every kind (the generic K3 table
-    # model); per-kind analytics over those tables happen below.
+    # model); per-kind analytics over those tables happen in _analyze.
     tables: list = []
     _find_tables(root, tables)
     cells: list[tuple[int, int, int, str]] = []
-    statuses: list[tuple[int, str, str]] = []
-    codes: list[tuple[int, str, int, str]] = []
     table_rows: list[list[list[str]]] = []
     for t_id, table in enumerate(tables):
         rows = _table_cells(table)
@@ -886,6 +983,24 @@ def _extract_inner(url: str, html: bytes, lang: str) -> dict:
         for r_id, row in enumerate(rows):
             for c_id, value in enumerate(row):
                 cells.append((t_id, r_id, c_id, value))
+
+    return _analyze(url, text, table_rows, cells)
+
+
+def _analyze(url: str, text: str,
+             table_rows: list[list[list[str]]],
+             cells: list[tuple[int, int, int, str]]) -> dict:
+    """Doc-kind detection (J5+K8) then per-kind dispatch (J2, the
+    reference's switcher dict ocr_cezam.py:35-44): each document runs
+    ONLY its kind's extractors — statements get zone fields and the
+    balance reconciliation, id docs get MRZ + key:value + id-number,
+    tax notices get the F7 date, fiscal forms get code extraction.
+    Shared by the HTML and PDF payload paths."""
+    lines = _lines_of_words(text)
+    kind = detect_doc_kind(text)
+    fields: dict[str, str] = {"doc_kind": kind}
+    statuses: list[tuple[int, str, str]] = []
+    codes: list[tuple[int, str, int, str]] = []
 
     if kind == "statement":
         bank_id = get_bank_id(text)

@@ -1291,6 +1291,36 @@ def _kernel_out(s: SparkSession) -> DataFrame:
     return _KERNEL_CACHE[key]
 
 
+PDF_N = 200  # pdf corpus size (tools/freeze_golden.py N_PDF)
+
+
+def _pdf_out(s: SparkSession) -> DataFrame:
+    """Kernel extraction over the PDF corpus — the content-type sniff
+    routes these payloads through pdf_text (the layout-parse path) and
+    then the same per-kind dispatch as HTML pages."""
+    from .corpus import pdf_corpus_df
+
+    return X.run_extract(pdf_corpus_df(s, PDF_N), num_partitions=8)
+
+
+_register(
+    "pdf_extract_text",
+    lambda s, d: X.extracted_text(_pdf_out(s)).select("url", "text"),
+    f"""
+    SELECT url, text
+    FROM read_parquet('{GOLDEN_DIR}/pdf_text_n{PDF_N}.parquet')
+    """,
+)
+
+_register(
+    "pdf_fields",
+    lambda s, d: X.extracted_fields(_pdf_out(s)),
+    f"""
+    SELECT url, field, value
+    FROM read_parquet('{GOLDEN_DIR}/pdf_fields_n{PDF_N}.parquet')
+    """,
+)
+
 _register(
     "extract_text",
     lambda s, d: X.extracted_text(_kernel_out(s)).select("url", "text"),

@@ -18,10 +18,11 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from ocr_cezam_spark.corpus import make_page  # noqa: E402
+from ocr_cezam_spark.corpus import make_page, make_pdf_page  # noqa: E402
 from ocr_cezam_spark.kernel import extract  # noqa: E402
 
 N = 400
+N_PDF = 200
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden")
 
 
@@ -75,7 +76,29 @@ def main() -> None:
     write(fields, "extract_fields")
     write(cells, "extract_cells", ("table_id", "row_id", "col_id"))
     write(codes, "fiscal_codes", ("table_id", "pos"))
-    print(f"wrote goldens for n={N} to {OUT}")
+
+    # PDF corpus goldens (the layout-parse path through the same kernel)
+    p_texts = {"url": [], "text": []}
+    p_fields = {"url": [], "field": [], "value": []}
+    for i in range(N_PDF):
+        p = make_pdf_page(i)
+        r = extract(p["url"], p["html"], p["lang"])
+        assert r["error"] is None, (i, r["error"])
+        p_texts["url"].append(r["url"])
+        p_texts["text"].append(r["text"])
+        for k in sorted(r["fields"]):
+            p_fields["url"].append(r["url"])
+            p_fields["field"].append(k)
+            p_fields["value"].append(r["fields"][k])
+
+    def write_pdf(data: dict, name: str) -> None:
+        schema = pa.schema([(col, pa.string()) for col in data])
+        pq.write_table(pa.table(data, schema=schema),
+                       os.path.join(OUT, f"{name}_n{N_PDF}.parquet"))
+
+    write_pdf(p_texts, "pdf_text")
+    write_pdf(p_fields, "pdf_fields")
+    print(f"wrote goldens for n={N} (+{N_PDF} pdf) to {OUT}")
 
 
 if __name__ == "__main__":
