@@ -286,11 +286,11 @@ def _fast_parse(html: str) -> _Node:
             text = html[pos : m.start()]
             stack[-1].children.append(unescape(text) if "&" in text else text)
         pos = m.end()
-        tag = m.group(2)
+        closing, tag = m.group(1, 2)
         if tag is None:  # comment / CDATA / doctype
             continue
         tag = tag.lower()
-        if m.group(1):  # end tag: pop to the matching open tag (tolerant)
+        if closing:  # end tag: pop to the matching open tag (tolerant)
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
                     del stack[i:]
@@ -529,7 +529,13 @@ def get_date(lines, date_format: str | None = None) -> str | None:
     configured banks' own renderings). Re-rendered '%d %B %Y' French
     (releve_bancaire.py:117)."""
     for row in lines:
-        for cand in [" ".join(row)] + row:
+        # single-token rows: the joined line IS the word (skip the join);
+        # the digit guard is hoisted here so a non-date candidate costs
+        # one isdigit instead of four guarded format attempts
+        cands = row if len(row) == 1 else [" ".join(row)] + row
+        for cand in cands:
+            if not cand[:1].isdigit():
+                continue
             parsed = None
             if date_format:
                 parsed = _try_date_fmt(cand, date_format)
@@ -588,10 +594,16 @@ def detect_doc_kind(text: str) -> str:
     must hit SOME word, words need not be adjacent); tax_notice is a
     phrase match. Unclassified pages are generic 'web_page'."""
     low = text.lower().replace("’", "'")
-    words = low.split()
+    # substring-in-some-word implies substring-in-text, so the cheap text
+    # scan is an exact pre-filter: the word split (a full-text allocation)
+    # only runs for pages where every pattern already appears somewhere
+    words = None
     for kind, patterns in DOC_KIND_TOKEN_PATTERNS:
-        if all(any(p in w for w in words) for p in patterns):
-            return kind
+        if all(p in low for p in patterns):
+            if words is None:
+                words = low.split()
+            if all(any(p in w for w in words) for p in patterns):
+                return kind
     for kind, patterns in DOC_KIND_PHRASE_PATTERNS:
         if all(p in low for p in patterns):
             return kind
