@@ -272,19 +272,26 @@ from html import unescape  # noqa: E402 — used by the fast parser below
 def _fast_parse(html: str) -> _Node:
     root = _Node("#root", 0)
     stack = [root]
+    # hot-loop locals: the current node's child list is tracked directly
+    # (updated on push/pop) so the per-token stack[-1].children attribute
+    # chain disappears; module globals are bound once
+    top_children = root.children
+    search = _TOKEN_RX.search
+    void_tags, rawtext = _VOID_TAGS, _RAWTEXT_CLOSE
+    unesc = unescape
     order = 0
     pos = 0
     n = len(html)
     while pos < n:
-        m = _TOKEN_RX.search(html, pos)
+        m = search(html, pos)
         if m is None:
             text = html[pos:]
             if text:
-                stack[-1].children.append(unescape(text) if "&" in text else text)
+                top_children.append(unesc(text) if "&" in text else text)
             break
         if m.start() > pos:
             text = html[pos : m.start()]
-            stack[-1].children.append(unescape(text) if "&" in text else text)
+            top_children.append(unesc(text) if "&" in text else text)
         pos = m.end()
         closing, tag = m.group(1, 2)
         if tag is None:  # comment / CDATA / doctype
@@ -294,19 +301,20 @@ def _fast_parse(html: str) -> _Node:
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
                     del stack[i:]
+                    top_children = stack[-1].children
                     break
             continue
-        if tag in _VOID_TAGS:
+        if tag in void_tags:
             if tag == "br":
-                stack[-1].children.append(" ")
+                top_children.append(" ")
             continue
         order += 1
         node = _Node(tag, order)
-        stack[-1].children.append(node)
-        if html[m.end() - 2] == "/":  # explicit self-close: empty element
+        top_children.append(node)
+        if html[pos - 2] == "/":  # explicit self-close: empty element
             continue
-        if tag in _RAWTEXT_CLOSE:  # raw-text element: skip to its close tag
-            mc = _RAWTEXT_CLOSE[tag].search(html, pos)
+        if tag in rawtext:  # raw-text element: skip to its close tag
+            mc = rawtext[tag].search(html, pos)
             if mc is None:
                 node.children.append(html[pos:])
                 break
@@ -315,6 +323,7 @@ def _fast_parse(html: str) -> _Node:
             continue
         if len(stack) < MAX_TREE_DEPTH:
             stack.append(node)
+            top_children = node.children
         # beyond the cap the element stays a leaf; following content
         # flattens into the capped ancestor (depth-bounded like browsers)
     return root

@@ -42,3 +42,18 @@ def test_resume_noop_when_complete(spark, tmp_path):
     counts = run_job(spark, docs, prefix, num_partitions=2, resume=True)
     assert counts["extracted"] == 0
     assert len(_texts(spark, prefix)) == 40
+
+
+def test_resume_mixed_html_pdf(spark, tmp_path):
+    """The resume anti-join is payload-type agnostic: a partial run over a
+    mixed HTML+PDF corpus resumes with exactly the missing urls."""
+    from ocr_cezam_spark.corpus import pdf_corpus_df
+
+    docs = corpus_df(spark, 40).unionByName(pdf_corpus_df(spark, 40))
+    prefix = str(tmp_path / "mixed")
+    run_job(spark, docs.limit(50), prefix, num_partitions=4, resume=False)
+    counts = run_job(spark, docs, prefix, num_partitions=4, resume=True)
+    assert counts["extracted"] == 30
+    assert len(_texts(spark, prefix)) == 80
+    rerun = run_job(spark, docs, prefix, num_partitions=4, resume=True)
+    assert rerun["extracted"] == 0
