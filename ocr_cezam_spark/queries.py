@@ -1291,6 +1291,40 @@ def _kernel_out(s: SparkSession) -> DataFrame:
     return _KERNEL_CACHE[key]
 
 
+# Line-model quality stats (the Gopher line-level gates need line
+# structure the flat documents table lacks; the kernel's extracted text
+# carries it): per url, line count, mean/max line length and the
+# short-line fraction. Oracle recomputes from the frozen golden text.
+def _line_stats(s: SparkSession, d: str) -> DataFrame:
+    text = X.extracted_text(_kernel_out(s))
+    lines = text.select("url", F.explode(F.split("text", "\n")).alias("l"))
+    ln = F.length("l")
+    return lines.groupBy("url").agg(
+        F.count("*").cast("int").alias("n_lines"),
+        F.round(F.avg(ln), 4).alias("avg_line_chars"),
+        F.max(ln).cast("int").alias("max_line_chars"),
+        F.round(F.avg((ln < 20).cast("int")), 4).alias("short_line_frac"),
+    )
+
+
+_register(
+    "line_stats",
+    _line_stats,
+    f"""
+    WITH l AS (
+      SELECT url, unnest(string_split(text, chr(10))) AS l
+      FROM read_parquet('{{GOLDEN}}/extract_text_n{{N}}.parquet')
+    )
+    SELECT url, CAST(count(*) AS INT) AS n_lines,
+           round(avg(length(l)), 4) AS avg_line_chars,
+           CAST(max(length(l)) AS INT) AS max_line_chars,
+           round(avg(CASE WHEN length(l) < 20 THEN 1 ELSE 0 END), 4)
+             AS short_line_frac
+    FROM l GROUP BY url
+    """.replace("{GOLDEN}", GOLDEN_DIR).replace("{N}", str(KERNEL_N)),
+)
+
+
 PDF_N = 200  # pdf corpus size (tools/freeze_golden.py N_PDF)
 
 
