@@ -91,6 +91,33 @@ def decode_metadata(with_payload: DataFrame, id_col: str = "doc_id") -> DataFram
     return with_payload.mapInPandas(run, schema=META_SCHEMA)
 
 
+HIST_SCHEMA = "doc_id long, bin int, n int"
+
+
+def byte_histogram(with_payload: DataFrame, id_col: str = "doc_id",
+                   bins: int = 16) -> DataFrame:
+    """Feature-extract step over the binary column: per-payload byte
+    histogram (high-nibble bins by default — the classic cheap file-type
+    feature), Arrow-batched mapInPandas, long format (doc_id, bin, n)
+    with zero bins omitted. Real computation, no image libs needed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                h = [0] * bins
+                for b in payload or b"":
+                    h[b * bins // 256] += 1
+                rows += [
+                    {"doc_id": int(doc_id), "bin": i, "n": c}
+                    for i, c in enumerate(h)
+                    if c
+                ]
+            yield pd.DataFrame(rows, columns=["doc_id", "bin", "n"])
+
+    return with_payload.mapInPandas(run, schema=HIST_SCHEMA)
+
+
 FRAME_SCHEMA = (
     "doc_id long, frame_idx int, frame_ts_ms int, frame_hex string, "
     "frame binary, width int, height int"

@@ -1236,6 +1236,22 @@ _register(
 )
 
 _register(
+    "byte_histogram",
+    lambda s, d: multimodal.byte_histogram(
+        multimodal.attach_payload(_t(s, d, "documents"))
+    ),
+    """
+    WITH i AS (
+      SELECT doc_id, md5(text) AS h, unnest(range(16)) AS i FROM documents
+    )
+    SELECT doc_id,
+           ('0x' || substr(h, CAST(2 * i + 1 AS INT), 1))::INT AS bin,
+           CAST(count(*) AS INT) AS n
+    FROM i GROUP BY doc_id, bin
+    """,
+)
+
+_register(
     "frame_sample",
     lambda s, d: multimodal.frame_sample(
         multimodal.attach_payload(_t(s, d, "documents"))
