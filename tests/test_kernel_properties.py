@@ -91,3 +91,33 @@ def test_huge_flat_page():
     html = b"<body><div>" + b"<p>word " * 50000 + b"</div></body>"
     r = extract("u", html, "fra")
     assert r["error"] is None and len(r["text"]) > 100000
+
+
+# --- PDF path properties ---------------------------------------------------
+
+_pdf_line = st.text(
+    alphabet=st.characters(
+        codec="cp1252", exclude_characters="\x00",
+        exclude_categories=("Cc", "Cs"),
+    ),
+    min_size=1, max_size=40,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_pdf_line, min_size=1, max_size=8), st.booleans())
+def test_pdf_build_parse_roundtrip(lines, compress):
+    from ocr_cezam_spark.corpus import build_pdf
+
+    blob = build_pdf(lines, compress=compress)
+    got = kernel.pdf_text(blob).split("\n")
+    expect = [n for n in (kernel._norm(l) for l in lines) if n]
+    assert got == (expect or [""])
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_pdf_extract_never_raises_on_garbage(blob):
+    r = extract("u", b"%PDF-" + blob, "fra")
+    s = extract("u", b"%PDF-" + blob, "fra")
+    assert r == s and r["error"] is None
