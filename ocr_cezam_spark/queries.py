@@ -1235,6 +1235,48 @@ _register(
     """,
 )
 
+# URL canonicalization (crawl-dedup prerequisite): messy re-crawl URLs —
+# cased scheme/host, default and non-default ports, unsorted query params,
+# fragments — normalize to one key per logical page. The fixture builds
+# the messy form from doc_id; the oracle states the expected canonical
+# form from first principles (no shared normalization code).
+def _url_canonicalize(s: SparkSession, d: str) -> DataFrame:
+    from .functions.url import canonicalize_url, host_suffix
+
+    k = F.col("doc_id") % 50
+    messy = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("HTTPS://News.Site-"), k, F.lit(".Example.ORG:443/articles/"),
+                 F.col("doc_id"), F.lit("?utm=x&b=2&a=1#sec")),
+    ).otherwise(
+        F.concat(F.lit("http://Site-"), k, F.lit(".Example.ORG:8080/a/"),
+                 F.col("doc_id"), F.lit("?z=1#top")),
+    )
+    docs = _t(s, d, "documents").select("doc_id", messy.alias("url"))
+    return docs.select(
+        "doc_id",
+        canonicalize_url(F.col("url")).alias("canon_url"),
+        host_suffix(F.col("url")).alias("domain"),
+    )
+
+
+_register(
+    "url_canonicalize",
+    _url_canonicalize,
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN
+             'https://news.site-' || (doc_id % 50)
+               || '.example.org/articles/' || doc_id || '?a=1&b=2&utm=x'
+           ELSE
+             'http://site-' || (doc_id % 50)
+               || '.example.org:8080/a/' || doc_id || '?z=1'
+           END AS canon_url,
+           'example.org' AS domain
+    FROM documents
+    """,
+)
+
 _register(
     "byte_histogram",
     lambda s, d: multimodal.byte_histogram(

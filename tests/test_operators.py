@@ -284,3 +284,20 @@ def test_image_header_decode_stdlib():
     blob = bytes([7, 9]) + b"\x00" * 14
     assert multimodal._decode_payload(blob) == (16, 7, 9)
     assert multimodal._decode_payload(b"") == (0, 0, 0)
+
+
+def test_canonicalize_url_edge_cases(spark):
+    from ocr_cezam_spark.functions.url import canonicalize_url, host_suffix
+
+    cases = [
+        ("HTTP://Host.Example.COM:80/x#frag", "http://host.example.com/x"),
+        ("https://h.example.org:8443/p?b=2&a=1", "https://h.example.org:8443/p?a=1&b=2"),
+        ("https://h.example.org", "https://h.example.org"),
+        ("http://h.example.org/?q=1#a#b", "http://h.example.org/?q=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r["c"] for r in df.select(canonicalize_url(F.col("u")).alias("c")).collect()]
+    assert got == [c for _, c in cases]
+    dom = df.select(host_suffix(F.col("u")).alias("d")).collect()
+    assert [r["d"] for r in dom] == ["example.com", "example.org",
+                                     "example.org", "example.org"]
