@@ -5,7 +5,9 @@ so the normalization codegens and the downstream url-hash partitioning /
 exact dedup sees one key per logical page.
 
 Scope: scheme+host lowercasing, default-port stripping (http:80,
-https:443), query-parameter sort, fragment removal. Dot-segment path
+https:443), query-parameter sort, fragment removal, userinfo stripping
+(credentials never distinguish pages and must not leak into dedup keys).
+Empty-authority URLs (file:///p) keep their path. Dot-segment path
 resolution is deliberately out of scope (needs a fold; rare in crawl
 frontiers that already emit absolute URLs).
 """
@@ -20,10 +22,13 @@ def canonicalize_url(u: Column) -> Column:
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     rest = F.regexp_replace(rest, "#.*$", "")  # fragment never reaches the server
-    hostport = F.regexp_extract(rest, r"^([^/?]+)", 1)
-    host = F.lower(F.regexp_extract(hostport, r"^([^:]+)", 1))
+    authority = F.regexp_extract(rest, r"^([^/?]*)", 1)  # may be empty (file:///)
+    # userinfo ends at the LAST '@' of the authority (RFC 3986: host may
+    # not contain '@'); credentials are stripped from the canonical key
+    hostport = F.regexp_extract(authority, r"^(?:.*@)?([^@]*)$", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
-    path = F.regexp_extract(rest, r"^[^/?]+([^?]*)", 1)
+    path = F.regexp_extract(rest, r"^[^/?]*([^?]*)", 1)
     query = F.regexp_extract(rest, r"\?(.*)$", 1)
     keep_port = ~(
         (port == "")
@@ -44,8 +49,11 @@ def canonicalize_url(u: Column) -> Column:
 def host_suffix(u: Column, levels: int = 2) -> Column:
     """Last `levels` labels of the host (site-group key for per-domain
     quotas / skew stats): 'a.b.site.example.org' -> 'example.org'."""
+    authority = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+    )
     host = F.lower(
-        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?]+)", 1)
+        F.regexp_extract(authority, r"^(?:.*@)?([^:@]*)", 1)
     )
     parts = F.split(host, r"\.")
     return F.array_join(

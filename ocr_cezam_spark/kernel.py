@@ -94,10 +94,14 @@ BANK_DATE_FORMATS = {
 # The fiscal kind uses the K8 page-type probe (bilan.py:109-136): a marker
 # plus one of the DGFiP form numbers; tax_notice is a phrase match on the
 # normalized text (avis_imposition.py:133-147).
+# Each pattern slot is a tuple of ALTERNATIVES: some word must contain any
+# one of them. The reference's accent-sensitive 'sejour' relies on OCR
+# accent loss; this kernel reads true text, so the accented spelling is an
+# accepted alternative (same documents, no OCR to strip the accent).
 DOC_KIND_TOKEN_PATTERNS = (
-    ("passport", ("passeport",)),
-    ("id_card", ("carte", "nationale")),
-    ("residence_permit", ("carte", "sejour")),
+    ("passport", (("passeport",),)),
+    ("id_card", (("carte",), ("nationale",))),
+    ("residence_permit", (("carte",), ("sejour", "séjour"))),
 )
 DOC_KIND_PHRASE_PATTERNS = (("tax_notice", ("avis d'imp",)),)
 FISCAL_PROBE_MARKERS = ("liasse fiscale", "dgfip")
@@ -107,6 +111,11 @@ STATEMENT_PATTERNS = ("relevé",)
 # F20 field-spec table (document_identite.py:119-130): field name, trigger
 # substring (matched by containment in any word, like the reference's
 # `f in w.lower()`), index of the ':' whose following token is the value.
+# KNOWN REFERENCE QUIRK, reproduced deliberately: 'nom:' is a substring of
+# 'prénom:', so on a card whose Prénom line precedes the Nom line the
+# kv_nom trigger fires on the prénom row first — exactly what the
+# reference's get_field does with its ['nom'] trigger. Pinned by a unit
+# test; fixing it here would diverge from the parity contract.
 FIELD_SPECS = (
     ("kv_nom", "nom:", 0),
     ("kv_prenom", "prénom:", 0),
@@ -605,13 +614,15 @@ def detect_doc_kind(text: str) -> str:
     low = text.lower().replace("’", "'")
     # substring-in-some-word implies substring-in-text, so the cheap text
     # scan is an exact pre-filter: the word split (a full-text allocation)
-    # only runs for pages where every pattern already appears somewhere
+    # only runs for pages where every pattern slot already hits somewhere
     words = None
-    for kind, patterns in DOC_KIND_TOKEN_PATTERNS:
-        if all(p in low for p in patterns):
+    for kind, slots in DOC_KIND_TOKEN_PATTERNS:
+        if all(any(p in low for p in alts) for alts in slots):
             if words is None:
                 words = low.split()
-            if all(any(p in w for w in words) for p in patterns):
+            if all(
+                any(p in w for w in words for p in alts) for alts in slots
+            ):
                 return kind
     for kind, patterns in DOC_KIND_PHRASE_PATTERNS:
         if all(p in low for p in patterns):
@@ -830,8 +841,10 @@ def extract_fiscal_codes(rows: list[list[str]]) -> list[tuple[str, int, str]]:
 
 _PDF_MAGIC = b"%PDF-"
 _PDF_STREAM_RX = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.DOTALL)
-_PDF_TEXTBLOCK_RX = re.compile(rb"BT(.*?)ET", re.DOTALL)
 _PDF_ESCAPES = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+# PDF delimiters + whitespace: an operator token must be bounded by these
+# (or the stream edge), so 'ET' inside 'INTERETS' never ends a text block
+_PDF_DELIMS = frozenset(b"\x00\t\n\x0c\r ()<>[]{}/%")
 
 
 def _pdf_string_at(b: bytes, i: int) -> tuple[str, int]:
@@ -881,16 +894,33 @@ def _pdf_string_at(b: bytes, i: int) -> tuple[str, int]:
     return out.decode("cp1252", errors="replace"), i
 
 
+def _pdf_op_at(body: bytes, i: int, op: bytes) -> bool:
+    """True when `op` occurs at i as a standalone operator token — bounded
+    by PDF delimiters/whitespace or the stream edge on BOTH sides (so the
+    'ET' inside the shown word 'INTERETS' is never an operator; operands
+    inside literal strings never reach this check because the string is
+    consumed whole by _pdf_string_at)."""
+    if body[i:i + len(op)] != op:
+        return False
+    if i > 0 and body[i - 1] not in _PDF_DELIMS:
+        return False
+    j = i + len(op)
+    return j >= len(body) or body[j] in _PDF_DELIMS
+
+
 def pdf_text(data: bytes) -> str:
     """Text recovery from a PDF's content streams — pure stdlib.
 
-    FlateDecode streams are inflated with zlib; inside each BT..ET text
-    block every literal string is shown text (the Tj/TJ/'/\" operands) and
-    the line-positioning operators Td/TD/T* flush the current line — the
-    naive text-extractor semantics, exact for the single-column documents
-    this pipeline targets. Non-content streams (no BT) and undecodable
-    streams are skipped; normalization matches the HTML path (_norm per
-    line, empties dropped)."""
+    FlateDecode streams are inflated with zlib; the stream is walked as a
+    token sequence in which literal strings are consumed whole (balanced
+    parens + escapes), so BT/ET/Td/TD/T* are only recognized as standalone
+    operator tokens — byte sequences like 'ET' inside shown text cannot
+    end a block. Inside BT..ET every literal string is shown text (the
+    Tj/TJ/'/\" operands) and the line-positioning operators Td/TD/T* flush
+    the current line — the naive text-extractor semantics, exact for the
+    single-column documents this pipeline targets. Non-content streams
+    (no BT) and undecodable streams are skipped; normalization matches the
+    HTML path (_norm per line, empties dropped)."""
     import zlib
 
     lines: list[str] = []
@@ -902,24 +932,41 @@ def pdf_text(data: bytes) -> str:
                 continue
         if b"BT" not in body:
             continue
-        for block in _PDF_TEXTBLOCK_RX.findall(body):
-            cur: list[str] = []
-            i = 0
-            n = len(block)
-            while i < n:
-                ch = block[i]
-                if ch == 0x28:  # '('
-                    s, i = _pdf_string_at(block, i)
+        cur: list[str] = []
+        in_text = False
+        i = 0
+        n = len(body)
+        while i < n:
+            ch = body[i]
+            if ch == 0x28:  # '(' — consume the string wherever it occurs
+                s, i = _pdf_string_at(body, i)
+                if in_text:
                     cur.append(s)
-                elif ch == 0x54 and block[i:i + 2] in (b"Td", b"TD", b"T*"):
-                    if cur:
-                        lines.append("".join(cur))
-                        cur = []
-                    i += 2
-                else:
-                    i += 1
-            if cur:
-                lines.append("".join(cur))
+                continue
+            if ch == 0x42 and _pdf_op_at(body, i, b"BT"):
+                in_text = True
+                i += 2
+                continue
+            if ch == 0x45 and _pdf_op_at(body, i, b"ET"):
+                if cur:
+                    lines.append("".join(cur))
+                    cur = []
+                in_text = False
+                i += 2
+                continue
+            if in_text and ch == 0x54 and (
+                _pdf_op_at(body, i, b"Td")
+                or _pdf_op_at(body, i, b"TD")
+                or _pdf_op_at(body, i, b"T*")
+            ):
+                if cur:
+                    lines.append("".join(cur))
+                    cur = []
+                i += 2
+                continue
+            i += 1
+        if cur:
+            lines.append("".join(cur))
     return "\n".join(t for t in (_norm(l) for l in lines) if t)
 
 

@@ -53,6 +53,9 @@ def _decode_payload(payload: bytes) -> tuple[int, int, int]:
         i = 2
         while i + 4 <= n and payload[i] == 0xFF:
             marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte: advance one, not a segment
+                i += 1
+                continue
             if 0xD0 <= marker <= 0xD9 or marker == 0x01:  # bare markers
                 i += 2
                 continue
@@ -102,14 +105,20 @@ def byte_histogram(with_payload: DataFrame, id_col: str = "doc_id",
     with zero bins omitted. Real computation, no image libs needed."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                h = [0] * bins
-                for b in payload or b"":
-                    h[b * bins // 256] += 1
+                if not payload:
+                    continue
+                # vectorized: multi-KB/MB payloads must not pay an
+                # interpreted per-byte loop in the feature-extract stage
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                h = np.bincount(arr.astype(np.int32) * bins // 256,
+                                minlength=bins)
                 rows += [
-                    {"doc_id": int(doc_id), "bin": i, "n": c}
+                    {"doc_id": int(doc_id), "bin": i, "n": int(c)}
                     for i, c in enumerate(h)
                     if c
                 ]

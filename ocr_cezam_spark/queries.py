@@ -1320,7 +1320,7 @@ _register(
 # ===========================================================================
 
 
-_KERNEL_CACHE: dict[str, DataFrame] = {}
+_KERNEL_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _kernel_out(s: SparkSession) -> DataFrame:
@@ -1332,18 +1332,25 @@ def _kernel_out(s: SparkSession) -> DataFrame:
     after a stopped session is garbage-collected, which would hand back a
     DataFrame bound to a dead context.
 
-    Capacity 1: entering a NEW session unpersists and drops the previous
-    session's entry, so cached blocks never outlive their session in a
-    long-lived host process (a stopped context ignores the unpersist)."""
-    key = s.sparkContext.applicationId
+    One session's entries only: entering a NEW session unpersists and
+    drops every previous session's entry, so cached blocks never outlive
+    their session in a long-lived host process (a stopped context ignores
+    the unpersist)."""
+    return _cached_extract(s, "html", lambda: corpus_df(s, KERNEL_N))
+
+
+def _cached_extract(s: SparkSession, name: str, make_docs) -> DataFrame:
+    app = s.sparkContext.applicationId
+    key = (app, name)
     if key not in _KERNEL_CACHE:
         for old_key in list(_KERNEL_CACHE):
-            stale = _KERNEL_CACHE.pop(old_key)
-            try:
-                stale.unpersist()
-            except Exception:
-                pass  # context already stopped — blocks are gone anyway
-        out = X.run_extract(corpus_df(s, KERNEL_N), num_partitions=8).persist()
+            if old_key[0] != app:
+                stale = _KERNEL_CACHE.pop(old_key)
+                try:
+                    stale.unpersist()
+                except Exception:
+                    pass  # context already stopped — blocks are gone anyway
+        out = X.run_extract(make_docs(), num_partitions=8).persist()
         out.count()
         _KERNEL_CACHE[key] = out
     return _KERNEL_CACHE[key]
@@ -1389,10 +1396,11 @@ PDF_N = 200  # pdf corpus size (tools/freeze_golden.py N_PDF)
 def _pdf_out(s: SparkSession) -> DataFrame:
     """Kernel extraction over the PDF corpus — the content-type sniff
     routes these payloads through pdf_text (the layout-parse path) and
-    then the same per-kind dispatch as HTML pages."""
+    then the same per-kind dispatch as HTML pages. Cached per session
+    like _kernel_out (two queries project from it)."""
     from .corpus import pdf_corpus_df
 
-    return X.run_extract(pdf_corpus_df(s, PDF_N), num_partitions=8)
+    return _cached_extract(s, "pdf", lambda: pdf_corpus_df(s, PDF_N))
 
 
 _register(
@@ -1787,7 +1795,8 @@ def _doc_kind(s: SparkSession, d: str) -> DataFrame:
     kind = (
         F.when(has_tok("passeport"), F.lit("passport"))
         .when(has_tok("carte") & has_tok("nationale"), F.lit("id_card"))
-        .when(has_tok("carte") & has_tok("sejour"), F.lit("residence_permit"))
+        .when(has_tok("carte") & (has_tok("sejour") | has_tok("séjour")),
+              F.lit("residence_permit"))
         .when(low.contains("avis d'imp"), F.lit("tax_notice"))
         .when(
             (low.contains("liasse fiscale") | low.contains("dgfip"))

@@ -110,9 +110,14 @@ def test_kernel_cache_evicts_previous_session_entry(spark):
     q._KERNEL_CACHE.clear()
     stale = spark.range(10).persist()
     stale.count()
-    q._KERNEL_CACHE["app-from-a-stopped-session"] = stale
+    q._KERNEL_CACHE[("app-from-a-stopped-session", "html")] = stale
 
     out = q._kernel_out(spark)
-    assert list(q._KERNEL_CACHE) == [spark.sparkContext.applicationId]
+    app = spark.sparkContext.applicationId
+    assert list(q._KERNEL_CACHE) == [(app, "html")]
     assert not stale.storageLevel.useMemory  # evicted entry was unpersisted
     assert q._kernel_out(spark) is out  # current entry stays cached
+    # a second per-session entry (the pdf corpus) coexists, same session
+    pdf = q._pdf_out(spark)
+    assert set(q._KERNEL_CACHE) == {(app, "html"), (app, "pdf")}
+    assert q._pdf_out(spark) is pdf and q._kernel_out(spark) is out

@@ -167,6 +167,9 @@ def test_field_after_colon_and_id_number_units():
     # substring-in-word trigger semantics (document_identite.py:203-209):
     # punctuation-attached tokens still fire
     assert kernel.get_id_number([["Carte,", "n°:", "123456789012"]]) == "123456789012"
+    # pins the reference's known quirk: 'nom:' in 'prénom:' fires the
+    # kv_nom trigger on a prénom row (see FIELD_SPECS comment) — this is
+    # deliberate parity, not desired behavior in isolation
     assert kernel.get_field_after_colon([["Prénom:", "ANNE"]], "nom:", 0) == "ANNE"
 
 
