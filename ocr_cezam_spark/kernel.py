@@ -943,6 +943,27 @@ def pdf_text(data: bytes) -> str:
                 if in_text:
                     cur.append(s)
                 continue
+            if ch == 0x3C and body[i + 1:i + 2] != b"<":
+                # hex string <4A6F> (not a '<<' dict): pairs of hex digits,
+                # odd final digit padded with 0 (PDF 32000-1 7.3.4.3)
+                end = body.find(b">", i + 1)
+                if end < 0:
+                    break
+                hx = bytes(
+                    c for c in body[i + 1:end]
+                    if c not in b" \t\r\n\x0c\x00"
+                )
+                if len(hx) % 2:
+                    hx += b"0"
+                try:
+                    decoded = bytes.fromhex(hx.decode("ascii"))
+                except ValueError:
+                    i = end + 1
+                    continue
+                if in_text:
+                    cur.append(decoded.decode("cp1252", errors="replace"))
+                i = end + 1
+                continue
             if ch == 0x42 and _pdf_op_at(body, i, b"BT"):
                 in_text = True
                 i += 2

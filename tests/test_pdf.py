@@ -76,3 +76,23 @@ def test_pdf_corpus_df_deterministic(spark):
     for i in range(10):
         p = make_pdf_page(i)
         assert a[p["url"]] == p["html"]
+
+
+def test_pdf_tj_arrays_and_hex_strings():
+    # TJ kerning arrays concatenate their strings; hex strings decode as
+    # byte pairs (odd digit zero-padded); '<<' dicts inside BT are not
+    # strings (BDC marked-content properties)
+    body = (b"BT /F1 12 Tf 0 0 Td [(Inter) -20 (ETS)] TJ "
+            b"0 -14 Td <43616656> Tj "
+            b"/Span <</ActualText (x)>> BDC 0 -14 Td (fin) Tj EMC ET")
+    blob = (b"%PDF-1.4\n<< /Length " + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream\n%%EOF\n")
+    got = kernel.pdf_text(blob).split("\n")
+    # the (x) lives inside the BDC properties dict, not shown text
+    assert got == ["InterETS", "CafV", "fin"], got
+
+
+def test_pdf_word_boundary_operators():
+    # 'ET' / 'Td' as substrings of shown text must never act as operators
+    p = build_pdf(["RELEVE ET SOLDE TdX", "PETIT"], compress=False)
+    assert kernel.pdf_text(p).split("\n") == ["RELEVE ET SOLDE TdX", "PETIT"]
