@@ -74,3 +74,17 @@ def test_candidate_joins_are_hash_joins_not_all_pairs(spark):
         plan = formatted_plan(Q.QUERIES[name](spark, SF))
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_minhash_signature_exchange_reused_at_runtime(spark):
+    """The sig aggregate feeds three consumers (bands + both join sides);
+    its shuffle must be computed once and reused — the measured rationale
+    for the aggregate shape (dedup.py). AQE only marks reuse in the FINAL
+    adaptive plan, so this asserts after execution."""
+    for name, min_reuse in (("minhash_lsh_pairs", 1),
+                            ("near_dup_dedup_first", 1)):
+        df = Q.QUERIES[name](spark, SF)
+        df.collect()
+        ep = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in ep, name
+        assert ep.count("ReusedExchange") >= min_reuse, (name, ep[:500])
