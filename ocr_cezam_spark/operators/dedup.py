@@ -275,13 +275,22 @@ def simhash_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
 def simhash_hamming_pairs(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text",
-                          max_hamming: int = 3) -> DataFrame:
+                          max_hamming: int = 3,
+                          max_bucket: int | None = None) -> DataFrame:
     """Near-duplicate pairs within Hamming distance <= 3 of the 64-bit
     SimHash, via chunk-band LSH (the pigeonhole trick): any pair within
     distance 3 matches exactly on >= 1 of the 4 16-bit chunks, so
     candidates come from a hash self-join on (chunk_idx, chunk_value) —
     bucket-bounded, never all-pairs — and the exact Hamming distance
-    (bit_count of xor per chunk) filters the survivors."""
+    (bit_count of xor per chunk) filters the survivors.
+
+    ``max_bucket`` mirrors ``minhash_lsh_pairs``'s dup-heavy guard:
+    (chunk_idx, chunk_val) buckets larger than the cap are dropped from
+    candidate generation — on a crawl corpus one boilerplate page with 10^7
+    exact copies puts all copies in the same four chunk buckets (a
+    10^14-pair join); such clusters belong to exact dedup, not LSH. The
+    bucket-size aggregation groups on the same key as the pair join, so
+    AQE reuses the exchange."""
     sig = simhash64(docs, id_col, text_col)
     # carry the 4 chunk ints (tiny) through the band join so the signature
     # is never recomputed or re-joined; multi-chunk matches dedup at the end
@@ -290,6 +299,14 @@ def simhash_hamming_pairs(docs: DataFrame, id_col: str = "doc_id",
         "c0", "c1", "c2", "c3",
         F.posexplode(F.array("c0", "c1", "c2", "c3")).alias("chunk_idx", "chunk_val"),
     )
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("chunk_idx", "chunk_val")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("chunk_idx", "chunk_val")
+        )
+        banded = banded.join(small, ["chunk_idx", "chunk_val"])
     left = banded.select(
         F.col(id_col).alias("a"),
         *[F.col(f"c{t}").alias(f"a{t}") for t in range(4)],
@@ -373,19 +390,47 @@ def connected_components(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
 
 def dedup_clusters(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
-    """End-to-end near-dup clustering: MinHash-LSH candidates ->
-    connected components -> (component, n_members, members_min/max)."""
+    """End-to-end near-dup clustering, dup-heavy-safe by default:
+    exact-dedup collapse -> MinHash-LSH on representatives -> connected
+    components -> members re-attached via the digest->keeper mapping ->
+    (component, n_members, max_member).
+
+    Collapsing exact-duplicate groups to their min-id representative FIRST
+    bounds the band-bucket blowup the same way ``near_dup_pairs_dedup_first``
+    does: a corpus where one boilerplate page has 10^7 exact copies becomes
+    ONE node in the LSH graph instead of a 10^14-pair bucket join feeding
+    connected components. The result is identical to clustering the full
+    corpus, because the MinHash signature is a pure function of the text —
+    the member-level pair graph is the quotient of the representative graph
+    by text equality, so components (and their min labels) coincide; member
+    counts and max ids are restored through the digest mapping. Exact-dup
+    groups whose representative has no near-dup neighbor still surface as
+    components (their members ARE duplicates of each other)."""
     from pyspark.sql import functions as F  # noqa: N812
 
-    pairs = minhash_lsh_pairs(docs, id_col, text_col).filter(
+    digests = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+    groups = digests.groupBy("digest").agg(F.min(id_col).alias("keeper"))
+    reps = docs.join(
+        groups.select(F.col("keeper").alias(id_col)), id_col, "left_semi"
+    )
+    pairs = minhash_lsh_pairs(reps, id_col, text_col).filter(
         F.col("sim_est") >= 0.5
     )
     comp = connected_components(pairs)
+    # every representative gets a component: its near-dup component if it
+    # paired, else itself (covers pure exact-dup groups)
+    rep_comp = groups.join(
+        comp, groups.keeper == comp.node, "left"
+    ).select(
+        "digest",
+        F.coalesce("component", "keeper").alias("component"),
+    )
+    members = digests.join(rep_comp, "digest")
     return (
-        comp.groupBy("component")
+        members.groupBy("component")
         .agg(
             F.count("*").alias("n_members"),
-            F.max("node").alias("max_member"),
+            F.max(id_col).alias("max_member"),
         )
         .filter(F.col("n_members") > 1)
     )

@@ -49,6 +49,41 @@ def test_unconverged_raises(spark):
         connected_components(pairs, max_iter=2)
 
 
+def test_dedup_clusters_bounds_pathological_identical_corpus(spark):
+    """ONE page copied 1500 times: the default clustering path must
+    collapse the exact group to a single representative before LSH (no
+    1.1M-pair band bucket) and still report the group as one component
+    with all members counted."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    docs = spark.range(0, 1500).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate page body repeated verbatim").alias("text"),
+    )
+    rows = dedup_clusters(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["component"] == 0
+    assert rows[0]["n_members"] == 1500
+    assert rows[0]["max_member"] == 1499
+
+
+def test_dedup_clusters_mixed_exact_and_near(spark):
+    """Exact groups merge with near-dup neighbors through their
+    representative; members are re-attached through the digest mapping."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta"),
+         (1, "alpha beta gamma delta epsilon zeta eta theta"),   # exact of 0
+         (2, "alpha beta gamma delta epsilon zeta eta theta iota"),  # near
+         (3, "completely different words nothing shared here at all"),
+         (4, "completely different words nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    got = {r["component"]: (r["n_members"], r["max_member"])
+           for r in dedup_clusters(docs).collect()}
+    # {0,1,2} via near-dup rep pairing; {3,4} pure exact group
+    assert got == {0: (3, 2), 3: (2, 4)}
+
+
 def test_dedup_clusters_on_cloned_docs(spark):
     # fully disjoint vocabularies per doc: no shared shingles, so the only
     # candidate pairs are the exact clones

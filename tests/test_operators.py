@@ -257,6 +257,17 @@ def test_minhash_max_bucket_cap_drops_giant_buckets(spark):
     assert uncapped_small.count() == 10  # 5 choose 2 under the cap
 
 
+def test_simhash_max_bucket_cap_drops_giant_buckets(spark):
+    docs = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical page text for every single row").alias("text"),
+    )
+    capped = dedup.simhash_hamming_pairs(docs, max_bucket=10)
+    assert capped.count() == 0  # every chunk bucket has 50 members > cap
+    small = dedup.simhash_hamming_pairs(docs.limit(5), max_bucket=10)
+    assert small.count() == 10  # 5 choose 2, hamming 0, under the cap
+
+
 def test_image_header_decode_stdlib():
     """Real container-header parsing: PNG IHDR (big-endian), GIF logical
     screen (little-endian), JPEG SOF0 behind an APP0 segment."""
