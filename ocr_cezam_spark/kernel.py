@@ -840,7 +840,10 @@ def extract_fiscal_codes(rows: list[list[str]]) -> list[tuple[str, int, str]]:
 
 
 _PDF_MAGIC = b"%PDF-"
-_PDF_STREAM_RX = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.DOTALL)
+_PDF_STREAM_OPEN_RX = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
+# direct /Length only — an indirect reference (/Length 12 0 R) can't be
+# resolved without the xref table, so it falls back to the delimiter scan
+_PDF_LENGTH_RX = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _PDF_ESCAPES = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
 # PDF delimiters + whitespace: an operator token must be bounded by these
 # (or the stream edge), so 'ET' inside 'INTERETS' never ends a text block
@@ -894,6 +897,42 @@ def _pdf_string_at(b: bytes, i: int) -> tuple[str, int]:
     return out.decode("cp1252", errors="replace"), i
 
 
+def _pdf_streams(data: bytes):
+    """Yield (dict_bytes, raw_body) for each stream object.
+
+    When the stream dict carries a direct integer /Length, the body is
+    sliced by that length (PDF 32000-1 section 7.3.8.2) and the slice is
+    trusted iff 'endstream' follows it (after optional EOL) — so a
+    FlateDecode body that happens to contain the byte sequence 'endstream'
+    is no longer truncated at the first occurrence. Missing, indirect
+    (/Length n 0 R) or inconsistent lengths fall back to the delimiter
+    scan for the literal 'endstream'."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        m = _PDF_STREAM_OPEN_RX.search(data, pos)
+        if not m:
+            return
+        dct = m.group(1)
+        start = m.end()
+        body = None
+        lm = _PDF_LENGTH_RX.search(dct)
+        if lm:
+            end = start + int(lm.group(1))
+            if end <= n and data[end:end + 16].lstrip(b"\r\n \t").startswith(
+                b"endstream"
+            ):
+                body = data[start:end]
+                pos = data.index(b"endstream", end) + 9
+        if body is None:
+            e = data.find(b"endstream", start)
+            if e < 0:
+                return
+            body = data[start:e]
+            pos = e + 9
+        yield dct, body
+
+
 def _pdf_op_at(body: bytes, i: int, op: bytes) -> bool:
     """True when `op` occurs at i as a standalone operator token — bounded
     by PDF delimiters/whitespace or the stream edge on BOTH sides (so the
@@ -918,13 +957,17 @@ def pdf_text(data: bytes) -> str:
     end a block. Inside BT..ET every literal string is shown text (the
     Tj/TJ/'/\" operands) and the line-positioning operators Td/TD/T* flush
     the current line — the naive text-extractor semantics, exact for the
-    single-column documents this pipeline targets. Non-content streams
-    (no BT) and undecodable streams are skipped; normalization matches the
-    HTML path (_norm per line, empties dropped)."""
+    single-column documents this pipeline targets. Inside a TJ array, a
+    kern of <= -180 thousandths of an em becomes a space (real PDFs encode
+    inter-word gaps as large negative kerns; Tesseract likewise tokenizes
+    on visual gaps, utils/utils.py:55-62), while small same-word kerns
+    concatenate. Non-content streams (no BT) and undecodable streams are
+    skipped; normalization matches the HTML path (_norm per line, empties
+    dropped)."""
     import zlib
 
     lines: list[str] = []
-    for dct, body in _PDF_STREAM_RX.findall(data):
+    for dct, body in _pdf_streams(data):
         if b"/FlateDecode" in dct:
             try:
                 body = zlib.decompress(body)
@@ -934,6 +977,7 @@ def pdf_text(data: bytes) -> str:
             continue
         cur: list[str] = []
         in_text = False
+        tj_depth = 0  # '['..']' nesting inside a text block (TJ arrays)
         i = 0
         n = len(body)
         while i < n:
@@ -943,6 +987,32 @@ def pdf_text(data: bytes) -> str:
                 if in_text:
                     cur.append(s)
                 continue
+            if in_text and ch == 0x5B:  # '['
+                tj_depth += 1
+                i += 1
+                continue
+            if in_text and ch == 0x5D:  # ']'
+                tj_depth = max(0, tj_depth - 1)
+                i += 1
+                continue
+            if (
+                in_text
+                and tj_depth
+                and ch == 0x2D  # '-': TJ kern numbers of interest are negative
+                and (i == 0 or body[i - 1] in _PDF_DELIMS)
+            ):
+                j = i + 1
+                while j < n and (0x30 <= body[j] <= 0x39 or body[j] == 0x2E):
+                    j += 1
+                if j > i + 1:
+                    try:
+                        kern = float(body[i:j])
+                    except ValueError:
+                        kern = 0.0
+                    if kern <= -180:  # word gap in thousandths of an em
+                        cur.append(" ")
+                    i = j
+                    continue
             if ch == 0x3C and body[i + 1:i + 2] != b"<":
                 # hex string <4A6F> (not a '<<' dict): pairs of hex digits,
                 # odd final digit padded with 0 (PDF 32000-1 7.3.4.3)
@@ -966,6 +1036,7 @@ def pdf_text(data: bytes) -> str:
                 continue
             if ch == 0x42 and _pdf_op_at(body, i, b"BT"):
                 in_text = True
+                tj_depth = 0
                 i += 2
                 continue
             if ch == 0x45 and _pdf_op_at(body, i, b"ET"):
@@ -973,6 +1044,7 @@ def pdf_text(data: bytes) -> str:
                     lines.append("".join(cur))
                     cur = []
                 in_text = False
+                tj_depth = 0
                 i += 2
                 continue
             if in_text and ch == 0x54 and (
@@ -1028,8 +1100,12 @@ def _extract_inner(url: str, html: bytes, lang: str) -> dict:
     # guard): PDF payloads take the layout-parse path (text operators from
     # the content streams), everything else the HTML DOM path. Both feed
     # the same per-kind analysis.
-    if html[:5] == _PDF_MAGIC:
-        return _analyze(url, pdf_text(html), [], [])
+    # The spec (and real crawls) allow junk/BOM before the %PDF- header as
+    # long as it sits within the first 1024 bytes; slice from the magic so
+    # offsets inside the parser see a well-formed file.
+    pdf_at = html.find(_PDF_MAGIC, 0, 1024)
+    if pdf_at >= 0:
+        return _analyze(url, pdf_text(html[pdf_at:]), [], [])
     root = _parse_tree(html.decode("utf-8", errors="replace"))
 
     # 1. Main-content container scoring (boilerplate strip + P4 analog).

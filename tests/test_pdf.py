@@ -92,6 +92,59 @@ def test_pdf_tj_arrays_and_hex_strings():
     assert got == ["InterETS", "CafV", "fin"], got
 
 
+def test_pdf_tj_word_gap_kerning():
+    # a kern <= -180/1000 em between TJ strings is an inter-word gap and
+    # becomes a space; smaller (same-word) kerns still concatenate
+    body = (b"BT 0 0 Td [(SOLDE) -250 (CREDITEUR) -20 (S)] TJ "
+            b"0 -14 Td [(fin) -179.5 (al)] TJ ET")
+    blob = (b"%PDF-1.4\n<< /Length " + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream\n%%EOF\n")
+    got = kernel.pdf_text(blob).split("\n")
+    assert got == ["SOLDE CREDITEURS", "final"], got
+
+
+def test_pdf_length_bounds_body_containing_endstream():
+    # a /Length-bounded body that CONTAINS the byte sequence 'endstream'
+    # (e.g. inside a compressed blob) must not be truncated at it
+    import zlib
+
+    text = b"BT 0 0 Td (bounded) Tj ET"
+    # craft a raw body embedding the literal: raw stream whose shown text
+    # includes 'endstream' as data inside a literal string
+    body = b"BT 0 0 Td (before endstream after) Tj ET"
+    blob = (b"%PDF-1.4\n<< /Length " + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream\n")
+    assert kernel.pdf_text(blob) == "before endstream after"
+    # flate body that happens to contain b'endstream' mid-deflate
+    comp = zlib.compress(text, 9)
+    assert b"endstream" not in comp  # sanity of the synthetic case
+    # force the scenario: append a second stream whose compressed body we
+    # corrupt-check is still bounded correctly by /Length
+    blob2 = (b"%PDF-1.4\n<< /Filter /FlateDecode /Length "
+             + str(len(comp)).encode() + b" >>\nstream\n" + comp
+             + b"\nendstream\n")
+    assert kernel.pdf_text(blob2) == "bounded"
+
+
+def test_pdf_indirect_length_falls_back_to_scan():
+    body = b"BT 0 0 Td (via scan) Tj ET"
+    blob = (b"%PDF-1.4\n<< /Length 5 0 R >>\nstream\n" + body
+            + b"\nendstream\n")
+    assert kernel.pdf_text(blob) == "via scan"
+
+
+def test_pdf_magic_within_first_kilobyte():
+    # junk/BOM before %PDF- within 1024 bytes still dispatches to the PDF
+    # path; magic beyond 1024 does not
+    body = b"BT 0 0 Td (late magic) Tj ET"
+    pdf = (b"%PDF-1.4\n<< /Length " + str(len(body)).encode()
+           + b" >>\nstream\n" + body + b"\nendstream\n%%EOF\n")
+    r = kernel.extract("u", b"\xef\xbb\xbfjunk-prefix\n" + pdf, "fra")
+    assert r["text"] == "late magic"
+    r2 = kernel.extract("u", b" " * 1100 + pdf, "fra")
+    assert r2["text"] != "late magic"  # HTML path: payload treated as text
+
+
 def test_pdf_word_boundary_operators():
     # 'ET' / 'Td' as substrings of shown text must never act as operators
     p = build_pdf(["RELEVE ET SOLDE TdX", "PETIT"], compress=False)
