@@ -540,28 +540,38 @@ def _try_date(s: str) -> tuple[int, int, int] | None:
 
 
 def get_date(lines, date_format: str | None = None) -> str | None:
-    """Whole line first, then per word (process_fields.py:110-121); the
-    bank's configured format is tried first. The reference tries ONLY the
-    configured format — the generic multi-try fallback here is an
-    EXTENSION for pages with no recognized bank (never reached for the 8
-    configured banks' own renderings). Re-rendered '%d %B %Y' French
-    (releve_bancaire.py:117)."""
-    for row in lines:
-        # single-token rows: the joined line IS the word (skip the join);
-        # the digit guard is hoisted here so a non-date candidate costs
-        # one isdigit instead of four guarded format attempts
-        cands = row if len(row) == 1 else [" ".join(row)] + row
-        for cand in cands:
-            if not cand[:1].isdigit():
-                continue
-            parsed = None
-            if date_format:
-                parsed = _try_date_fmt(cand, date_format)
-            if parsed is None:
-                parsed = _try_date(cand)
-            if parsed:
-                d, mo, y = parsed
-                return f"{d:02d} {FR_MONTHS[mo - 1]} {y}"
+    """Whole line first, then per word (process_fields.py:110-121).
+
+    For a recognized bank, the configured format is tried across ALL
+    candidates first — the reference tries ONLY the configured format, so
+    a statement whose earlier lines happen to parse under a *different*
+    format must not short-circuit the scan. The generic multi-try pass is
+    an EXTENSION for pages with no recognized bank (and a fallback when
+    the configured-format scan comes up empty). Re-rendered '%d %B %Y'
+    French (releve_bancaire.py:117)."""
+
+    def _scan(try_one) -> tuple[int, int, int] | None:
+        for row in lines:
+            # single-token rows: the joined line IS the word (skip the
+            # join); the digit guard is hoisted so a non-date candidate
+            # costs one isdigit instead of four guarded format attempts
+            cands = row if len(row) == 1 else [" ".join(row)] + row
+            for cand in cands:
+                if not cand[:1].isdigit():
+                    continue
+                parsed = try_one(cand)
+                if parsed:
+                    return parsed
+        return None
+
+    parsed = None
+    if date_format:
+        parsed = _scan(lambda c: _try_date_fmt(c, date_format))
+    if parsed is None:
+        parsed = _scan(_try_date)
+    if parsed:
+        d, mo, y = parsed
+        return f"{d:02d} {FR_MONTHS[mo - 1]} {y}"
     return None
 
 

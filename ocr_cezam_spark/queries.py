@@ -1245,12 +1245,17 @@ def _url_canonicalize(s: SparkSession, d: str) -> DataFrame:
 
     k = F.col("doc_id") % 50
     messy = F.when(
-        F.col("doc_id") % 2 == 0,
+        F.col("doc_id") % 3 == 0,
         F.concat(F.lit("HTTPS://News.Site-"), k, F.lit(".Example.ORG:443/articles/"),
                  F.col("doc_id"), F.lit("?utm=x&b=2&a=1#sec")),
-    ).otherwise(
+    ).when(
+        F.col("doc_id") % 3 == 1,
         F.concat(F.lit("http://Site-"), k, F.lit(".Example.ORG:8080/a/"),
                  F.col("doc_id"), F.lit("?z=1#top")),
+    ).otherwise(
+        # userinfo + default port + EMPTY path + lowercase %-escapes
+        F.concat(F.lit("HTTP://u:pw@Host-"), k, F.lit(".Example.COM:80"),
+                 F.lit("?b=%2f"), F.col("doc_id"), F.lit("&a=%2F#f")),
     )
     docs = _t(s, d, "documents").select("doc_id", messy.alias("url"))
     return docs.select(
@@ -1265,14 +1270,18 @@ _register(
     _url_canonicalize,
     """
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN
+           CASE WHEN doc_id % 3 = 0 THEN
              'https://news.site-' || (doc_id % 50)
                || '.example.org/articles/' || doc_id || '?a=1&b=2&utm=x'
-           ELSE
+           WHEN doc_id % 3 = 1 THEN
              'http://site-' || (doc_id % 50)
                || '.example.org:8080/a/' || doc_id || '?z=1'
+           ELSE
+             'http://host-' || (doc_id % 50)
+               || '.example.com/?a=%2F&b=%2F' || doc_id
            END AS canon_url,
-           'example.org' AS domain
+           CASE WHEN doc_id % 3 = 2 THEN 'example.com'
+                ELSE 'example.org' END AS domain
     FROM documents
     """,
 )
@@ -1332,10 +1341,10 @@ def _kernel_out(s: SparkSession) -> DataFrame:
     after a stopped session is garbage-collected, which would hand back a
     DataFrame bound to a dead context.
 
-    One session's entries only: entering a NEW session unpersists and
-    drops every previous session's entry, so cached blocks never outlive
-    their session in a long-lived host process (a stopped context ignores
-    the unpersist)."""
+    Eviction drops only entries whose SparkContext is actually STOPPED
+    (checked on the JVM SparkContext) — two live sessions alternating in
+    one process each keep their cache instead of thrashing each other's
+    persisted blocks with a full re-extraction per call."""
     return _cached_extract(s, "html", lambda: corpus_df(s, KERNEL_N))
 
 
@@ -1343,17 +1352,20 @@ def _cached_extract(s: SparkSession, name: str, make_docs) -> DataFrame:
     app = s.sparkContext.applicationId
     key = (app, name)
     if key not in _KERNEL_CACHE:
-        for old_key in list(_KERNEL_CACHE):
-            if old_key[0] != app:
-                stale = _KERNEL_CACHE.pop(old_key)
-                try:
-                    stale.unpersist()
-                except Exception:
-                    pass  # context already stopped — blocks are gone anyway
+        for old_key, (old_s, _df) in list(_KERNEL_CACHE.items()):
+            if old_key[0] == app:
+                continue
+            try:
+                stopped = old_s.sparkContext._jsc.sc().isStopped()
+            except Exception:
+                stopped = True  # context unreachable — treat as dead
+            if stopped:
+                # blocks died with the context; nothing to unpersist
+                _KERNEL_CACHE.pop(old_key)
         out = X.run_extract(make_docs(), num_partitions=8).persist()
         out.count()
-        _KERNEL_CACHE[key] = out
-    return _KERNEL_CACHE[key]
+        _KERNEL_CACHE[key] = (s, out)
+    return _KERNEL_CACHE[key][1]
 
 
 # Line-model quality stats (the Gopher line-level gates need line

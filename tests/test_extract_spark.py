@@ -102,22 +102,49 @@ def test_error_isolation(spark):
     assert len(out) == 4
 
 
-def test_kernel_cache_evicts_previous_session_entry(spark):
-    """Capacity-1 cache: a new session's entry unpersists and drops the
-    stale one, so cached blocks never outlive their session."""
+class _DeadSession:
+    """Stub session whose JVM SparkContext reports stopped."""
+
+    class _SC:
+        applicationId = "app-from-a-stopped-session"
+
+        class _JSC:
+            class _S:
+                @staticmethod
+                def isStopped():
+                    return True
+
+            @classmethod
+            def sc(cls):
+                return cls._S
+
+        _jsc = _JSC
+
+    sparkContext = _SC
+
+
+def test_kernel_cache_evicts_only_stopped_sessions(spark):
+    """Dead sessions' entries are dropped; a LIVE coexisting session's
+    entry survives (no cross-session cache thrash)."""
     from ocr_cezam_spark import queries as q
 
     q._KERNEL_CACHE.clear()
-    stale = spark.range(10).persist()
-    stale.count()
-    q._KERNEL_CACHE[("app-from-a-stopped-session", "html")] = stale
+    dead_df = spark.range(10)
+    q._KERNEL_CACHE[("app-from-a-stopped-session", "html")] = (
+        _DeadSession, dead_df)
+    live_df = spark.range(5).persist()
+    live_df.count()
+    # same live context under a different application id: must survive
+    q._KERNEL_CACHE[("other-live-app", "html")] = (spark, live_df)
 
     out = q._kernel_out(spark)
     app = spark.sparkContext.applicationId
-    assert list(q._KERNEL_CACHE) == [(app, "html")]
-    assert not stale.storageLevel.useMemory  # evicted entry was unpersisted
+    assert set(q._KERNEL_CACHE) == {(app, "html"), ("other-live-app", "html")}
+    assert live_df.storageLevel.useMemory  # live entry NOT unpersisted
     assert q._kernel_out(spark) is out  # current entry stays cached
     # a second per-session entry (the pdf corpus) coexists, same session
     pdf = q._pdf_out(spark)
-    assert set(q._KERNEL_CACHE) == {(app, "html"), (app, "pdf")}
+    assert (app, "pdf") in q._KERNEL_CACHE
     assert q._pdf_out(spark) is pdf and q._kernel_out(spark) is out
+    live_df.unpersist()
+    q._KERNEL_CACHE.pop(("other-live-app", "html"))

@@ -141,6 +141,14 @@ def test_bank_date_format_precedence():
     assert kernel.get_date([["01.02.2024"]], "dot") == "01 février 2024"
     # bank format misses -> generic fallback still applies
     assert kernel.get_date([["13/05/2024"]], "dot") == "13 mai 2024"
+    # configured format wins across ALL candidates before any generic
+    # fallback: an EARLIER line parseable only under a different format
+    # must not short-circuit the configured-format scan (the reference
+    # tries only the configured format)
+    assert (kernel.get_date([["03/04/2024"], ["05.06.2024"]], "dot")
+            == "05 juin 2024")
+    assert (kernel.get_date([["05.06.2024"], ["03/04/2024"]], "slash")
+            == "03 avril 2024")
     # every reference bank maps to a named format (bank_configs/*.json)
     assert set(kernel.BANK_DATE_FORMATS) == {b for b, _ in kernel.BANK_PATTERNS}
     assert set(kernel.BANK_DATE_FORMATS.values()) <= {"fr", "slash", "dot"}

@@ -303,13 +303,19 @@ def test_canonicalize_url_edge_cases(spark):
     cases = [
         ("HTTP://Host.Example.COM:80/x#frag", "http://host.example.com/x"),
         ("https://h.example.org:8443/p?b=2&a=1", "https://h.example.org:8443/p?a=1&b=2"),
-        ("https://h.example.org", "https://h.example.org"),
+        # empty path -> '/': 'http://a.com' and 'http://a.com/' one key
+        ("https://h.example.org", "https://h.example.org/"),
+        ("https://h.example.org/", "https://h.example.org/"),
         ("http://h.example.org/?q=1#a#b", "http://h.example.org/?q=1"),
         # userinfo stripped — distinct hosts must stay distinct keys
         ("http://u:p@a.example.net/x", "http://a.example.net/x"),
         ("http://u:p@b.example.net:8080/x", "http://b.example.net:8080/x"),
         # empty authority keeps its path
         ("file:///etc/hosts", "file:///etc/hosts"),
+        # percent-escape hex case unified; non-hex after % untouched
+        ("http://h.example.org/a%2fb?x=%e9%Az", "http://h.example.org/a%2Fb?x=%E9%Az"),
+        # no '://': pass through unchanged, never a '://'-prefixed key
+        ("relative/path?b=1", "relative/path?b=1"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r["c"] for r in df.select(canonicalize_url(F.col("u")).alias("c")).collect()]
@@ -317,4 +323,5 @@ def test_canonicalize_url_edge_cases(spark):
     dom = df.select(host_suffix(F.col("u")).alias("d")).collect()
     assert [r["d"] for r in dom] == ["example.com", "example.org",
                                      "example.org", "example.org",
-                                     "example.net", "example.net", ""]
+                                     "example.org", "example.net",
+                                     "example.net", "", "example.org", ""]
