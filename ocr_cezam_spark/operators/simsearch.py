@@ -228,12 +228,137 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.99,
     )
 
 
+# Above this K the literal-centroid expression tree (O(K*dim) literals,
+# re-analyzed per consumer) is replaced by a broadcast-join assignment:
+# Catalyst analysis was measured dominating wall time well before
+# production nlist (thousands).
+IVF_LITERAL_MAX_K = 63
+
+
+def centroids_df(spark, cents: Centroids) -> DataFrame:
+    """Centroids as a broadcastable dimension table (cid, c, _cc) — the
+    per-centroid self-dot is precomputed driver-side with the same
+    sequential fold as the in-engine _dot, so distances are bit-identical
+    to the literal path."""
+    # `_k` is carried as DATA (all zeros), not a literal column: a literal
+    # constant key would be folded away by the optimizer, degrading the
+    # equi-join below into a BroadcastNestedLoopJoin
+    return spark.createDataFrame(
+        [(int(cid), [float(x) for x in c], _self_dot(c), 0)
+         for cid, c in cents],
+        "cid long, c array<double>, _cc double, _k int",
+    )
+
+
+def _dist_join(base: DataFrame, cdf: DataFrame) -> DataFrame:
+    """(vid-side columns) x broadcast centroids -> one row per (vector,
+    centroid) with the squared distance ``dd``. The join key is a
+    constant-valued but non-foldable expression (pmod of the id — always
+    0) matched against a data column of zeros on the broadcast side, so
+    the plan is a BroadcastHashJoin fanning each row out K-fold
+    executor-side (a literal key folds to a cross join ->
+    BroadcastNestedLoopJoin; a BHJ on a single-valued key is fine because
+    the build side is the tiny centroid table) — no K-wide literal tree
+    in the plan."""
+    id_c = F.col(base.columns[0])
+    left = base.withColumn("_k", F.pmod(id_c, F.lit(1)).cast("int"))
+    right = F.broadcast(cdf)
+    dd = F.col("_vv") - 2 * _dot(F.col("v"), F.col("c")) + F.col("_cc")
+    return (
+        left.join(right, "_k")
+        .select(*[c for c in base.columns if c != "_k"], "cid",
+                dd.alias("dd"))
+    )
+
+
+def ivf_assign_join(emb: DataFrame, n_centroids: int = 64,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    centroids: Centroids | None = None) -> DataFrame:
+    """Large-nlist IVF assignment: broadcast-join the centroid dimension,
+    argmin per vector via min-of-struct with map-side partial aggregation
+    (the K-fold fan-out collapses back to one row per vector before the
+    exchange, so the shuffle carries n rows, not n*K)."""
+    cents = centroids or seed_centroids(emb, n_centroids, id_col, vec_col)
+    base = emb.select(
+        F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
+    ).withColumn("_vv", _dot(F.col("v"), F.col("v")))
+    d = _dist_join(base, centroids_df(emb.sparkSession, cents))
+    best = d.groupBy("vid").agg(
+        F.min(F.struct(F.col("dd").alias("dist"),
+                       F.col("cid").alias("cid"))).alias("best")
+    )
+    return best.select(
+        "vid",
+        F.col("best.cid").alias("centroid_id"),
+        F.round(F.col("best.dist"), 3).alias("dist"),
+    )
+
+
+def ivf_topk_join(emb: DataFrame, probe_ids: list[int], k: int = 3,
+                  n_centroids: int = 64, id_col: str = "vec_id",
+                  vec_col: str = "embedding", nprobe: int = 2,
+                  centroids: Centroids | None = None) -> DataFrame:
+    """IVF-bucketed ANN for large nlist — same semantics (and tie-breaks)
+    as ivf_topk, with both centroid assignments computed through the
+    broadcast-join path instead of literal expression trees:
+
+    - dataset side: BroadcastHashJoin fan-out + min-of-struct argmin
+      (shuffle of n rows after map-side partial agg);
+    - probe side: the probe subset is filtered FIRST (tiny), then ranked
+      to its ``nprobe`` nearest centroids with a window over probe rows
+      only. Candidate generation stays an equi-join on centroid_id."""
+    cents = centroids or seed_centroids(emb, n_centroids, id_col, vec_col)
+    cdf = centroids_df(emb.sparkSession, cents)
+    base = emb.select(
+        F.col(id_col).alias("nb_id"), _to_double(F.col(vec_col)).alias("v")
+    ).withColumn("_vv", _dot(F.col("v"), F.col("v")))
+    d = _dist_join(base, cdf)
+    assigned = (
+        d.groupBy("nb_id")
+        .agg(
+            F.min(F.struct(F.col("dd").alias("dist"),
+                           F.col("cid").alias("cid"))).alias("best"),
+            F.first("v").alias("v"),
+            F.first("_vv").alias("_vv"),
+        )
+        .select("nb_id", "v", "_vv", F.col("best.cid").alias("centroid_id"))
+    )
+    pw = Window.partitionBy("nb_id").orderBy(F.asc("dd"), F.asc("cid"))
+    probes = (
+        _dist_join(base.filter(F.col("nb_id").isin(probe_ids)), cdf)
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            F.col("nb_id").alias("probe_id"),
+            F.col("v").alias("p"),
+            F.sqrt(F.col("_vv")).alias("np"),
+            F.col("cid").alias("centroid_id"),
+        )
+    )
+    cands = assigned.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("nb_id") != F.col("probe_id")
+    )
+    sim = _dot(F.col("p"), F.col("v")) / (F.col("np") * F.sqrt(F.col("_vv")))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim_raw"), F.asc("nb_id"))
+    return (
+        cands.select("probe_id", "centroid_id", "nb_id", sim.alias("sim_raw"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "centroid_id", "rank", "nb_id",
+                F.round("sim_raw", 4).alias("cosine"))
+    )
+
+
 def ivf_assign(emb: DataFrame, n_centroids: int = 8,
                id_col: str = "vec_id", vec_col: str = "embedding",
                centroids: Centroids | None = None) -> DataFrame:
     """IVF bucketing: nearest-centroid assignment as a single projection
-    (literal centroids, argmin over structs) — no join, no window."""
+    (literal centroids, argmin over structs) — no join, no window. Above
+    IVF_LITERAL_MAX_K centroids the broadcast-join path takes over (the
+    literal tree's Catalyst analysis cost grows O(K*dim) per consumer)."""
     cents = centroids or seed_centroids(emb, n_centroids, id_col, vec_col)
+    if len(cents) > IVF_LITERAL_MAX_K:
+        return ivf_assign_join(emb, n_centroids, id_col, vec_col, cents)
     base = emb.select(
         F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
     ).withColumn("_vv", _dot(F.col("v"), F.col("v")))
@@ -251,8 +376,13 @@ def ivf_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
              centroids: Centroids | None = None) -> DataFrame:
     """IVF-bucketed ANN: each probe searches the buckets of its `nprobe`
     nearest centroids — the scale path where the candidate set shrinks
-    ~n_centroids/nprobe-fold vs brute force. Join key: centroid_id."""
+    ~n_centroids/nprobe-fold vs brute force. Join key: centroid_id.
+    Above IVF_LITERAL_MAX_K centroids the broadcast-join assignment path
+    takes over."""
     cents = centroids or seed_centroids(emb, n_centroids, id_col, vec_col)
+    if len(cents) > IVF_LITERAL_MAX_K:
+        return ivf_topk_join(emb, probe_ids, k, n_centroids, id_col,
+                             vec_col, nprobe, cents)
     base = (
         emb.select(
             F.col(id_col).alias("nb_id"), _to_double(F.col(vec_col)).alias("v")

@@ -974,14 +974,12 @@ _register(
     """,
 )
 
-_register(
-    "ann_ivf_topk",
-    lambda s, d: simsearch.ivf_topk(_t(s, d, "embeddings"), _PROBES),
-    """
+def _ann_ivf_oracle(n_centroids: int) -> str:
+    return f"""
     WITH base AS (
       SELECT vec_id AS nb_id, embedding::DOUBLE[] AS v FROM embeddings
     ), cents AS (
-      SELECT nb_id AS cid, v AS c FROM base WHERE nb_id < 8
+      SELECT nb_id AS cid, v AS c FROM base WHERE nb_id < {n_centroids}
     ), dist AS (
       SELECT nb_id, cid,
              list_dot_product(v, v) - 2 * list_dot_product(v, c)
@@ -1014,7 +1012,25 @@ _register(
                                    ORDER BY sim_raw DESC, nb_id ASC) AS rank
       FROM cands
     ) WHERE rank <= 3
-    """,
+    """
+
+
+_register(
+    "ann_ivf_topk",
+    lambda s, d: simsearch.ivf_topk(_t(s, d, "embeddings"), _PROBES),
+    _ann_ivf_oracle(8),
+)
+
+# Large-nlist design point: at K=64 the auto-selected path is the
+# broadcast-join assignment (one BroadcastHashJoin + min-of-struct argmin,
+# no K x dim literal expression tree). Same semantics and tie-breaks, same
+# oracle shape with 64 seed centroids.
+_register(
+    "ann_ivf_topk_k64",
+    lambda s, d: simsearch.ivf_topk(
+        _t(s, d, "embeddings"), _PROBES, n_centroids=64
+    ),
+    _ann_ivf_oracle(64),
 )
 
 # IVF top-k with TRAINED centroids (one Lloyd step from the seeds),

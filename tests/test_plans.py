@@ -76,6 +76,25 @@ def test_candidate_joins_are_hash_joins_not_all_pairs(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_large_nlist_ann_uses_broadcast_join_not_literal_tree(spark):
+    """At K=64 the IVF assignment must be the broadcast-join path: a
+    BroadcastHashJoin on the constant key (never a nested-loop join) and
+    no K x dim literal centroid tree inflating the plan."""
+    df = Q.QUERIES["ann_ivf_topk_k64"](spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the literal path inlines 64 centroid arrays (64 doubles each) into
+    # the plan text; the join path keeps the plan orders of magnitude
+    # smaller — a loose ceiling that the literal tree blows through
+    assert len(plan) < 200_000, len(plan)
+    # K=8 stays on the literal-projection path: no join before the
+    # probe/candidate stage introduces extra exchanges
+    small = formatted_plan(Q.QUERIES["ann_ivf_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in small
+
+
 def test_minhash_signature_exchange_reused_at_runtime(spark):
     """The sig aggregate feeds three consumers (bands + both join sides);
     its shuffle must be computed once and reused — the measured rationale
