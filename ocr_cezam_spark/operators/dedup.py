@@ -436,6 +436,52 @@ def dedup_clusters(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", max_freq: int = 1,
+                    sep: str = "\n") -> DataFrame:
+    """Paragraph-level exact dedup across documents (the C4/CCNet
+    boilerplate-removal operator): explode each document into
+    sep-delimited paragraphs, count each paragraph's global frequency,
+    drop paragraphs seen in more than ``max_freq`` rows corpus-wide, and
+    reassemble each document's surviving paragraphs in original order.
+
+    Scale shape: frequencies aggregate on the paragraph's md5 digest (a
+    32-char shuffle key, never the paragraph text); the keep-join hits the
+    same digest key, so the aggregation's exchange is reusable by AQE. The
+    reassembly is one aggregation on doc id (collect_list of (pos, para)
+    structs, array_sort, join) — bounded by the document's own paragraph
+    count. Documents whose every paragraph was boilerplate survive with
+    empty text (the row count is the input row count, a lineage
+    invariant)."""
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("ph", F.md5("para"))
+    keep = (
+        paras.groupBy("ph")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") <= max_freq)
+        .select("ph")
+    )
+    kept = paras.join(keep, "ph")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_dedup")
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col, F.coalesce("text_dedup", F.lit("")).alias("text_dedup")
+        )
+    )
+
+
 def jaccard_verify_pairs(docs: DataFrame, cand: DataFrame,
                          id_col: str = "doc_id", text_col: str = "text",
                          threshold: float = 0.9) -> DataFrame:

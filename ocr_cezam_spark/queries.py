@@ -24,6 +24,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
 
+from . import skew
 from .corpus import corpus_df
 from .operators import dedup, multimodal, relational, simsearch, textstats
 from .operators import extract as X
@@ -777,6 +778,63 @@ _register(
     "simhash_buckets",
     lambda s, d: dedup.simhash_buckets(_cloned_docs(s, d)),
     _simhash_oracle(),
+)
+
+# Paragraph-level dedup (C4/CCNet boilerplate removal): the fixture
+# appends one boilerplate line to EVERY document, so a paragraph with
+# corpus-wide frequency far above max_freq is guaranteed to exist and
+# must vanish from every reassembled text.
+_PARA_BOILER = "Abonnez-vous à la newsletter"
+
+
+def _para_docs(s: SparkSession, d: str) -> DataFrame:
+    return _t(s, d, "documents").select(
+        "doc_id",
+        F.concat("text", F.lit("\n" + _PARA_BOILER)).alias("text"),
+    )
+
+
+_register(
+    "paragraph_dedup",
+    lambda s, d: dedup.paragraph_dedup(_para_docs(s, d), max_freq=5),
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text || chr(10) || '{_PARA_BOILER}' AS text
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS para,
+             unnest(range(len(string_split(text, chr(10))))) AS pos
+      FROM corpus
+    ),
+    freq AS (SELECT md5(para) AS ph, count(*) AS freq FROM paras GROUP BY 1),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.para
+      FROM paras p JOIN freq f ON md5(p.para) = f.ph
+      WHERE f.freq <= 5
+    )
+    SELECT c.doc_id,
+           coalesce(string_agg(k.para, chr(10) ORDER BY k.pos), '')
+             AS text_dedup
+    FROM corpus c LEFT JOIN kept k USING (doc_id)
+    GROUP BY c.doc_id
+    """,
+)
+
+_register(
+    "domain_quota_sample",
+    lambda s, d: skew.domain_quota_sample(_t(s, d, "documents")),
+    """
+    SELECT doc_id, source, sample_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+                        doc_id ASC) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 10
+    """,
 )
 
 _register(

@@ -43,6 +43,34 @@ def detect_hot_hosts(docs: DataFrame, threshold: float = HOT_HOST_THRESHOLD):
     return [r["host"] for r in rows]
 
 
+def domain_quota_sample(docs: DataFrame, group_col: str = "source",
+                        quota: int = 10,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-domain down-sampling: keep at most ``quota`` rows
+    per group, chosen by hash order (first 8 hex chars of md5(id) as an
+    integer — md5 because it is bit-identical across engines; at
+    production scale xxhash64 is the cheaper drop-in) with id as the
+    final tie-break. The skew-control companion to source_skew_stats: a
+    domain owning 30% of the crawl contributes ``quota`` rows like
+    everyone else.
+
+    Scale shape: rank<=k over a window compiles to WindowGroupLimit
+    (Spark >= 3.5), which prunes to the top-k PER MAP PARTITION before
+    the exchange — the hot domain ships quota*num_tasks rows, not its
+    full row count, so no straggler partition."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.select(F.col(id_col), F.col(group_col))
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= quota)
+    )
+
+
 def salted_repartition(
     docs: DataFrame, num_partitions: int, salt_buckets: int = 16,
     hot_hosts: list[str] | None = None,

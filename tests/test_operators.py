@@ -257,6 +257,44 @@ def test_minhash_max_bucket_cap_drops_giant_buckets(spark):
     assert uncapped_small.count() == 10  # 5 choose 2 under the cap
 
 
+def test_paragraph_dedup_removes_injected_boilerplate(spark):
+    """A boilerplate paragraph injected into every page disappears; each
+    doc's own paragraphs survive in original order; all-boilerplate docs
+    survive as empty rows."""
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (0, f"alpha one\n{boiler}\nalpha two"),
+        (1, f"{boiler}\nbeta only"),
+        (2, boiler),  # nothing survives
+        (3, f"gamma a\ngamma b\n{boiler}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text_dedup"]
+           for r in dedup.paragraph_dedup(docs, max_freq=2).collect()}
+    assert got == {0: "alpha one\nalpha two", 1: "beta only",
+                   2: "", 3: "gamma a\ngamma b"}
+
+
+def test_domain_quota_sample_caps_hot_domains(spark):
+    from ocr_cezam_spark.skew import domain_quota_sample
+
+    rows = [(i, "hot.example") for i in range(100)]
+    rows += [(1000 + i, "cold.example") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_quota_sample(docs, quota=10).collect()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["hot.example"]) == 10  # capped
+    assert len(by_src["cold.example"]) == 3  # under quota: all kept
+    assert sorted(r["sample_rank"] for r in by_src["hot.example"]) == list(
+        range(1, 11))
+    # deterministic: same input -> same sample
+    again = {(r["doc_id"], r["sample_rank"])
+             for r in domain_quota_sample(docs, quota=10).collect()}
+    assert again == {(r["doc_id"], r["sample_rank"]) for r in out}
+
+
 def test_simhash_max_bucket_cap_drops_giant_buckets(spark):
     docs = spark.range(0, 50).select(
         F.col("id").alias("doc_id"),

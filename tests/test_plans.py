@@ -95,6 +95,19 @@ def test_large_nlist_ann_uses_broadcast_join_not_literal_tree(spark):
     assert "BroadcastNestedLoopJoin" not in small
 
 
+def test_domain_quota_uses_window_group_limit(spark):
+    """rank<=k must compile to WindowGroupLimit (map-side partial top-k
+    pruning) — the property that keeps a hot domain from shipping its full
+    row count through the exchange."""
+    df = Q.QUERIES["domain_quota_sample"](spark, SF)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    # paragraph dedup stays JVM-side and equi-join only
+    p = formatted_plan(Q.QUERIES["paragraph_dedup"](spark, SF))
+    assert "BatchEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
 def test_minhash_signature_exchange_reused_at_runtime(spark):
     """The sig aggregate feeds three consumers (bands + both join sides);
     its shuffle must be computed once and reused — the measured rationale
