@@ -46,9 +46,12 @@ HEADLINE = [
     "lsh_jaccard_verify",
     "embedding_near_dup",
     "ann_ivf_topk",
+    "ann_ivf_topk_k64",
     "pq_ann_topk",
     "cosine_topk",
     "ivf_bucket_stats",
+    "paragraph_dedup",
+    "domain_quota_sample",
     "extract_text",
 ]
 

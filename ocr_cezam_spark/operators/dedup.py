@@ -209,6 +209,126 @@ def near_dup_pairs_dedup_first(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# Bloom hash family: multiply-add over the uint64 wrap of xxhash64, fixed
+# seeds so build and probe (and any re-run) agree bit-for-bit. Odd
+# multipliers make the map a bijection on Z/2^64 before the mod-m fold.
+_BLOOM_SEED = 20_240_816
+
+
+def _bloom_coeffs(k: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(_BLOOM_SEED)
+    return [
+        (rng.randrange(1, 1 << 63) * 2 + 1, rng.randrange(0, 1 << 64))
+        for _ in range(k)
+    ]
+
+
+def _build_bloom(hashes: DataFrame, num_bits: int, num_hashes: int) -> bytes:
+    """Distributed Bloom build: every partition folds its xxhash64 values
+    into a local num_bits bitmap inside one Arrow-batched pass
+    (mapInPandas + numpy, no per-row Python); the per-partition bitmaps —
+    num_bits/8 bytes each, independent of row count — are OR-combined on
+    the driver. Driver state is bounded by num_bits, exactly like the
+    collected centroid/codebook state elsewhere in this repo; corpus rows
+    never leave the executors."""
+    import numpy as np
+
+    coeffs = _bloom_coeffs(num_hashes)
+    n_bytes = (num_bits + 7) // 8
+
+    def fold(batches):
+        import pandas as pd
+
+        bitmap = np.zeros(n_bytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            seen = True
+            v = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+            for a, b in coeffs:
+                pos = (v * np.uint64(a) + np.uint64(b)) % np.uint64(num_bits)
+                np.bitwise_or.at(
+                    bitmap,
+                    (pos >> np.uint64(3)).astype(np.int64),
+                    (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
+                )
+        if seen:
+            yield pd.DataFrame({"bm": [bitmap.tobytes()]})
+
+    parts = hashes.mapInPandas(fold, "bm binary").collect()
+    combined = np.zeros(n_bytes, dtype=np.uint8)
+    for r in parts:
+        combined |= np.frombuffer(r["bm"], dtype=np.uint8)
+    return combined.tobytes()
+
+
+def incremental_dedup(new_docs: DataFrame, corpus: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      expected_items: int = 1_000_000,
+                      fpp: float = 0.01) -> DataFrame:
+    """Dedup a new crawl increment AGAINST an existing corpus: keep only
+    new docs whose content digest does not already appear in the corpus.
+
+    Scale shape (the reason this is not a plain anti-join): the corpus is
+    orders of magnitude larger than the increment, so a direct anti-join
+    shuffles corpus-scale data every increment. Instead the corpus
+    digests fold into a Bloom filter built distributedly (_build_bloom —
+    a few MB for 10^9 items at 1% fpp) that is broadcast and probed on
+    the increment in one Arrow-vectorized pass: true negatives (the
+    overwhelming majority of genuinely-new docs) are decided WITHOUT any
+    join. Only the might-contain survivors — actual dups plus the fpp
+    sliver — reach exact verification, a left-anti join whose left side
+    is already shrunk ~100x. False positives are corrected there, so the
+    result is bit-identical to the plain anti-join (the oracle computes
+    exactly that); the bloom stage is pure pruning.
+
+    Returns the surviving new docs (id, digest)."""
+    import math
+
+    # optimal bit count for the target false-positive rate:
+    # m = -n * ln(p) / ln(2)^2 ; k = (m/n) * ln(2)
+    num_bits = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
+    num_hashes = max(1, round(num_bits / expected_items * math.log(2)))
+    coeffs = _bloom_coeffs(num_hashes)
+
+    new_d = new_docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("digest")
+    )
+    corpus_d = corpus.select(F.md5(F.col(text_col)).alias("digest"))
+    bloom_bytes = _build_bloom(
+        corpus_d.select(F.xxhash64("digest").alias("h")), num_bits, num_hashes
+    )
+    bc = new_docs.sparkSession.sparkContext.broadcast(bloom_bytes)
+
+    def probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        bitmap = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in batches:
+            v = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+            hit = np.ones(len(v), dtype=bool)
+            for a, b in coeffs:
+                pos = (v * np.uint64(a) + np.uint64(b)) % np.uint64(num_bits)
+                bits = bitmap[(pos >> np.uint64(3)).astype(np.int64)]
+                hit &= (bits >> (pos & np.uint64(7)).astype(np.uint8)) & 1 != 0
+            out = pdf[[c for c in pdf.columns if c != "h"]].copy()
+            out["maybe_dup"] = hit
+            yield out
+
+    with_h = new_d.withColumn("h", F.xxhash64("digest"))
+    flagged = with_h.mapInPandas(
+        probe, f"{id_col} long, digest string, maybe_dup boolean"
+    )
+    clean = flagged.filter(~F.col("maybe_dup")).select(id_col, "digest")
+    suspects = flagged.filter(F.col("maybe_dup")).select(id_col, "digest")
+    verified_new = suspects.join(corpus_d, "digest", "left_anti").select(
+        id_col, "digest"
+    )
+    return clean.unionByName(verified_new)
+
+
 SIMHASH_BITS = 64
 SIMHASH_CHUNKS = 4  # 4 x 16-bit band keys -> pigeonhole: hamming<=3 pairs
 #                     are guaranteed to share at least one exact chunk
@@ -327,6 +447,37 @@ def simhash_hamming_pairs(docs: DataFrame, id_col: str = "doc_id",
         .select("a", "b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def simhash_pairs_dedup_first(docs: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              max_hamming: int = 3) -> DataFrame:
+    """Exact-dedup-first SimHash composition — the same 100 TB-safe shape
+    as ``near_dup_pairs_dedup_first`` for the Hamming metric: collapse
+    exact-duplicate groups to their min-id representative (one digest
+    aggregation), run the chunk-band Hamming join on representatives
+    only, report representative pairs with each side's exact-copy
+    multiplicity. A 10^7-copy boilerplate page contributes ONE node to
+    the chunk buckets instead of a 10^14-pair join.
+
+    Returns (a, b, hamming, n_copies_a, n_copies_b), a < b."""
+    digest = F.md5(F.col(text_col)).alias("digest")
+    groups = (
+        docs.select(F.col(id_col), digest)
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_copies"))
+    )
+    reps = docs.join(
+        groups.select(F.col("keeper").alias(id_col)), id_col, "left_semi"
+    )
+    pairs = simhash_hamming_pairs(reps, id_col, text_col, max_hamming)
+    na = groups.select(F.col("keeper").alias("a"),
+                       F.col("n_copies").alias("n_copies_a"))
+    nb = groups.select(F.col("keeper").alias("b"),
+                       F.col("n_copies").alias("n_copies_b"))
+    return pairs.join(na, "a").join(nb, "b").select(
+        "a", "b", "hamming", "n_copies_a", "n_copies_b"
     )
 
 

@@ -715,12 +715,12 @@ def _simhash_chunk_sql(t: int) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
-def _simhash_ctes() -> str:
+def _simhash_ctes(corpus_sql: str | None = None) -> str:
     chunks = ",\n           ".join(
         f"CAST({_simhash_chunk_sql(t)} AS INT) AS c{t}" for t in range(4)
     )
     return f"""
-    corpus AS ({_CLONED_SQL}),
+    corpus AS ({corpus_sql or _CLONED_SQL}),
     base AS (
       SELECT doc_id,
              list_transform(string_split(text, ' '), w -> md5(w)) AS ds
@@ -841,6 +841,73 @@ _register(
     "simhash_hamming_pairs",
     lambda s, d: dedup.simhash_hamming_pairs(_cloned_docs(s, d)),
     _simhash_hamming_oracle(),
+)
+
+
+def _simhash_dedup_first_oracle() -> str:
+    ham = " + ".join(f"bit_count(xor(l.c{t}, r.c{t}))" for t in range(4))
+    return f"""
+    WITH corpus0 AS ({_DEDUP_FIRST_SQL}),
+    groups AS (
+      SELECT min(doc_id) AS keeper, count(*) AS n_copies, text
+      FROM corpus0 GROUP BY text
+    ),
+    {_simhash_ctes("SELECT keeper AS doc_id, text FROM groups")},
+    hpairs AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, CAST({ham} AS INT) AS hamming
+      FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+      WHERE ({ham}) <= 3
+    )
+    SELECT h.a, h.b, h.hamming,
+           ga.n_copies AS n_copies_a, gb.n_copies AS n_copies_b
+    FROM hpairs h
+    JOIN groups ga ON ga.keeper = h.a
+    JOIN groups gb ON gb.keeper = h.b
+    """
+
+
+_register(
+    "simhash_dedup_first",
+    lambda s, d: dedup.simhash_pairs_dedup_first(_dedup_first_docs(s, d)),
+    _simhash_dedup_first_oracle(),
+)
+
+
+def _incr_new_batch(s: SparkSession, d: str) -> DataFrame:
+    """Increment fixture: even docs re-crawled verbatim under new ids
+    (must be dropped as corpus dups), odd docs re-crawled with changed
+    content (must survive)."""
+    base = _t(s, d, "documents").select("doc_id", "text")
+    dup = base.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    changed = base.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" nouveau")).alias("text"),
+    )
+    return dup.unionByName(changed)
+
+
+_register(
+    "incremental_dedup",
+    lambda s, d: dedup.incremental_dedup(
+        _incr_new_batch(s, d),
+        _t(s, d, "documents").select("doc_id", "text"),
+        expected_items=100_000,
+    ),
+    """
+    WITH newb AS (
+      SELECT doc_id + 3000000 AS doc_id, text
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 4000000 AS doc_id, text || ' nouveau' AS text
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    corpus_d AS (SELECT DISTINCT md5(text) AS digest FROM documents)
+    SELECT n.doc_id, md5(n.text) AS digest
+    FROM newb n LEFT JOIN corpus_d c ON md5(n.text) = c.digest
+    WHERE c.digest IS NULL
+    """,
 )
 
 def _lsh_jaccard(s: SparkSession, d: str) -> DataFrame:
@@ -2023,3 +2090,32 @@ _register(
     WHERE field = 'tax_date'
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Driver CORRECTNESS window ordering. The driver's artifact records the
+# FIRST 50 registry entries, so entries that most need a driver-green row
+# this round (never recorded in r01-r03, new this round, or behavior
+# changed this round) must precede the rotated-out stalwarts below. The
+# rotated-out queries were all driver-green in CORRECTNESS_r03 and stay
+# continuously verified by tools/check_oracles.py (same hash discipline).
+# ---------------------------------------------------------------------------
+_WINDOW_TAIL = [
+    "pricing_summary", "top_revenue_customers", "region_rollup",
+    "running_balance", "sessionize", "event_transitions", "union_by_arity",
+    "code_semijoin_lead", "value_bucket_join", "statement_reconciliation",
+    "line_grouping", "percentile_stats", "cube_counts", "distinct_users",
+    "mrz_fixed_slice", "digit_decimal_parse", "token_quality", "langid",
+]
+
+
+def _reorder_registry() -> None:
+    order = [n for n in QUERIES if n not in _WINDOW_TAIL]
+    order += [n for n in _WINDOW_TAIL if n in QUERIES]
+    for d in (QUERIES, ORACLES):
+        moved = {n: d[n] for n in order if n in d}
+        d.clear()
+        d.update(moved)
+
+
+_reorder_registry()

@@ -257,6 +257,63 @@ def test_minhash_max_bucket_cap_drops_giant_buckets(spark):
     assert uncapped_small.count() == 10  # 5 choose 2 under the cap
 
 
+def test_incremental_dedup_matches_anti_join_even_with_saturated_bloom(spark):
+    """The bloom stage is pure pruning: with expected_items=1 the filter
+    saturates (near-100% false positives), yet the exact verification
+    keeps the result bit-identical to the plain anti-join."""
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc number {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"corpus doc number {i}") for i in range(10)]  # dups
+        + [(200 + i, f"fresh doc number {i}") for i in range(10)],  # new
+        "doc_id long, text string",
+    )
+    for expected in (1, 1000):  # saturated and well-sized filters
+        got = {r["doc_id"] for r in
+               dedup.incremental_dedup(new, corpus,
+                                       expected_items=expected).collect()}
+        assert got == {200 + i for i in range(10)}, expected
+
+
+def test_incremental_dedup_bloom_prunes_true_negatives(spark):
+    """With a well-sized filter, genuinely-new docs skip the verify join:
+    the probe marks (almost) only real dups as suspects."""
+    from pyspark.sql import functions as SF
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc number {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1000 + i, f"brand new doc {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    # all 200 new docs survive; at fpp=1% the suspect count (rows that
+    # would reach the verify join) stays a sliver of the increment
+    out = dedup.incremental_dedup(new, corpus, expected_items=10_000)
+    assert out.count() == 200
+    bloom = dedup._build_bloom(
+        corpus.select(SF.xxhash64(SF.md5("text")).alias("h")), 95850, 7
+    )
+    assert sum(bin(b).count("1") for b in bloom) > 0  # filter non-trivial
+
+
+def test_simhash_dedup_first_pairs_and_multiplicities(spark):
+    # 30-word doc: appending one word flips few majority votes, so the
+    # near-dup stays within the banding guarantee (>=1 chunk equal)
+    words = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, words), (1, words), (2, words + " iota")],
+        "doc_id long, text string",
+    )
+    rows = dedup.simhash_pairs_dedup_first(docs, max_hamming=5).collect()
+    pairs = {(r["a"], r["b"]): (r["n_copies_a"], r["n_copies_b"]) for r in rows}
+    assert (0, 2) in pairs and pairs[(0, 2)] == (2, 1)
+    assert all(a != 1 and b != 1 for a, b in pairs)  # non-reps never appear
+
+
 def test_paragraph_dedup_removes_injected_boilerplate(spark):
     """A boilerplate paragraph injected into every page disappears; each
     doc's own paragraphs survive in original order; all-boilerplate docs
