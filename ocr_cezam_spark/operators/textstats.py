@@ -240,3 +240,38 @@ def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
         digit_frac.alias("digit_word_frac"),
         passes.alias("passes"),
     )
+
+
+def sequence_pack(docs: DataFrame, budget: int = 512, n_shards: int = 8,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Sequence packing for LLM training batches (concat-then-chunk): lay
+    documents end-to-end in deterministic order and cut the stream into
+    ``budget``-token packs; each document is assigned to the pack where it
+    STARTS (so a pack may overflow by less than one document — the
+    standard concat+chunk layout, where the chunker later splits at exact
+    token boundaries).
+
+    Deterministic: shard = id mod n_shards, layout order = id within the
+    shard. Scale shape: the running sum windows over one shard at a time,
+    so n_shards is the parallelism knob (thousands at production scale —
+    each shard's partition holds only its own rows, and packs never cross
+    shards, matching how training data is sharded anyway).
+
+    Returns (id, shard, n_tokens, pack_id, offset_in_pack)."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
+        F.size(_words(text_col)).cast("int").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(cum_before / budget).cast("long").alias("pack_id"),
+        (cum_before % budget).cast("long").alias("offset_in_pack"),
+    )

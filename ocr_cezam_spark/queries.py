@@ -823,6 +823,25 @@ _register(
 )
 
 _register(
+    "sequence_pack",
+    lambda s, d: textstats.sequence_pack(_t(s, d, "documents")),
+    """
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+           CAST(cum_before % 512 AS BIGINT) AS offset_in_pack
+    FROM (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             coalesce(sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY doc_id % 8 ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM documents
+    )
+    """,
+)
+
+_register(
     "domain_quota_sample",
     lambda s, d: skew.domain_quota_sample(_t(s, d, "documents")),
     """
@@ -2106,6 +2125,7 @@ _WINDOW_TAIL = [
     "code_semijoin_lead", "value_bucket_join", "statement_reconciliation",
     "line_grouping", "percentile_stats", "cube_counts", "distinct_users",
     "mrz_fixed_slice", "digit_decimal_parse", "token_quality", "langid",
+    "fingerprint",
 ]
 
 

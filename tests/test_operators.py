@@ -314,6 +314,21 @@ def test_simhash_dedup_first_pairs_and_multiplicities(spark):
     assert all(a != 1 and b != 1 for a, b in pairs)  # non-reps never appear
 
 
+def test_sequence_pack_layout(spark):
+    """Concat-then-chunk packing: docs assigned to the pack where they
+    start; offsets are the running token position within the pack."""
+    rows = [(0, "a b c"), (8, "d e f g"), (16, "h i"), (24, "j k l m n")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["shard"], r["n_tokens"], r["pack_id"],
+                         r["offset_in_pack"])
+           for r in textstats.sequence_pack(docs, budget=5,
+                                            n_shards=8).collect()}
+    # all ids = 0 mod 8 -> one shard, laid out in id order:
+    # tokens 3,4,2,5; cum_before 0,3,7,9 -> packs 0,0,1,1; offsets 0,3,2,4
+    assert out == {0: (0, 3, 0, 0), 8: (0, 4, 0, 3),
+                   16: (0, 2, 1, 2), 24: (0, 5, 1, 4)}
+
+
 def test_paragraph_dedup_removes_injected_boilerplate(spark):
     """A boilerplate paragraph injected into every page disappears; each
     doc's own paragraphs survive in original order; all-boilerplate docs
