@@ -257,6 +257,14 @@ _TOKEN_RX = re.compile(
     r"<!--.*?-->"                       # comment (dropped)
     r"|<!\[CDATA\[.*?\]\]>"             # CDATA (dropped)
     r"|<!(?:[^>]*)>"                    # doctype / declarations (dropped)
+    # whole script/style elements consumed (and dropped) in ONE regex step:
+    # both tags are in _DROP_TAGS, so their nodes and raw bodies never
+    # influence text, scoring or tables — skipping them here removes the
+    # per-element python rawtext handling from the hot loop. Non-greedy to
+    # the first matching close tag = the old _RAWTEXT_CLOSE semantics.
+    # An UNCLOSED script/style does not match and falls through to the
+    # generic tag alternative + the rawtext fallback below.
+    r"|(?i:<(script|style)\b[^>]*>.*?</\1[^>]*>)"
     # start / end tag; attributes matched GREEDILY ([^>]* cannot cross the
     # '>', so greedy == the old non-greedy '[^>]*?(/?)' semantics without
     # its per-char backtracking) — self-close is a trailing-'/' check on
@@ -302,8 +310,8 @@ def _fast_parse(html: str) -> _Node:
             text = html[pos : m.start()]
             top_children.append(unesc(text) if "&" in text else text)
         pos = m.end()
-        closing, tag = m.group(1, 2)
-        if tag is None:  # comment / CDATA / doctype
+        closing, tag = m.group(2, 3)
+        if tag is None:  # comment / CDATA / doctype / script / style
             continue
         tag = tag.lower()
         if closing:  # end tag: pop to the matching open tag (tolerant)
