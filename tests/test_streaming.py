@@ -46,3 +46,48 @@ def test_stream_matches_batch(spark, tmp_path):
     max_start = max(w for (w, _) in want)
     for (w, _etype) in set(want) - set(got):
         assert w == max_start, "only the trailing open window may be held back"
+
+
+def test_dedup_stream_across_microbatches_and_restart(spark, tmp_path):
+    """Exact dedup state spans micro-batches AND restarts: a digest first
+    seen in file 1 is never re-emitted for its clones in file 2 (same
+    run) or file 3 (second availableNow run on the same checkpoint)."""
+    from ocr_cezam_spark.streaming.dedup_stream import (
+        dedup_stream,
+        read_docs_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(tmp_path / "stage" / name))
+        import glob
+        import shutil
+        part = glob.glob(str(tmp_path / "stage" / name / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    write_file("f1", [(i, f"doc body {i}") for i in range(10)])
+    write_file("f2", [(100 + i, f"doc body {i}") for i in range(10)]  # clones
+               + [(200 + i, f"fresh two {i}") for i in range(5)])
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = read_docs_stream(spark, str(src), schema, max_files=1)
+    run_available_now(dedup_stream(stream), ckpt, out)
+    got = spark.read.parquet(out).collect()
+    # one row per distinct digest; f1 ids win over their f2 clones
+    assert len(got) == 15
+    kept = {r["text"]: r["doc_id"] for r in got}
+    for i in range(10):
+        assert kept[f"doc body {i}"] == i, "earlier micro-batch must win"
+
+    # restart on the same checkpoint with a new file of old + new content
+    write_file("f3", [(300 + i, f"doc body {i}") for i in range(10)]
+               + [(400, "brand new three")])
+    stream2 = read_docs_stream(spark, str(src), schema, max_files=1)
+    run_available_now(dedup_stream(stream2), ckpt, out)
+    got2 = spark.read.parquet(out).collect()
+    assert len(got2) == 16  # only the genuinely-new digest was appended
+    assert {r["doc_id"] for r in got2} - {r["doc_id"] for r in got} == {400}
