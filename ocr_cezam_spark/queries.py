@@ -26,7 +26,7 @@ from pyspark.sql import functions as F  # noqa: N812
 
 from . import skew
 from .corpus import corpus_df
-from .operators import dedup, multimodal, relational, simsearch, textstats
+from .operators import dedup, hnsw, multimodal, relational, simsearch, textstats
 from .operators import extract as X
 
 KERNEL_N = 400  # corpus size for kernel-backed queries
@@ -1177,6 +1177,16 @@ _register(
     _ann_ivf_oracle(64),
 )
 
+# Graph ANN (NSW search inside IVF buckets, cogrouped applyInPandas):
+# approximate by construction, so no SQL oracle — rows-only driver check;
+# the recall-vs-brute-force guarantee lives in pytest
+# (test_hnsw_recall_vs_brute_force), like the other ANN recall checks.
+_register(
+    "hnsw_ann_topk",
+    lambda s, d: hnsw.hnsw_topk(_t(s, d, "embeddings"), _PROBES),
+    None,
+)
+
 # IVF top-k with TRAINED centroids (one Lloyd step from the seeds),
 # oracle-checked bit-for-bit: the per-bucket means are rounded to 6
 # decimals on both sides, which absorbs float summation-order wobble, so
@@ -2125,7 +2135,7 @@ _WINDOW_TAIL = [
     "code_semijoin_lead", "value_bucket_join", "statement_reconciliation",
     "line_grouping", "percentile_stats", "cube_counts", "distinct_users",
     "mrz_fixed_slice", "digit_decimal_parse", "token_quality", "langid",
-    "fingerprint",
+    "fingerprint", "hash_embedding",
 ]
 
 

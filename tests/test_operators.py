@@ -257,6 +257,36 @@ def test_minhash_max_bucket_cap_drops_giant_buckets(spark):
     assert uncapped_small.count() == 10  # 5 choose 2 under the cap
 
 
+def test_hnsw_recall_vs_brute_force(spark):
+    """Greedy NSW search inside IVF buckets must recover (nearly) all of
+    the brute-force top-k — at this design point (beam ef=16 over small
+    buckets) the graph search explores enough of each bucket that recall
+    matches the IVF path's."""
+    from ocr_cezam_spark.operators import hnsw
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    probes = [0, 1, 2, 3, 4]
+    k = 3
+
+    def topk_sets(df):
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["probe_id"], set()).add(r["nb_id"])
+        return out
+
+    exact = topk_sets(simsearch.cosine_topk(emb, probes, k=k))
+    got_df = hnsw.hnsw_topk(emb, probes, k=k)
+    got = topk_sets(got_df)
+    assert _recall_at_k(got, exact, k) >= 0.8
+    # deterministic: a second run returns identical rows
+    rows1 = sorted(map(tuple, got_df.collect()))
+    rows2 = sorted(map(tuple, hnsw.hnsw_topk(emb, probes, k=k).collect()))
+    assert rows1 == rows2
+    # every probe got exactly k ranked results, probe itself excluded
+    for p in probes:
+        assert len(got[p]) == k and p not in got[p]
+
+
 def test_incremental_dedup_matches_anti_join_even_with_saturated_bloom(spark):
     """The bloom stage is pure pruning: with expected_items=1 the filter
     saturates (near-100% false positives), yet the exact verification
