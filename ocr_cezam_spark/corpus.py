@@ -358,9 +358,19 @@ def build_pdf(lines: list[str], compress: bool) -> bytes:
     """One-page PDF whose content stream shows `lines` top-to-bottom."""
     import zlib
 
-    shows = b" ".join(
-        b"0 -14 Td (" + _pdf_escape(l) + b") Tj" for l in lines
-    )
+    def show_one(i: int, l: str) -> bytes:
+        if i % 2 == 0 or " " not in l:
+            return b"0 -14 Td (" + _pdf_escape(l) + b") Tj"
+        # odd lines render as TJ kern arrays with inter-word gaps encoded
+        # as -250/1000-em kerns (how real PDFs encode spaces) plus a small
+        # -20 same-word kern — extracted text is identical (the parser
+        # emits a space for kerns <= -180 and concatenates smaller ones),
+        # so every golden check exercises the TJ word-gap path
+        words = l.split(" ")
+        arr = b" -250 ".join(b"(" + _pdf_escape(w) + b")" for w in words)
+        return b"0 -14 Td [" + arr + b" -20 ()] TJ"
+
+    shows = b" ".join(show_one(i, l) for i, l in enumerate(lines))
     content = b"BT /F1 12 Tf 50 780 Td " + shows + b" ET"
     filt = b""
     if compress:
