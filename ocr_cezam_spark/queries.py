@@ -26,7 +26,7 @@ from pyspark.sql import functions as F  # noqa: N812
 
 from . import skew
 from .corpus import corpus_df
-from .operators import dedup, hnsw, multimodal, relational, simsearch, textstats
+from .operators import dedup, hnsw, multimodal, pipeline, relational, simsearch, textstats
 from .operators import extract as X
 
 KERNEL_N = 400  # corpus size for kernel-backed queries
@@ -819,6 +819,80 @@ _register(
              AS text_dedup
     FROM corpus c LEFT JOIN kept k USING (doc_id)
     GROUP BY c.doc_id
+    """,
+)
+
+# End-to-end C4-style cleaning pipeline (composition showpiece): clone
+# corpus + injected boilerplate -> paragraph dedup -> exact doc dedup on
+# cleaned text -> quality gates, all one Catalyst plan.
+_register(
+    "clean_corpus",
+    lambda s, d: pipeline.clean_corpus(
+        _cloned_docs(s, d).select(
+            "doc_id",
+            F.concat("text", F.lit("\n" + _PARA_BOILER)).alias("text"),
+        )
+    ),
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text || chr(10) || '{_PARA_BOILER}' AS text
+      FROM ({_CLONED_SQL})
+    ),
+    paras AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS para,
+             unnest(range(len(string_split(text, chr(10))))) AS pos
+      FROM corpus
+    ),
+    freq AS (SELECT md5(para) AS ph, count(*) AS freq FROM paras GROUP BY 1),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.para
+      FROM paras p JOIN freq f ON md5(p.para) = f.ph WHERE f.freq <= 5
+    ),
+    cleaned AS (
+      SELECT c.doc_id,
+             coalesce(string_agg(k.para, chr(10) ORDER BY k.pos), '') AS text
+      FROM corpus c LEFT JOIN kept k USING (doc_id) GROUP BY c.doc_id
+    ),
+    ne AS (SELECT * FROM cleaned WHERE text <> ''),
+    keepers AS (SELECT min(doc_id) AS keeper FROM ne GROUP BY md5(text)),
+    reps AS (SELECT n.doc_id, n.text FROM ne n
+             JOIN keepers kk ON n.doc_id = kk.keeper),
+    tb AS (SELECT doc_id, string_split(text, ' ') AS words,
+                  length(text) AS n_chars FROM reps),
+    tm AS (
+      SELECT doc_id, words, CAST(len(words) AS INT) AS n_tokens,
+             CAST(len(list_filter(words, w -> w IN
+                 ('the','a','of','and','to','in','is'))) AS INT) AS n_stop,
+             (n_chars - (len(words) - 1)) / len(words) AS awl_raw
+      FROM tb
+    ),
+    tq AS (
+      SELECT doc_id, n_tokens,
+             round(CAST(n_stop AS DOUBLE) / n_tokens, 3) AS stopword_ratio,
+             round(awl_raw, 3) AS avg_word_len
+      FROM tm
+      WHERE n_tokens >= 10 AND round(awl_raw, 3) >= 2.0
+            AND round(awl_raw, 3) <= 12.0
+    ),
+    gs AS (
+      SELECT doc_id,
+             round(CAST(list_sum(list_transform(words, x -> length(x)))
+                        AS DOUBLE) / len(words), 4) AS mean_word_len,
+             round(CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+                        AS DOUBLE) / len(words), 4) AS alpha_word_frac,
+             round(CAST(len(list_filter(words, x -> regexp_matches(x, '^[0-9]+$')))
+                        AS DOUBLE) / len(words), 4) AS digit_word_frac
+      FROM tm
+    ),
+    gq AS (
+      SELECT doc_id, mean_word_len, alpha_word_frac FROM gs
+      WHERE mean_word_len BETWEEN 3.0 AND 10.0
+            AND alpha_word_frac >= 0.8 AND digit_word_frac < 0.3
+    )
+    SELECT t.doc_id, t.n_tokens, t.stopword_ratio, t.avg_word_len,
+           g.mean_word_len, g.alpha_word_frac
+    FROM tq t JOIN gq g USING (doc_id)
     """,
 )
 
@@ -2135,7 +2209,7 @@ _WINDOW_TAIL = [
     "code_semijoin_lead", "value_bucket_join", "statement_reconciliation",
     "line_grouping", "percentile_stats", "cube_counts", "distinct_users",
     "mrz_fixed_slice", "digit_decimal_parse", "token_quality", "langid",
-    "fingerprint", "hash_embedding",
+    "fingerprint", "hash_embedding", "subtoken_count",
 ]
 
 

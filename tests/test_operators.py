@@ -344,6 +344,28 @@ def test_simhash_dedup_first_pairs_and_multiplicities(spark):
     assert all(a != 1 and b != 1 for a, b in pairs)  # non-reps never appear
 
 
+def test_clean_corpus_pipeline_end_to_end(spark):
+    """Composition semantics: boilerplate removed first, exact dedup on
+    the CLEANED text (boilerplate-only docs vanish; docs differing only
+    in boilerplate collapse), quality gates on what remains."""
+    from ocr_cezam_spark.operators.pipeline import clean_corpus
+
+    boiler = "subscribe to the newsletter now"
+    good = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the quiet woods tonight")
+    rows = [
+        (0, f"{good}\n{boiler}"),
+        (1, f"{good}\n{boiler}\n{boiler}"),  # same content once cleaned
+        (2, boiler),                          # boilerplate-only: dropped
+        (3, f"x1 y2 z3 9 8 77 66 55 44 33 22 11\n{boiler}"),  # digit-heavy
+        (4, f"tiny doc\n{boiler}"),           # under 10 tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in clean_corpus(docs, max_freq=2).collect()}
+    assert set(out) == {0}  # 1 deduped into 0; 2,3,4 gated out
+    assert out[0]["n_tokens"] == len(good.split(" "))
+
+
 def test_sequence_pack_layout(spark):
     """Concat-then-chunk packing: docs assigned to the pack where they
     start; offsets are the running token position within the pack."""
