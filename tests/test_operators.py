@@ -381,6 +381,41 @@ def test_sequence_pack_layout(spark):
                    16: (0, 2, 1, 2), 24: (0, 5, 1, 4)}
 
 
+def test_canonicalize_url_idempotent(spark):
+    """canon(canon(u)) == canon(u) over a 512-URL grid — a canonical key
+    must be a fixed point, or two passes over the same crawl disagree."""
+    import itertools
+
+    from ocr_cezam_spark.functions.url import canonicalize_url
+
+    urls = [
+        "".join(c)
+        for c in itertools.product(
+            ["http://", "HTTPS://", "ftp://", ""],
+            ["A.Example.COM", "x.org:8080", "u:p@h.net:443", "h.net:80"],
+            ["", "/", "/a%2fb", "/x/y"],
+            ["", "?b=2&a=1", "?x=%e9", "?b=%2f&a=%2F"],
+            ["", "#f"],
+        )
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(canonicalize_url(F.col("u")).alias("c1"))
+    both = once.select("c1", canonicalize_url(F.col("c1")).alias("c2"))
+    bad = [(r["c1"], r["c2"]) for r in both.collect() if r["c1"] != r["c2"]]
+    assert bad == [], bad[:5]
+
+
+def test_paragraph_dedup_identity_when_threshold_high(spark):
+    """With max_freq >= corpus size nothing is dropped: the explode ->
+    reassemble round-trip must reproduce every text byte-for-byte
+    (including empty paragraphs and trailing newlines)."""
+    rows = [(0, "a b\n\nc"), (1, "x\n"), (2, ""), (3, "solo")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text_dedup"]
+           for r in dedup.paragraph_dedup(docs, max_freq=100).collect()}
+    assert got == dict(rows)
+
+
 def test_paragraph_dedup_removes_injected_boilerplate(spark):
     """A boilerplate paragraph injected into every page disappears; each
     doc's own paragraphs survive in original order; all-boilerplate docs
