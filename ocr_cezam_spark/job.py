@@ -83,12 +83,19 @@ def run_job(
     # table first; executor loss here just restarts the resume job.)
     out = out.localCheckpoint(eager=True)
     counts: dict[str, int] = {}
+    # (url, digest) table: the standing index for cross-run incremental
+    # dedup — the next increment's operators.dedup.incremental_dedup reads
+    # this table as its corpus side instead of re-hashing all prior text.
+    digests = out.select(
+        "url", F.md5("text").alias("digest"), "n_bytes"
+    )
     for name, df in (
         ("extracted", X.extracted_text(out)),
         ("fields", X.extracted_fields(out)),
         ("cells", X.extracted_cells(out)),
         ("statuses", X.extracted_statuses(out)),
         ("codes", X.extracted_codes(out)),
+        ("digests", digests),
         ("metrics", X.partition_metrics(out)),
     ):
         # Row counts ride the write action itself via observe() — one
