@@ -284,6 +284,23 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame,
     exactly that); the bloom stage is pure pruning.
 
     Returns the surviving new docs (id, digest)."""
+    corpus_d = corpus.select(F.md5(F.col(text_col)).alias("digest"))
+    return incremental_dedup_against_index(
+        new_docs, corpus_d, id_col, text_col, "digest",
+        expected_items, fpp,
+    )
+
+
+def incremental_dedup_against_index(new_docs: DataFrame, index: DataFrame,
+                                    id_col: str = "doc_id",
+                                    text_col: str = "text",
+                                    digest_col: str = "digest",
+                                    expected_items: int = 1_000_000,
+                                    fpp: float = 0.01) -> DataFrame:
+    """incremental_dedup against a PRE-HASHED digest index — the standing
+    (url, digest) table the batch job writes (`job.py` digests output), so
+    successive increments never re-hash prior text. Same bloom-prune +
+    exact-verify shape; result equals the plain anti-join on digests."""
     import math
 
     # optimal bit count for the target false-positive rate:
@@ -295,7 +312,7 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame,
     new_d = new_docs.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("digest")
     )
-    corpus_d = corpus.select(F.md5(F.col(text_col)).alias("digest"))
+    corpus_d = index.select(F.col(digest_col).alias("digest"))
     bloom_bytes = _build_bloom(
         corpus_d.select(F.xxhash64("digest").alias("h")), num_bits, num_hashes
     )
