@@ -52,6 +52,9 @@ HEADLINE = [
     "ivf_bucket_stats",
     "paragraph_dedup",
     "domain_quota_sample",
+    "sequence_pack",
+    "incremental_dedup",
+    "clean_corpus",
     "extract_text",
 ]
 
