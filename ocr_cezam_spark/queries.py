@@ -2195,6 +2195,218 @@ _register(
 )
 
 
+# ===========================================================================
+# Corpus hygiene: PII redaction, mojibake repair, decontamination, URL
+# blocklist (operators/scrub.py). Fixtures inject the dirt deterministically
+# in BOTH engines (the synthetic corpus is clean ASCII word soup).
+# ===========================================================================
+from .operators import scrub  # noqa: E402
+
+
+def _pii_docs(s: SparkSession, d: str) -> DataFrame:
+    doc_id = F.col("doc_id")
+    tail = F.concat(
+        F.when(doc_id % 3 == 0,
+               F.concat(F.lit(" contact: user"), doc_id.cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(doc_id % 5 == 0, F.lit(" tel: 06 12 34 56 78"))
+        .otherwise(F.lit("")),
+        F.when(doc_id % 7 == 0,
+               F.concat(F.lit(" ip: 10.0."), (doc_id % 256).cast("string"),
+                        F.lit(".25"))).otherwise(F.lit("")),
+    )
+    return _t(s, d, "documents").select(
+        "doc_id", F.concat("text", tail).alias("text")
+    )
+
+
+_PII_SQL_CORPUS = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0 THEN ' contact: user'
+                || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN ' tel: 06 12 34 56 78'
+                ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN ' ip: 10.0.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.25' ELSE '' END
+           AS text
+    FROM documents
+"""
+
+
+def _pii_oracle() -> str:
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}s"
+        for kind, pat, _ in scrub.PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, repl in scrub.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+    WITH corpus AS ({_PII_SQL_CORPUS})
+    SELECT doc_id, {counts}, {red} AS text_redacted FROM corpus
+    """
+
+
+_register(
+    "pii_redact",
+    lambda s, d: scrub.pii_redact(_pii_docs(s, d)),
+    _pii_oracle(),
+)
+
+# Mojibake fixture: append a French tail covering the full MOJIBAKE_MAP
+# repertoire, then corrupt it with the reverse map — Â-family characters
+# first, so the '»' inside û's mojibake 'Ã»' is produced AFTER '»' itself
+# was corrupted and never double-corrupts. Repair must restore the
+# original exactly (`restored` column) and count one fix per sequence.
+_MOJI_TAIL = (" Café crème «déjà» où ça gêne, être sûr en août à 1°, "
+              "île câline, drôle, aigüe")
+_MOJI_CORRUPT = (
+    [(g, b) for b, g in scrub.MOJIBAKE_MAP if b.startswith("Â")]
+    + [(g, b) for b, g in scrub.MOJIBAKE_MAP if b.startswith("Ã")]
+)
+
+
+def _moji_docs(s: SparkSession, d: str) -> DataFrame:
+    corrupted = F.concat(F.col("text"), F.lit(_MOJI_TAIL))
+    for good, bad in _MOJI_CORRUPT:
+        corrupted = F.replace(corrupted, F.lit(good), F.lit(bad))
+    return _t(s, d, "documents").select(
+        "doc_id", corrupted.alias("text"),
+        F.concat("text", F.lit(_MOJI_TAIL)).alias("want"),
+    )
+
+
+def _moji_query(s: SparkSession, d: str) -> DataFrame:
+    docs = _moji_docs(s, d)
+    fixed = scrub.fix_mojibake(docs)
+    return fixed.join(docs.select("doc_id", "want"), "doc_id").select(
+        "doc_id", "n_fixed",
+        (F.col("text_fixed") == F.col("want")).alias("restored"),
+        F.md5("text_fixed").alias("fixed_md5"),
+    )
+
+
+def _moji_oracle() -> str:
+    corrupted = f"(text || '{_MOJI_TAIL}')"
+    for good, bad in _MOJI_CORRUPT:
+        corrupted = f"replace({corrupted}, '{good}', '{bad}')"
+    fixed = "text"
+    for bad, good in scrub.MOJIBAKE_MAP:
+        fixed = f"replace({fixed}, '{bad}', '{good}')"
+    return f"""
+    WITH corrupt AS (
+      SELECT doc_id, {corrupted} AS text,
+             text || '{_MOJI_TAIL}' AS want
+      FROM documents
+    ),
+    rep AS (
+      SELECT doc_id, want, {fixed} AS text_fixed,
+             CAST(length(text) - length({fixed}) AS INT) AS n_fixed
+      FROM corrupt
+    )
+    SELECT doc_id, n_fixed, text_fixed = want AS restored,
+           md5(text_fixed) AS fixed_md5
+    FROM rep
+    """
+
+
+_register("fix_mojibake", _moji_query, _moji_oracle())
+
+# Decontamination fixture: a 12-word benchmark passage appended to the
+# benchmark docs (doc_id % 97 == 0) and leaked into doc_id % 13 == 5 of
+# the training corpus (benchmark docs excluded from it). Each leaked doc
+# must surface with exactly the passage's 5 distinct pure 8-grams;
+# boundary-crossing windows differ per doc and never match.
+_DECON_PASSAGE = ("quick brown fox jumps over lazy dog tonight "
+                  "again friends forever together")
+
+
+def _decon_query(s: SparkSession, d: str) -> DataFrame:
+    base = _t(s, d, "documents").select("doc_id", "text")
+    corpus = base.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 5,
+               F.concat("text", F.lit(" " + _DECON_PASSAGE)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    bench = base.filter(F.col("doc_id") % 97 == 0).select(
+        "doc_id", F.concat("text", F.lit(" " + _DECON_PASSAGE)).alias("text")
+    )
+    return scrub.decontaminate(corpus, bench, n=8)
+
+
+_register(
+    "decontaminate",
+    _decon_query,
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 13 = 5
+               THEN ' {_DECON_PASSAGE}' ELSE '' END AS text
+      FROM documents WHERE doc_id % 97 <> 0
+    ),
+    bench AS (
+      SELECT doc_id, text || ' {_DECON_PASSAGE}' AS text
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    bw AS (SELECT string_split(text, ' ') AS words FROM bench),
+    bi AS (SELECT words, unnest(range(greatest(len(words) - 7, 0))) AS i
+           FROM bw),
+    bg AS (SELECT DISTINCT
+             md5(array_to_string(words[i + 1:i + 8], ' ')) AS gh FROM bi),
+    dw AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+    di AS (SELECT doc_id, words,
+                  unnest(range(greatest(len(words) - 7, 0))) AS i FROM dw),
+    dg AS (SELECT DISTINCT doc_id,
+             md5(array_to_string(words[i + 1:i + 8], ' ')) AS gh FROM di)
+    SELECT d.doc_id, count(*) AS n_hits
+    FROM dg d JOIN bg USING (gh)
+    GROUP BY d.doc_id
+    """,
+)
+
+# URL blocklist fixture: synthesize one url per document from its source
+# ('https://www.srcN.example.com/p/<id>', with an '/ads/' segment on
+# doc_id % 17 == 4), block four site suffixes plus the path rule.
+_BLOCKED_SITES = [f"src{i}.example.com" for i in (3, 7, 11, 15)]
+
+
+def _blocklist_query(s: SparkSession, d: str) -> DataFrame:
+    doc_id = F.col("doc_id")
+    pages = _t(s, d, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www."), F.col("source"), F.lit(".example.com/p/"),
+            F.when(doc_id % 17 == 4, F.lit("ads/")).otherwise(F.lit("")),
+            doc_id.cast("string"),
+        ).alias("url"),
+    )
+    keep = scrub.url_blocklist_filter(
+        pages, scrub.blocklist_of(s, _BLOCKED_SITES)
+    )
+    return keep.select("doc_id", "url", "site")
+
+
+_register(
+    "url_blocklist_filter",
+    _blocklist_query,
+    f"""
+    WITH pages AS (
+      SELECT doc_id,
+             'https://www.' || source || '.example.com/p/'
+               || CASE WHEN doc_id % 17 = 4 THEN 'ads/' ELSE '' END
+               || CAST(doc_id AS VARCHAR) AS url,
+             source || '.example.com' AS site
+      FROM documents
+    )
+    SELECT doc_id, url, site FROM pages
+    WHERE NOT regexp_matches(url, '/ads/')
+      AND site NOT IN ({", ".join(repr(x) for x in _BLOCKED_SITES)})
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering. The driver's artifact records the
 # FIRST 50 registry entries, so entries that most need a driver-green row
@@ -2210,6 +2422,10 @@ _WINDOW_TAIL = [
     "line_grouping", "percentile_stats", "cube_counts", "distinct_users",
     "mrz_fixed_slice", "digit_decimal_parse", "token_quality", "langid",
     "fingerprint", "hash_embedding", "subtoken_count",
+    # rotated out when the four scrub queries entered the window (all four
+    # below were driver-green in r03 and unchanged since):
+    "repetition_stats", "gopher_quality", "source_skew_stats",
+    "byte_histogram",
 ]
 
 

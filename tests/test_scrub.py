@@ -1,0 +1,94 @@
+"""Corpus-hygiene operators: PII redaction, mojibake repair, benchmark
+decontamination, URL blocklist filtering (operators/scrub.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: N812
+
+from ocr_cezam_spark.operators import scrub
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_pii_redact_masks_and_counts(spark):
+    rows = [
+        (1, "write to jean.dupont+x@mail.example.fr or call 06 12 34 56 78"),
+        (2, "server at 192.168.1.7 and 10.0.0.255, intl +33 6 98 76 54 32"),
+        (3, "nothing sensitive here"),
+    ]
+    out = {r["doc_id"]: r for r in scrub.pii_redact(_docs(spark, rows)).collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (1, 1, 0)
+    assert out[1]["text_redacted"] == "write to [EMAIL] or call [PHONE]"
+    assert (out[2]["n_emails"], out[2]["n_phones"], out[2]["n_ips"]) == (0, 1, 2)
+    assert out[2]["text_redacted"] == "server at [IP] and [IP], intl [PHONE]"
+    assert out[3]["text_redacted"] == rows[2][1]
+    assert (out[3]["n_emails"], out[3]["n_phones"], out[3]["n_ips"]) == (0, 0, 0)
+
+
+def test_mojibake_roundtrip_restores_original(spark):
+    original = "Un été à l'hôtel: «déjà vu», ça gêne d'être sûr — 25° où?"
+    # corrupt = what a latin-1 misdecode of the UTF-8 bytes produces,
+    # restricted to the MOJIBAKE_MAP repertoire (the em-dash stays)
+    corrupt = original
+    pairs = ([(g, b) for b, g in scrub.MOJIBAKE_MAP if b.startswith("Â")]
+             + [(g, b) for b, g in scrub.MOJIBAKE_MAP if b.startswith("Ã")])
+    for good, bad in pairs:
+        corrupt = corrupt.replace(good, bad)
+    assert corrupt != original
+    out = scrub.fix_mojibake(_docs(spark, [(1, corrupt)])).collect()[0]
+    assert out["text_fixed"] == original
+    assert out["n_fixed"] == sum(original.count(g) for _, g in scrub.MOJIBAKE_MAP)
+
+
+def test_decontaminate_flags_only_leaked_docs(spark):
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota"  # 9 words
+    corpus = _docs(spark, [
+        (1, "clean words only none shared with anything else at all"),
+        (2, "leaked document containing the passage " + passage),
+        (3, "short"),
+    ])
+    bench = _docs(spark, [(100, "benchmark doc holds " + passage + " verbatim")])
+    out = {r["doc_id"]: r["n_hits"]
+           for r in scrub.decontaminate(corpus, bench, n=8).collect()}
+    # 9-word passage -> 2 pure 8-grams shared between bench and doc 2
+    assert out == {2: 2}
+
+
+def test_url_blocklist_filter_drops_sites_and_ads_paths(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, "https://www.good.example.com/p/1"),
+            (2, "https://www.bad.example.com/p/2"),
+            (3, "https://sub.good.example.com/p/ads/3"),
+            (4, "https://other.example.org/x"),
+        ],
+        ["doc_id", "url"],
+    )
+    block = scrub.blocklist_of(spark, ["bad.example.com"])
+    kept = scrub.url_blocklist_filter(pages, block).select("doc_id", "site")
+    got = {(r["doc_id"], r["site"]) for r in kept.collect()}
+    assert got == {(1, "good.example.com"), (4, "other.example.org")}
+
+
+def test_scrub_plans_stay_native(spark):
+    """No Python UDF (BatchEvalPython) in any scrub plan; the blocklist
+    join broadcasts."""
+    docs = _docs(spark, [(1, "a b c d e f g h i j")])
+    plans = [
+        scrub.pii_redact(docs)._jdf.queryExecution().executedPlan().toString(),
+        scrub.fix_mojibake(docs)._jdf.queryExecution().executedPlan().toString(),
+        scrub.decontaminate(docs, docs)._jdf.queryExecution()
+        .executedPlan().toString(),
+    ]
+    for p in plans:
+        assert "BatchEvalPython" not in p
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://a"), F.col("doc_id").cast("string"),
+                 F.lit(".example.com/p")).alias("url"),
+    )
+    bl = scrub.url_blocklist_filter(pages, scrub.blocklist_of(spark, ["x.y"]))
+    bp = bl._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bp and "LeftAnti" in bp
