@@ -55,6 +55,11 @@ HEADLINE = [
     "sequence_pack",
     "incremental_dedup",
     "clean_corpus",
+    "pii_redact",
+    "decontaminate",
+    "window_dedup",
+    "bm25_topk",
+    "token_budget_select",
     "extract_text",
 ]
 

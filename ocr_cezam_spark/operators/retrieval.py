@@ -1,0 +1,135 @@
+"""Lexical retrieval over the corpus: inverted-index statistics and BM25
+top-k scoring — the sparse complement to the dense ANN operators
+(simsearch.py / pq.py / hnsw.py).
+
+Reference analog: ocr-cezam locates fields by keyword membership over
+per-document token sets (utils/utils.py:30-53 trigger lookups); at corpus
+scale the same capability is an inverted index + ranked retrieval.
+
+Everything is native DataFrame ops: one explode to tokens, hash
+aggregations, a broadcast join against the (tiny) query term set. No
+UDFs, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+# BM25 constants (Robertson et al. defaults)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def term_freqs(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(term, id, tf): whitespace tokenization, per-document term counts.
+
+    The explode is the honest cost (|words| rows per doc); the immediate
+    groupBy(term, id) combines map-side, so the shuffle carries one row
+    per distinct (term, doc) — bounded by vocabulary x docs, far below
+    token count on natural text.
+    """
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", id_col)
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def inverted_index_stats(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Per-term postings statistics: document frequency, total term
+    frequency, and the champion document (highest tf, id as tie-break —
+    the 'champion list' head used by WAND-style query pruning).
+
+    Scale shape: two hash aggregations on the term key. A full postings
+    *list* (collect_list per term) would put a stopword's millions of
+    postings in one aggregation buffer — deliberately NOT materialized
+    here; downstream consumers join term_freqs by term instead (Spark
+    keeps that shuffled, never assembled in memory).
+    """
+    tf = term_freqs(docs, id_col, text_col)
+    return tf.groupBy("term").agg(
+        F.count("*").alias("doc_freq"),
+        F.sum("tf").alias("total_tf"),
+        F.max(F.struct(F.col("tf"), F.col(id_col))).alias("_champ"),
+    ).select(
+        "term", "doc_freq", "total_tf",
+        F.col(f"_champ.{id_col}").alias("champion_doc"),
+        F.col("_champ.tf").alias("champion_tf"),
+    )
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text",
+              k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """BM25 ranking of documents against a bag-of-terms query.
+
+    score(d) = sum over query terms t of
+        idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    with idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)  (Lucene form).
+
+    Scale shape: doc lengths and N/avgdl come from one aggregation whose
+    scalar result rides a broadcast crossJoin (a 1-row build side — not a
+    data cartesian); the query term set broadcasts into a semi-join that
+    prunes the term_freqs shuffle to query terms only, so the scoring
+    join touches |query| postings lists, not the whole index. Top-k is
+    TakeOrdered (no global sort).
+
+    Output: (id, score, n_matched) for the k best documents,
+    score rounded to 4 dp, ties broken by id ascending.
+    """
+    tf = term_freqs(docs, id_col, text_col)
+    qt = tf.sparkSession.createDataFrame(
+        [(t,) for t in query_terms], ["term"]
+    )
+    dl = docs.select(
+        F.col(id_col),
+        F.size(F.filter(F.split(F.col(text_col), " "), lambda w: w != ""))
+        .cast("double").alias("dl"),
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    df_t = (
+        tf.join(F.broadcast(qt), "term")
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(df_t), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.log((F.col("n_docs") - F.col("df") + 0.5)
+                      / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf")
+                   + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("part"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("part"), 4).alias("score"),
+            F.count("*").alias("n_matched"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    )
+
+
+def bm25_idf(n_docs: float, df: float) -> float:
+    """Reference scalar for tests."""
+    return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)

@@ -1,0 +1,136 @@
+"""Data-selection operators: global token-budget selection and
+source-temperature resampling — the mixing stage that decides WHICH
+cleaned documents feed training, after hygiene (scrub.py) and dedup
+(dedup.py) decide which are usable.
+
+Reference analog: ocr-cezam processes whole folders unconditionally; at
+corpus scale the pipeline must instead select a token budget's worth of
+the best documents and rebalance over-represented sources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F  # noqa: N812
+
+QUALITY_DP = 4  # quality is rounded before ordering so both engines sort alike
+
+
+def doc_quality(docs: DataFrame, text_col: str = "text") -> F.Column:
+    """Deterministic quality proxy: lexical diversity (distinct words /
+    words), rounded. Repetitive boilerplate scores low. Swappable for a
+    model-based score column at production."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    return F.round(
+        F.size(F.array_distinct(words)) / F.size(words), QUALITY_DP
+    )
+
+
+def token_budget_select(docs: DataFrame, budget: int,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_buckets: int = 20) -> DataFrame:
+    """Select the highest-quality documents until a global token budget is
+    filled: order all docs by (quality desc, id asc) and keep every doc
+    whose running token total stays within ``budget``.
+
+    A naive running sum over a global ORDER BY collapses into ONE window
+    partition — the classic scale-killer. This implements the distributed
+    prefix-sum instead:
+      1. bucket docs by quality band (fixed binning, no shuffle);
+      2. aggregate per-bucket token totals — n_buckets rows, collected to
+         the driver (bounded state, independent of corpus size);
+      3. compute each band's starting offset (sum of better bands) and
+         map it back as a literal;
+      4. run the window PARTITIONED by band — parallel across bands —
+         adding the band offset to the within-band running sum.
+    The result equals the single-partition global window exactly, because
+    band order extends (quality desc, id asc): equal qualities share a
+    band. Early bands that already exceed the budget could prune entirely
+    before the window (not done here; the filter after the window is
+    Catalyst-visible and cheap).
+
+    Output: (id, n_tokens, quality, cum_tokens) for selected docs, where
+    cum_tokens is the inclusive running total in global order.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = docs.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_tokens"),
+        doc_quality(docs, text_col).alias("quality"),
+    ).withColumn(
+        "band",
+        F.least(F.floor(F.col("quality") * n_buckets).cast("int"),
+                F.lit(n_buckets - 1)),
+    )
+    per_band = {
+        r["band"]: r["toks"]
+        for r in base.groupBy("band").agg(F.sum("n_tokens").alias("toks"))
+        .collect()
+    }
+    offsets = {
+        b: sum(t for bb, t in per_band.items() if bb > b)
+        for b in per_band
+    }
+    offset_expr = F.element_at(
+        F.create_map(*[
+            x for b, off in sorted(offsets.items())
+            for x in (F.lit(b), F.lit(off))
+        ]),
+        F.col("band"),
+    )
+    w = (
+        Window.partitionBy("band")
+        .orderBy(F.col("quality").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn(
+            "cum_tokens", (F.sum("n_tokens").over(w) + offset_expr)
+            .cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, "n_tokens", "quality", "cum_tokens")
+    )
+
+
+def temperature_sample(docs: DataFrame, alpha: float = 0.7,
+                       id_col: str = "doc_id",
+                       source_col: str = "source") -> DataFrame:
+    """Source-temperature resampling (multilingual-mixing style): source s
+    with n_s docs is kept with probability
+        p_s = min(1, N * n_s^alpha / (sum_s n_s^alpha) / n_s)
+    so the expected kept distribution follows n_s^alpha — hot sources
+    down-weighted, small sources kept whole (p capped at 1; upsampling is
+    a repeat-factor concern, out of scope for a filter).
+
+    Membership is deterministic: doc u-value = first 8 md5 hex chars of
+    its id as a fraction of 2^32, kept when u < p_s — reproducible across
+    runs and engines, no RNG state.
+
+    Scale shape: per-source counts are one hash aggregation (millions of
+    sources aggregate fine); the tiny stats row rides a broadcast
+    crossJoin and p_s joins back by source broadcast — the doc table
+    itself never shuffles.
+    """
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("n_s"))
+    sums = counts.agg(
+        F.sum("n_s").cast("double").alias("n_total"),
+        F.sum(F.pow(F.col("n_s").cast("double"), alpha)).alias("w_total"),
+    )
+    probs = counts.crossJoin(F.broadcast(sums)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.col("n_total")
+            * F.pow(F.col("n_s").cast("double"), alpha)
+            / F.col("w_total") / F.col("n_s").cast("double"),
+        ).alias("p_keep"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+               16, 10).cast("double") / F.lit(float(2 ** 32))
+    )
+    return (
+        docs.join(F.broadcast(probs), source_col)
+        .filter(u < F.col("p_keep"))
+        .select(id_col, source_col)
+    )

@@ -2407,6 +2407,178 @@ _register(
 )
 
 
+# ===========================================================================
+# Lexical retrieval (operators/retrieval.py), windowed substring dedup
+# (dedup.window_dedup_stats), and data selection (operators/sampling.py).
+# ===========================================================================
+from .operators import retrieval, sampling  # noqa: E402
+
+_TF_SQL = """
+    SELECT term, doc_id, count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents)
+    WHERE term <> '' GROUP BY term, doc_id
+"""
+
+_register(
+    "inverted_index",
+    lambda s, d: retrieval.inverted_index_stats(_t(s, d, "documents")),
+    f"""
+    WITH tf AS ({_TF_SQL}),
+    agg AS (
+      SELECT term, count(*) AS doc_freq,
+             CAST(sum(tf) AS BIGINT) AS total_tf
+      FROM tf GROUP BY term
+    ),
+    champ AS (
+      SELECT term, doc_id AS champion_doc, tf AS champion_tf FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY term ORDER BY tf DESC, doc_id DESC) AS rn
+        FROM tf
+      ) WHERE rn = 1
+    )
+    SELECT a.term, a.doc_freq, a.total_tf, c.champion_doc, c.champion_tf
+    FROM agg a JOIN champ c USING (term)
+    """,
+)
+
+_BM25_TERMS = ["spark", "join", "window", "fast"]
+
+
+_register(
+    "bm25_topk",
+    lambda s, d: retrieval.bm25_topk(
+        _t(s, d, "documents"), _BM25_TERMS, k=10
+    ),
+    f"""
+    WITH tf AS ({_TF_SQL}),
+    q AS (SELECT unnest(
+        [{", ".join(repr(t) for t in _BM25_TERMS)}]) AS term),
+    dl AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                  AS DOUBLE) AS dl
+      FROM documents
+    ),
+    st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+           FROM dl),
+    dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+            FROM tf JOIN q USING (term) GROUP BY term),
+    parts AS (
+      SELECT tf.doc_id,
+             ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1))
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS part
+      FROM tf JOIN q USING (term) JOIN dft USING (term)
+      JOIN dl USING (doc_id) CROSS JOIN st
+    ),
+    sc AS (SELECT doc_id, round(sum(part), 4) AS score,
+                  count(*) AS n_matched
+           FROM parts GROUP BY doc_id)
+    SELECT doc_id, score, n_matched FROM sc
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+
+_register(
+    "window_dedup",
+    lambda s, d: dedup.window_dedup_stats(_cloned_docs(s, d)),
+    f"""
+    WITH corpus AS ({_CLONED_SQL}),
+    w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+    occ AS (
+      SELECT doc_id,
+             md5(array_to_string(words[i * 15 + 1:i * 15 + 30], ' ')) AS wh
+      FROM (
+        SELECT doc_id, words,
+               unnest(range(CAST(floor((len(words) - 30) / 15.0) AS BIGINT)
+                            + 1)) AS i
+        FROM w WHERE len(words) >= 30
+      )
+    ),
+    freq AS (SELECT wh, count(*) AS freq FROM occ GROUP BY wh),
+    roll AS (
+      SELECT o.doc_id, count(*) AS n_windows,
+             CAST(sum(CASE WHEN f.freq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_windows
+      FROM occ o JOIN freq f USING (wh) GROUP BY o.doc_id
+    )
+    SELECT doc_id, n_windows, n_dup_windows,
+           round(CAST(n_dup_windows AS DOUBLE) / n_windows, 4) AS dup_frac
+    FROM roll
+    """,
+)
+
+_TOKEN_BUDGET = 12_000  # ~45% of the sf0.01 corpus's 27k tokens
+
+
+_register(
+    "token_budget_select",
+    lambda s, d: sampling.token_budget_select(
+        _t(s, d, "documents"), budget=_TOKEN_BUDGET
+    ),
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_tokens,
+             round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4)
+               AS quality
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS words
+            FROM documents)
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens, quality,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY quality DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM base
+    )
+    SELECT doc_id, n_tokens, quality, cum_tokens FROM cum
+    WHERE cum_tokens <= {_TOKEN_BUDGET}
+    """,
+)
+
+# Temperature fixture: the uniform synthetic corpus (25 docs per source)
+# would give every source p_keep = 1, so skew it first — every even
+# doc_id moves to one hot source, which temperature alpha=0.7 then
+# down-samples while the small sources keep p = 1 (capped).
+_register(
+    "temperature_sample",
+    lambda s, d: sampling.temperature_sample(
+        _t(s, d, "documents").select(
+            "doc_id",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("hot"))
+            .otherwise(F.col("source")).alias("source"),
+        )
+    ),
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'hot' ELSE source END AS source
+      FROM documents
+    ),
+    counts AS (SELECT source, count(*) AS n_s FROM docs GROUP BY source),
+    st AS (
+      SELECT CAST(sum(n_s) AS DOUBLE) AS n_total,
+             sum(pow(CAST(n_s AS DOUBLE), 0.7)) AS w_total
+      FROM counts
+    ),
+    probs AS (
+      SELECT source,
+             least(1.0, n_total * pow(CAST(n_s AS DOUBLE), 0.7)
+                        / w_total / CAST(n_s AS DOUBLE)) AS p_keep
+      FROM counts CROSS JOIN st
+    )
+    SELECT d.doc_id, d.source
+    FROM docs d JOIN probs p USING (source)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0 < p.p_keep
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering. The driver's artifact records the
 # FIRST 50 registry entries, so entries that most need a driver-green row
@@ -2426,6 +2598,10 @@ _WINDOW_TAIL = [
     # below were driver-green in r03 and unchanged since):
     "repetition_stats", "gopher_quality", "source_skew_stats",
     "byte_histogram",
+    # rotated out when retrieval/window-dedup/sampling entered (same
+    # criterion — r03 driver-green, untouched this round):
+    "ngram_jaccard", "cosine_topk", "ivf_bucket_stats",
+    "multimodal_meta", "image_header_meta",
 ]
 
 

@@ -1,0 +1,111 @@
+"""Lexical retrieval (inverted index, BM25), windowed substring dedup,
+and data-selection operators (token budget, temperature sampling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: N812
+
+from ocr_cezam_spark.operators import dedup, retrieval, sampling
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_inverted_index_stats(spark):
+    df = _docs(spark, [
+        (1, "a b a c"),
+        (2, "a b b"),
+        (3, "c"),
+    ])
+    out = {r["term"]: r for r in
+           retrieval.inverted_index_stats(df).collect()}
+    assert out["a"]["doc_freq"] == 2 and out["a"]["total_tf"] == 3
+    assert out["a"]["champion_doc"] == 1 and out["a"]["champion_tf"] == 2
+    assert out["b"]["champion_doc"] == 2  # tf 2 beats doc 1's tf 1
+    assert out["c"]["doc_freq"] == 2 and out["c"]["champion_tf"] == 1
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    df = _docs(spark, [
+        (1, "spark spark spark join"),
+        (2, "spark filler filler filler filler filler filler filler"),
+        (3, "unrelated words entirely here"),
+        (4, "join only"),
+    ])
+    rows = retrieval.bm25_topk(df, ["spark", "join"], k=3).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids[0] == 1  # matches both terms, high tf, short doc
+    assert 3 not in ids  # no query term -> absent
+    assert all(rows[i]["score"] >= rows[i + 1]["score"]
+               for i in range(len(rows) - 1))
+
+
+def test_window_dedup_flags_cloned_docs(spark):
+    body = " ".join(f"w{i % 7}x{i}" for i in range(60))
+    unique = " ".join(f"u{i}" for i in range(60))
+    df = _docs(spark, [(1, body), (2, body), (3, unique)])
+    out = {r["doc_id"]: r for r in
+           dedup.window_dedup_stats(df, window=30, stride=15).collect()}
+    # 60 tokens -> windows at 0, 15, 30 -> 3 windows
+    assert out[1]["n_windows"] == 3
+    assert out[1]["dup_frac"] == 1.0 and out[2]["dup_frac"] == 1.0
+    assert out[3]["dup_frac"] == 0.0
+
+
+def test_token_budget_select_matches_global_order(spark):
+    # quality = distinct/total; doc 1 all-distinct (1.0), doc 2 repeats
+    rows = [
+        (1, "a b c d e f g h i j"),                  # 10 tokens, q=1.0
+        (2, "a a a a a b b b b b"),                  # 10 tokens, q=0.2
+        (3, "p q r s t u v w x y z aa bb cc dd ee"),  # 16 tokens, q=1.0
+    ]
+    out = sampling.token_budget_select(_docs(spark, rows), budget=27)
+    got = {r["doc_id"]: r["cum_tokens"] for r in out.collect()}
+    # order: q=1.0 -> docs 1 (10) then 3 (26); doc 2 would hit 36 > 27
+    assert got == {1: 10, 3: 26}
+
+
+def test_token_budget_equals_naive_single_partition(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(rng.choice("abcdefgh") for _ in range(rng.randint(5, 40))))
+        for i in range(200)
+    ]
+    df = _docs(spark, rows)
+    fast = sampling.token_budget_select(df, budget=900, n_buckets=16)
+    from pyspark.sql import Window
+
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    base = df.select(
+        "doc_id", F.size(words).cast("long").alias("n_tokens"),
+        sampling.doc_quality(df).alias("quality"),
+    )
+    w = (Window.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    naive = (base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+             .filter(F.col("cum_tokens") <= 900))
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_temperature_sample_downweights_hot_source(spark):
+    rows = [(i, "hot" if i < 400 else f"cold{i % 5}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = sampling.temperature_sample(df, alpha=0.5).groupBy("source").count()
+    got = {r["source"]: r["count"] for r in kept.collect()}
+    # cold sources are capped at p=1 -> all 20 docs each survive
+    for i in range(5):
+        assert got[f"cold{i}"] == 20
+    # hot source must lose a substantial fraction
+    assert got["hot"] < 320
+
+
+def test_retrieval_plans_native_and_broadcast(spark):
+    df = _docs(spark, [(i, f"a b c d{i}") for i in range(10)])
+    plan = (retrieval.bm25_topk(df, ["a", "b"])._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
