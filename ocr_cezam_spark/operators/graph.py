@@ -1,0 +1,59 @@
+"""Host-graph operators: PageRank over the crawl's host link graph — the
+standard quality prior a web-text pipeline joins back onto documents
+(alongside the per-source skew stats in textstats.py).
+
+Reference analog: none (ocr-cezam is per-document); this is a pipeline
+extension like dedup/sampling. The companion graph op, connected
+components, lives in dedup.connected_components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+DAMPING = 0.85
+
+
+def pagerank(links: DataFrame, iters: int = 3, damping: float = DAMPING,
+             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Fixed-iteration PageRank over a (src, dst) edge table (parallel
+    edges count as weight). Returns (host, rank) for every host appearing
+    as source or destination, rank rounded to 8 dp.
+
+    Hosts without in-links keep the teleport mass
+    (1 - d)/N; dangling mass is not redistributed (every synthetic host
+    has out-links; production would add the dangling-sum term).
+
+    Scale shape: one iteration = join ranks to edges on src (ranks is
+    |hosts|-sized — broadcast when it fits, which for web HOSTS, ~10^8
+    rows max, it does on big executors; Spark falls back to sort-merge
+    when not), aggregate contributions by dst, left-join back to the host
+    list. The edge table partitioning on src is reused every iteration.
+    Fixed unrolled iterations keep ONE Catalyst plan (no driver loop
+    state); production convergence loops would localCheckpoint every few
+    iterations to cut lineage — exactly the pattern already used in
+    dedup.connected_components.
+    """
+    hosts = (
+        links.select(F.col(src_col).alias("host"))
+        .union(links.select(F.col(dst_col).alias("host")))
+        .distinct()
+    )
+    n = hosts.count()  # scalar driver state: the host count only
+    teleport = (1.0 - damping) / n
+    deg = links.groupBy(src_col).agg(F.count("*").alias("outd"))
+    edges = links.join(deg, src_col)
+    ranks = hosts.select("host", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges[src_col] == ranks["host"])
+            .groupBy(F.col(dst_col).alias("host"))
+            .agg(F.sum(F.col("rank") / F.col("outd")).alias("s"))
+        )
+        ranks = hosts.join(contrib, "host", "left").select(
+            "host",
+            (F.lit(teleport)
+             + damping * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
+        )
+    return ranks.select("host", F.round("rank", 8).alias("rank"))

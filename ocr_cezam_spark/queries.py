@@ -2579,6 +2579,65 @@ _register(
 )
 
 
+# ===========================================================================
+# Host-graph PageRank (operators/graph.py): link graph synthesized from
+# the documents table (two deterministic out-links per doc, no
+# self-links), 3 unrolled iterations, oracle is the unrolled-CTE twin.
+# ===========================================================================
+from .operators import graph  # noqa: E402
+
+_PR_ITERS = 3
+
+
+def _pagerank_query(s: SparkSession, d: str) -> DataFrame:
+    doc_id = F.col("doc_id")
+    links = (
+        _t(s, d, "documents")
+        .select(
+            F.col("source").alias("src"),
+            F.explode(F.array(
+                F.concat(F.lit("src"), ((doc_id * 7) % 20).cast("string")),
+                F.concat(F.lit("src"), ((doc_id * 13) % 20).cast("string")),
+            )).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return graph.pagerank(links, iters=_PR_ITERS)
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
+    sql = """
+    WITH links AS (
+      SELECT src, dst FROM (
+        SELECT source AS src,
+               unnest(['src' || CAST((doc_id * 7) % 20 AS VARCHAR),
+                       'src' || CAST((doc_id * 13) % 20 AS VARCHAR)]) AS dst
+        FROM documents
+      ) WHERE src <> dst
+    ),
+    hosts AS (SELECT DISTINCT src AS host FROM links
+              UNION SELECT DISTINCT dst AS host FROM links),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM hosts),
+    deg AS (SELECT src, count(*) AS outd FROM links GROUP BY src),
+    r0 AS (SELECT host, 1.0 / nn.n AS rank FROM hosts CROSS JOIN nn)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+    c{k} AS (SELECT l.dst AS host, sum(r.rank / d.outd) AS s
+             FROM links l JOIN r{k - 1} r ON l.src = r.host
+             JOIN deg d ON l.src = d.src
+             GROUP BY l.dst),
+    r{k} AS (SELECT h.host, 0.15 / nn.n + 0.85 * coalesce(c.s, 0) AS rank
+             FROM hosts h CROSS JOIN nn
+             LEFT JOIN c{k} c ON h.host = c.host)"""
+    sql += f"""
+    SELECT host, round(rank, 8) AS rank FROM r{iters}
+    """
+    return sql
+
+
+_register("host_pagerank", _pagerank_query, _pagerank_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering. The driver's artifact records the
 # FIRST 50 registry entries, so entries that most need a driver-green row
@@ -2601,7 +2660,7 @@ _WINDOW_TAIL = [
     # rotated out when retrieval/window-dedup/sampling entered (same
     # criterion — r03 driver-green, untouched this round):
     "ngram_jaccard", "cosine_topk", "ivf_bucket_stats",
-    "multimodal_meta", "image_header_meta",
+    "multimodal_meta", "image_header_meta", "frame_sample",
 ]
 
 
