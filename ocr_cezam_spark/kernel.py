@@ -1104,6 +1104,42 @@ def extract(url: str, html: bytes, lang: str) -> dict:
 
 USE_FAST_PARSER = True
 
+# HTML charset sniffing (WHATWG encoding-sniffing order, stdlib-only):
+# BOM wins, then a declared <meta charset=...> / http-equiv content-type
+# within the first 1024 bytes, then UTF-8. Per the HTML5 spec,
+# iso-8859-1/ascii declarations decode as windows-1252 (their superset).
+_META_CHARSET_RX = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_][A-Za-z0-9._-]*)""",
+    re.IGNORECASE,
+)
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "windows-1252": "cp1252", "cp1252": "cp1252",
+    "iso-8859-1": "cp1252", "iso8859-1": "cp1252", "latin-1": "cp1252",
+    "latin1": "cp1252", "us-ascii": "cp1252", "ascii": "cp1252",
+    "iso-8859-15": "iso-8859-15",
+    "utf-16": "utf-16", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+}
+
+
+def decode_html(raw: bytes) -> str:
+    """Bytes -> str for the DOM path. Deterministic: the same byte payload
+    always yields the same text, whichever executor decodes it."""
+    if raw[:3] == b"\xef\xbb\xbf":
+        return raw[3:].decode("utf-8", errors="replace")
+    if raw[:2] == b"\xff\xfe":
+        return raw[2:].decode("utf-16-le", errors="replace")
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", errors="replace")
+    m = _META_CHARSET_RX.search(raw, 0, 1024)
+    if m:
+        codec = _CHARSET_ALIASES.get(
+            m.group(1).decode("ascii", errors="replace").lower()
+        )
+        if codec:
+            return raw.decode(codec, errors="replace")
+    return raw.decode("utf-8", errors="replace")
+
 
 def _parse_tree(text: str) -> _Node:
     if USE_FAST_PARSER:
@@ -1124,7 +1160,7 @@ def _extract_inner(url: str, html: bytes, lang: str) -> dict:
     pdf_at = html.find(_PDF_MAGIC, 0, 1024)
     if pdf_at >= 0:
         return _analyze(url, pdf_text(html[pdf_at:]), [], [])
-    root = _parse_tree(html.decode("utf-8", errors="replace"))
+    root = _parse_tree(decode_html(html))
 
     # 1. Main-content container scoring (boilerplate strip + P4 analog).
     candidates: list = []

@@ -248,3 +248,33 @@ def test_corpus_schema_and_skew():
     langs = {r["lang"] for r in rows}
     assert langs == {"fra", "eng"}
     assert all(isinstance(r["html"], bytes) for r in rows[:10])
+
+
+def test_charset_sniffing_decodes_declared_encodings():
+    body = "<html><body><p>Café déjà vu et des mots qui suivent pour la longueur</p></body></html>"
+    # windows-1252 declared via meta charset
+    page = ('<html><head><meta charset="windows-1252"></head>'
+            + body[6:]).encode("cp1252")
+    out = kernel.extract("http://x/cp1252", page, "fr")
+    assert "Café déjà" in out["text"]
+    # iso-8859-1 declaration is decoded as its cp1252 superset (HTML5 rule)
+    page2 = ('<html><head><meta http-equiv="Content-Type" '
+             'content="text/html; charset=iso-8859-1"></head>'
+             + body[6:]).encode("latin-1")
+    out2 = kernel.extract("http://x/latin1", page2, "fr")
+    assert "Café déjà" in out2["text"]
+    # UTF-8 BOM wins over any declaration
+    page3 = b"\xef\xbb\xbf" + body.encode("utf-8")
+    assert "Café déjà" in kernel.extract("http://x/bom", page3, "fr")["text"]
+    # UTF-16 LE BOM
+    page4 = b"\xff\xfe" + body.encode("utf-16-le")
+    assert "Café déjà" in kernel.extract("http://x/u16", page4, "fr")["text"]
+
+
+def test_charset_sniffing_falls_back_to_utf8():
+    body = "<html><body><p>Café simple page sans déclaration du tout ici</p></body></html>"
+    # no declaration -> utf-8
+    assert "Café" in kernel.extract("http://x/plain", body.encode(), "fr")["text"]
+    # unknown charset name -> utf-8 fallback, never a raise
+    page = body.replace("<body>", '<body><meta charset="x-klingon">').encode()
+    assert "Café" in kernel.extract("http://x/bogus", page, "fr")["text"]
