@@ -134,3 +134,31 @@ def temperature_sample(docs: DataFrame, alpha: float = 0.7,
         .filter(u < F.col("p_keep"))
         .select(id_col, source_col)
     )
+
+
+def train_val_test_split(docs: DataFrame, val_frac: float = 0.05,
+                         test_frac: float = 0.05,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Deterministic, leakage-safe split assignment: the u-value hashes
+    the CONTENT digest, not the id, so byte-identical documents always
+    land in the same split even across crawls/ids — the split analog of
+    exact dedup. (Near-duplicate-safe splitting hashes the dedup cluster
+    representative instead; compose with dedup.dedup_clusters when that
+    guarantee is needed.)
+
+    Output: (id, split) with split in {'train','val','test'}.
+
+    Scale shape: one md5 + comparison per row, no shuffle, no RNG state —
+    re-running on a grown corpus never reassigns an existing document.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10)
+        .cast("double") / F.lit(float(2 ** 32))
+    )
+    split = (
+        F.when(u < test_frac, F.lit("test"))
+        .when(u < test_frac + val_frac, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select(F.col(id_col), split.alias("split"))

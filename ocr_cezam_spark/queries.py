@@ -2637,6 +2637,22 @@ def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
 
 _register("host_pagerank", _pagerank_query, _pagerank_oracle())
 
+_register(
+    "train_val_test_split",
+    lambda s, d: sampling.train_val_test_split(_t(s, d, "documents")),
+    """
+    SELECT doc_id,
+           CASE WHEN u < 0.05 THEN 'test'
+                WHEN u < 0.1 THEN 'val'
+                ELSE 'train' END AS split
+    FROM (
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967296.0 AS u
+      FROM documents
+    )
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering. The driver's artifact records the
@@ -2660,7 +2676,7 @@ _WINDOW_TAIL = [
     # rotated out when retrieval/window-dedup/sampling entered (same
     # criterion — r03 driver-green, untouched this round):
     "ngram_jaccard", "cosine_topk", "ivf_bucket_stats",
-    "multimodal_meta", "image_header_meta", "frame_sample",
+    "multimodal_meta", "image_header_meta", "frame_sample", "line_stats",
 ]
 
 

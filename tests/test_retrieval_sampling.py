@@ -109,3 +109,24 @@ def test_retrieval_plans_native_and_broadcast(spark):
     assert "BatchEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_split_is_content_keyed_and_covers_fractions(spark):
+    # identical text under different ids -> identical split
+    df = spark.createDataFrame(
+        [(1, "same words here"), (2, "same words here"), (3, "other words")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["split"]
+           for r in sampling.train_val_test_split(df).collect()}
+    assert got[1] == got[2]
+    # fractions roughly honored over many distinct docs
+    big = spark.createDataFrame(
+        [(i, f"doc number {i} body") for i in range(2000)],
+        ["doc_id", "text"],
+    )
+    counts = {r["split"]: r["count"]
+              for r in sampling.train_val_test_split(big)
+              .groupBy("split").count().collect()}
+    assert counts["train"] > 1700
+    assert 50 < counts["val"] < 150 and 50 < counts["test"] < 150
