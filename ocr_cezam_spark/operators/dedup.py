@@ -718,14 +718,17 @@ def window_dedup_stats(docs: DataFrame, window: int = 30, stride: int = 15,
     documents embedding boilerplate passages — the cases document-level
     MinHash misses.
 
-    Scale shape: explode produces ~|tokens|/stride rows; the frequency
-    count is one hash aggregation on the 32-hex window hash, and the
-    per-doc rollup joins freq back on that same key (the exchange is
-    reused). No pairwise joins anywhere — cost is linear in corpus size,
+    Scale shape: explode produces ~|tokens|/stride rows; each occurrence's
+    corpus-wide frequency comes from count() OVER (PARTITION BY hash) —
+    ONE exchange on the window hash, no self-join, no second frequency
+    table shuffled (a join formulation was measured at three exchanges:
+    probe side, freq aggregate, final rollup — the window does it in
+    two). No pairwise joins anywhere — cost is linear in corpus size,
     which is why Lee et al.-style substring dedup stays feasible at
     100 TB. Window hashes use md5 for cross-engine checks; xxhash64 is
     the production drop-in.
     """
+    from pyspark.sql import Window
     words = _words(text_col)
     n = F.size(words)
     starts = F.sequence(
@@ -740,11 +743,10 @@ def window_dedup_stats(docs: DataFrame, window: int = 30, stride: int = 15,
     occ = (
         docs.filter(n >= window)
         .select(F.col(id_col), F.explode(hashes).alias("wh"))
+        .withColumn("freq", F.count("*").over(Window.partitionBy("wh")))
     )
-    freq = occ.groupBy("wh").agg(F.count("*").alias("freq"))
     return (
-        occ.join(freq, "wh")
-        .groupBy(id_col)
+        occ.groupBy(id_col)
         .agg(
             F.count("*").alias("n_windows"),
             F.sum((F.col("freq") > 1).cast("long")).alias("n_dup_windows"),
