@@ -613,25 +613,27 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
     drop paragraphs seen in more than ``max_freq`` rows corpus-wide, and
     reassemble each document's surviving paragraphs in original order.
 
-    Scale shape: frequencies aggregate on the paragraph's md5 digest (a
-    32-char shuffle key, never the paragraph text); the keep-join hits the
-    same digest key, so the aggregation's exchange is reusable by AQE. The
+    Scale shape: each paragraph's global frequency comes from
+    count() OVER (PARTITION BY digest) — one exchange on the paragraph's
+    md5 digest (a 32-char shuffle key, never the paragraph text), no
+    frequency table and no join back (the earlier aggregate+semi-join
+    formulation cost an extra exchange for the probe side). The
     reassembly is one aggregation on doc id (collect_list of (pos, para)
     structs, array_sort, join) — bounded by the document's own paragraph
     count. Documents whose every paragraph was boilerplate survive with
     empty text (the row count is the input row count, a lineage
     invariant)."""
+    from pyspark.sql import Window
+
     paras = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
     ).withColumn("ph", F.md5("para"))
-    keep = (
-        paras.groupBy("ph")
-        .agg(F.count("*").alias("freq"))
+    kept = (
+        paras.withColumn(
+            "freq", F.count("*").over(Window.partitionBy("ph")))
         .filter(F.col("freq") <= max_freq)
-        .select("ph")
     )
-    kept = paras.join(keep, "ph")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
