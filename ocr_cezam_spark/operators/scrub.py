@@ -141,18 +141,21 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 8,
 
     Scale shape: the benchmark side is tiny by construction (eval sets
     are thousands of documents, not billions) — its distinct gram hashes
-    broadcast, so the contaminated-doc scan is a broadcast semi-join over
-    the exploded grams with a map-side-combined count. The explode is the
-    honest cost: ~|words| rows per doc, all narrow. At 100 TB the gram
-    hash would drop to xxhash64 (cheaper, same plan); md5 here for
-    bit-identical cross-engine checks.
+    broadcast, and the broadcast join runs FIRST so the corpus grams are
+    pruned to benchmark matches before anything shuffles (a
+    distinct-then-join order would shuffle every gram of every document —
+    the scale-killer). The per-doc distinct-hit count then aggregates the
+    few surviving rows. The explode is the honest cost: ~|words| rows per
+    doc, all narrow and map-side. At 100 TB the gram hash would drop to
+    xxhash64 (cheaper, same plan); md5 here for bit-identical
+    cross-engine checks.
     """
     bench_g = _ngram_hashes(bench, id_col, text_col, n).select("gh").distinct()
-    doc_g = _ngram_hashes(docs, id_col, text_col, n).distinct()
     return (
-        doc_g.join(F.broadcast(bench_g), "gh")
+        _ngram_hashes(docs, id_col, text_col, n)
+        .join(F.broadcast(bench_g), "gh")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.count_distinct(F.col("gh")).alias("n_hits"))
     )
 
 
