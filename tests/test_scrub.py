@@ -92,3 +92,53 @@ def test_scrub_plans_stay_native(spark):
     bl = scrub.url_blocklist_filter(pages, scrub.blocklist_of(spark, ["x.y"]))
     bp = bl._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in bp and "LeftAnti" in bp
+
+
+def test_pii_redact_idempotent_and_matches_re_oracle(spark):
+    """Seeded 200-text grid: Spark counts match an independent Python `re`
+    evaluation of the same patterns, and redaction is idempotent (the
+    mask tokens never re-match any pattern)."""
+    import random
+    import re as _re
+
+    rng = random.Random(42)
+    frags = [
+        lambda i: f"user{i}@mail{i % 7}.example.org",
+        lambda i: "0" + str(1 + i % 9) + " 11 22 33 44",
+        lambda i: f"+33 {1 + i % 9}2 33 44 55 66",
+        lambda i: f"10.{i % 256}.0.{(i * 7) % 256}",
+        lambda i: f"plain word{i} no pii",
+        lambda i: f"edge{i}.dot. 300.300.300.300 0A 12",
+    ]
+    rows = []
+    for i in range(200):
+        parts = [frags[rng.randrange(len(frags))](i)
+                 for _ in range(rng.randrange(1, 5))]
+        rows.append((i, " ".join(parts)))
+    df = _docs(spark, rows)
+    out = {r["doc_id"]: r for r in scrub.pii_redact(df).collect()}
+    for i, text in rows:
+        for kind, pat, _ in scrub.PII_PATTERNS:
+            assert out[i][f"n_{kind}s"] == len(_re.findall(pat, text)), (
+                i, kind, text)
+    again = spark.createDataFrame(
+        [(i, out[i]["text_redacted"]) for i, _ in rows], ["doc_id", "text"])
+    out2 = {r["doc_id"]: r for r in scrub.pii_redact(again).collect()}
+    for i, _ in rows:
+        assert out2[i]["text_redacted"] == out[i]["text_redacted"]
+        assert (out2[i]["n_emails"], out2[i]["n_phones"],
+                out2[i]["n_ips"]) == (0, 0, 0)
+
+
+def test_mojibake_repair_idempotent(spark):
+    texts = ["déjà vu « ok » 3°",
+             "plain ascii stays put", "Ã©tÃ©"]
+    df = _docs(spark, list(enumerate(texts)))
+    once = {r["doc_id"]: r["text_fixed"]
+            for r in scrub.fix_mojibake(df).collect()}
+    twice_in = spark.createDataFrame(
+        sorted(once.items()), ["doc_id", "text"])
+    twice = {r["doc_id"]: r for r in scrub.fix_mojibake(twice_in).collect()}
+    for k, v in once.items():
+        assert twice[k]["text_fixed"] == v
+        assert twice[k]["n_fixed"] == 0
