@@ -35,6 +35,7 @@ def run_job(
     num_partitions: int | None = None,
     salt_hot_hosts: bool = True,
     resume: bool = True,
+    redact_pii: bool = False,
 ) -> dict[str, int]:
     """Run the extraction job; returns row counts per output table."""
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism * 2
@@ -89,8 +90,20 @@ def run_job(
     digests = out.select(
         "url", F.md5("text").alias("digest"), "n_bytes"
     )
+    # Optional hygiene stage on the primary output: mask emails/phones/IPs
+    # and carry per-kind counts. Runs INSIDE the same write action (native
+    # regexp exprs appended to the projection — no extra pass, no second
+    # kernel run). The digests table keeps the RAW text hash: redaction
+    # must not change dedup identity across runs with different flags.
+    ext = X.extracted_text(out)
+    if redact_pii:
+        from .operators import scrub
+
+        ext = scrub.pii_redact(
+            ext, id_col="url", keep_cols=("n_bytes", "error")
+        ).withColumnRenamed("text_redacted", "text")
     for name, df in (
-        ("extracted", X.extracted_text(out)),
+        ("extracted", ext),
         ("fields", X.extracted_fields(out)),
         ("cells", X.extracted_cells(out)),
         ("statuses", X.extracted_statuses(out)),
@@ -121,6 +134,9 @@ def main() -> None:
     parser.add_argument("--output-prefix", required=True)
     parser.add_argument("--partitions", type=int, default=None)
     parser.add_argument("--no-resume", action="store_true")
+    parser.add_argument("--redact-pii", action="store_true",
+                        help="mask emails/phones/IPv4 in the extracted "
+                             "table (counts carried per row)")
     args = parser.parse_args()
 
     spark = get_spark(app="ocr_cezam_extract")
@@ -131,6 +147,7 @@ def main() -> None:
         args.output_prefix,
         num_partitions=args.partitions,
         resume=not args.no_resume,
+        redact_pii=args.redact_pii,
     )
     print(counts)
     spark.stop()

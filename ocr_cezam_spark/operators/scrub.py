@@ -39,7 +39,8 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 
 def pii_redact(docs: DataFrame, id_col: str = "doc_id",
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text",
+               keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Mask emails / phone numbers / IPv4 addresses and count each kind.
 
     Counts are taken on the PRE-redaction text (a phone inside an email
@@ -61,7 +62,8 @@ def pii_redact(docs: DataFrame, id_col: str = "doc_id",
     for _, pat, repl in PII_PATTERNS:
         redacted = F.regexp_replace(redacted, pat, repl)
     return docs.select(
-        F.col(id_col), *counts, redacted.alias("text_redacted")
+        F.col(id_col), *counts, redacted.alias("text_redacted"),
+        *[F.col(c) for c in keep_cols],
     )
 
 

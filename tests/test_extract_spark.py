@@ -148,3 +148,33 @@ def test_kernel_cache_evicts_only_stopped_sessions(spark):
     assert q._pdf_out(spark) is pdf and q._kernel_out(spark) is out
     live_df.unpersist()
     q._KERNEL_CACHE.pop(("other-live-app", "html"))
+
+
+def test_job_redact_pii_masks_extracted_table(spark, tmp_path):
+    import re as _re
+
+    from ocr_cezam_spark.job import run_job
+    from ocr_cezam_spark.operators.scrub import PII_PATTERNS
+
+    docs = corpus_df(spark, 120)
+    counts = run_job(spark, docs, str(tmp_path / "red"), num_partitions=4,
+                     redact_pii=True)
+    assert counts["extracted"] == 120
+    ext = spark.read.parquet(str(tmp_path / "red" / "extracted"))
+    assert {"n_emails", "n_phones", "n_ips", "text", "url"} <= set(ext.columns)
+    rows = ext.collect()
+    # the synthetic statements carry real emails/phones -> counts observed
+    assert sum(r["n_emails"] for r in rows) > 0
+    for r in rows:
+        for kind, pat, repl in PII_PATTERNS:
+            assert not _re.search(pat, r["text"]), (r["url"], kind)
+        if r["n_emails"]:
+            assert "[EMAIL]" in r["text"]
+    # digests keep RAW-text identity: same corpus without redaction
+    # produces identical digests
+    run_job(spark, docs, str(tmp_path / "raw"), num_partitions=4)
+    dig_red = {(r["url"], r["digest"]) for r in
+               spark.read.parquet(str(tmp_path / "red" / "digests")).collect()}
+    dig_raw = {(r["url"], r["digest"]) for r in
+               spark.read.parquet(str(tmp_path / "raw" / "digests")).collect()}
+    assert dig_red == dig_raw
