@@ -189,3 +189,30 @@ def frame_sample_stub(*_args, **_kwargs):
         "frame sampling requires av/opencv; swap _grab_frames inside "
         "frame_sample for a codec-backed grabber"
     )
+
+
+def nfc_normalize(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Unicode NFC normalization — the canonical-composition pass a crawl
+    pipeline runs before hashing/dedup (decomposed 'e'+U+0301 and composed
+    U+00E9 must share a dedup key). No native Spark expression exists for
+    Unicode normalization, so this is an honest Arrow-batched pandas UDF
+    (stdlib unicodedata; same rationale as the binary-header decoders in
+    this module). Returns (id, text_nfc, changed).
+
+    Scale shape: one vectorized map stage, no shuffle; Arrow transfers the
+    string column once in each direction.
+    """
+    import unicodedata
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: unicodedata.normalize("NFC", t)
+                     if t is not None else None)
+
+    return docs.select(
+        F.col(id_col),
+        _nfc(F.col(text_col)).alias("text_nfc"),
+        (_nfc(F.col(text_col)) != F.col(text_col)).alias("changed"),
+    )

@@ -275,3 +275,45 @@ def sequence_pack(docs: DataFrame, budget: int = 512, n_shards: int = 8,
         F.floor(cum_before / budget).cast("long").alias("pack_id"),
         (cum_before % budget).cast("long").alias("offset_in_pack"),
     )
+
+
+def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Statistical quality score (CCNet-style, self-trained): the mean
+    log-probability of a document's tokens under the corpus's own unigram
+    distribution. Natural text scores high; gibberish, rare-token spam,
+    and wrong-language content score low. (CCNet scores under an external
+    wiki-trained LM; the self-corpus unigram model is the join-shape
+    identical, externally-trainable variant.)
+
+    Output: (id, n_tokens, logprob) with logprob = sum(tf * ln(freq/total))
+    / n_tokens, rounded to 4 dp.
+
+    Scale shape: per-(doc,term) counts aggregate map-side; the unigram
+    table aggregates on term and joins back on term (vocab-sized — AQE
+    broadcasts it when it fits, sort-merge otherwise); the corpus total is
+    a 1-row broadcast crossJoin. No UDFs, two shuffles total.
+    """
+    tf = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    uni = tf.groupBy("term").agg(F.sum("tf").alias("freq"))
+    total = uni.agg(F.sum("freq").cast("double").alias("total"))
+    return (
+        tf.join(uni, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("freq") / F.col("total")))
+                / F.sum("tf"), 4,
+            ).alias("logprob"),
+        )
+    )

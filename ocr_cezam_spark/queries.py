@@ -2638,6 +2638,54 @@ def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
 _register("host_pagerank", _pagerank_query, _pagerank_oracle())
 
 _register(
+    "unigram_logprob",
+    lambda s, d: textstats.unigram_logprob(_t(s, d, "documents")),
+    """
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      WHERE term <> '' GROUP BY doc_id, term
+    ),
+    uni AS (SELECT term, sum(tf) AS freq FROM tf GROUP BY term),
+    tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM uni)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(sum(tf * ln(freq / total)) / sum(tf), 4) AS logprob
+    FROM tf JOIN uni USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+
+# NFC fixture: a tail with decomposed combining sequences (e + U+0301,
+# i + U+0308) that canonical composition must fold; 'changed' is true for
+# every row. Checks the pandas-UDF path against DuckDB's utf8proc NFC.
+_NFC_TAIL = " cafe\u0301 nai\u0308ve de\u0301ja\u0300"  # cafe/naive/deja with combining accents
+
+
+def _nfc_query(s: SparkSession, d: str) -> DataFrame:
+    docs = _t(s, d, "documents").select(
+        "doc_id", F.concat("text", F.lit(_NFC_TAIL)).alias("text")
+    )
+    out = multimodal.nfc_normalize(docs)
+    return out.select(
+        "doc_id", F.md5("text_nfc").alias("nfc_md5"), "changed",
+    )
+
+
+_register(
+    "nfc_normalize",
+    _nfc_query,
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text || '{_NFC_TAIL}' AS text FROM documents
+    )
+    SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
+           nfc_normalize(text) <> text AS changed
+    FROM corpus
+    """,
+)
+
+_register(
     "train_val_test_split",
     lambda s, d: sampling.train_val_test_split(_t(s, d, "documents")),
     """
@@ -2677,6 +2725,7 @@ _WINDOW_TAIL = [
     # criterion — r03 driver-green, untouched this round):
     "ngram_jaccard", "cosine_topk", "ivf_bucket_stats",
     "multimodal_meta", "image_header_meta", "frame_sample", "line_stats",
+    "dedup_exact", "lsh_jaccard_verify",
 ]
 
 

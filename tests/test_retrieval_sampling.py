@@ -130,3 +130,29 @@ def test_split_is_content_keyed_and_covers_fractions(spark):
               .groupBy("split").count().collect()}
     assert counts["train"] > 1700
     assert 50 < counts["val"] < 150 and 50 < counts["test"] < 150
+
+
+def test_unigram_logprob_ranks_common_text_higher(spark):
+    common = "the the the cat cat sat"
+    rare = "zyx qwv jkp"
+    df = _docs(spark, [(1, common), (2, rare), (3, "the cat sat")])
+    from ocr_cezam_spark.operators import textstats
+
+    out = {r["doc_id"]: r for r in
+           textstats.unigram_logprob(df).collect()}
+    assert out[1]["logprob"] > out[2]["logprob"]
+    assert out[1]["n_tokens"] == 6
+    import math
+    # doc 2: three singleton tokens over a 12-token corpus -> ln(1/12)
+    assert abs(out[2]["logprob"] - round(math.log(1 / 12), 4)) < 1e-9
+
+
+def test_nfc_normalize_composes_and_flags(spark):
+    from ocr_cezam_spark.operators import multimodal
+
+    decomposed = "cafe\u0301 nai\u0308ve"
+    composed = "caf\u00e9 na\u00efve"
+    df = _docs(spark, [(1, decomposed), (2, composed)])
+    out = {r["doc_id"]: r for r in multimodal.nfc_normalize(df).collect()}
+    assert out[1]["text_nfc"] == composed and out[1]["changed"]
+    assert out[2]["text_nfc"] == composed and not out[2]["changed"]
