@@ -1108,6 +1108,25 @@ USE_FAST_PARSER = True
 # BOM wins, then a declared <meta charset=...> / http-equiv content-type
 # within the first 1024 bytes, then UTF-8. Per the HTML5 spec,
 # iso-8859-1/ascii declarations decode as windows-1252 (their superset).
+_META_TAG_RX = re.compile(rb"<meta\b[^>]*>", re.IGNORECASE)
+_ROBOTS_NAME_RX = re.compile(rb"""name\s*=\s*["']?robots\b""", re.IGNORECASE)
+_META_CONTENT_RX = re.compile(
+    rb"""content\s*=\s*["']?([A-Za-z0-9_, -]*)""", re.IGNORECASE
+)
+
+
+def robots_directives(html: bytes) -> set[str]:
+    """Directives of the first <meta name=robots> tag in the head region
+    (first 4KB), lowercased; attribute order inside the tag is free."""
+    for m in _META_TAG_RX.finditer(html, 0, 4096):
+        tag = m.group(0)
+        if _ROBOTS_NAME_RX.search(tag):
+            c = _META_CONTENT_RX.search(tag)
+            if not c:
+                return set()
+            content = c.group(1).decode("ascii", errors="replace").lower()
+            return {d.strip() for d in content.split(",")}
+    return set()
 _META_CHARSET_RX = re.compile(
     rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_][A-Za-z0-9._-]*)""",
     re.IGNORECASE,
@@ -1203,7 +1222,15 @@ def _extract_inner(url: str, html: bytes, lang: str) -> dict:
             for c_id, value in enumerate(row):
                 cells.append((t_id, r_id, c_id, value))
 
-    return _analyze(url, text, table_rows, cells)
+    res = _analyze(url, text, table_rows, cells)
+    # Robots-meta directives (crawl-pipeline signal, not in the synthetic
+    # corpus): pages declaring noindex/none must be droppable downstream;
+    # surfaced as a field so the job's fields table carries it without a
+    # schema change. Scanned on the raw bytes — the directive sits in
+    # <head>, which the content scorer deliberately ignores.
+    if robots_directives(html) & {"noindex", "none"}:
+        res["fields"]["robots"] = "noindex"
+    return res
 
 
 def _analyze(url: str, text: str,

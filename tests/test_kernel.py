@@ -278,3 +278,16 @@ def test_charset_sniffing_falls_back_to_utf8():
     # unknown charset name -> utf-8 fallback, never a raise
     page = body.replace("<body>", '<body><meta charset="x-klingon">').encode()
     assert "Café" in kernel.extract("http://x/bogus", page, "fr")["text"]
+
+
+def test_robots_noindex_surfaced_as_field():
+    body = ("<html><head><meta content=\"noindex, nofollow\" name='robots'>"
+            "</head><body><p>page body words here for the scorer to keep"
+            "</p></body></html>")
+    out = kernel.extract("http://x/noidx", body.encode(), "fr")
+    assert out["fields"].get("robots") == "noindex"
+    # index,follow (or no robots meta) -> no field
+    ok = body.replace("noindex, nofollow", "index, follow")
+    assert "robots" not in kernel.extract("http://x/idx", ok.encode(), "fr")["fields"]
+    plain = "<html><body><p>no robots meta at all on this page</p></body></html>"
+    assert "robots" not in kernel.extract("http://x/none", plain.encode(), "fr")["fields"]

@@ -120,3 +120,17 @@ def test_minhash_signature_exchange_reused_at_runtime(spark):
         ep = df._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in ep, name
         assert ep.count("ReusedExchange") >= min_reuse, (name, ep[:500])
+
+
+def test_driver_window_holds_exactly_50_queries():
+    """The driver records the FIRST 50 registry entries; every query not
+    rotated into _WINDOW_TAIL must fit that window exactly, and the tail
+    must reference real queries (guards future additions that would
+    silently push a new query out of the CORRECTNESS record)."""
+    from ocr_cezam_spark import queries as Q
+
+    names = list(Q.QUERIES)
+    front = [n for n in names if n not in Q._WINDOW_TAIL]
+    assert len(front) == 50, (len(front), front[50:])
+    assert set(Q._WINDOW_TAIL) <= set(names)
+    assert names[:50] == front
