@@ -162,3 +162,25 @@ def train_val_test_split(docs: DataFrame, val_frac: float = 0.05,
         .otherwise(F.lit("train"))
     )
     return docs.select(F.col(id_col), split.alias("split"))
+
+
+def select_and_pack(docs: DataFrame, budget_tokens: int, pack: int = 512,
+                    n_shards: int = 8, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """The composed data-selection tail of a training build: pick the
+    best documents up to a global token budget (token_budget_select),
+    then lay the survivors into training packs (sequence_pack) — one
+    Catalyst plan from corpus to batch layout.
+
+    Scale shape: the selection's per-band windows and the packer's
+    per-shard windows are both partitioned (no global window); the
+    semi-join between them is on the id key the packer re-partitions by
+    anyway.
+    """
+    from .textstats import sequence_pack
+
+    sel = token_budget_select(docs, budget_tokens, id_col=id_col,
+                              text_col=text_col)
+    chosen = docs.join(sel.select(id_col), id_col, "left_semi")
+    return sequence_pack(chosen, budget=pack, n_shards=n_shards,
+                         id_col=id_col, text_col=text_col)

@@ -317,3 +317,61 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
             ).alias("logprob"),
         )
     )
+
+
+def bigram_pmi(docs: DataFrame, min_count: int = 5,
+               text_col: str = "text") -> DataFrame:
+    """Collocation statistics: pointwise mutual information of adjacent
+    word pairs over the whole corpus — the standard phrase-detection /
+    tokenizer-vocabulary signal (high-PMI pairs become merge candidates).
+
+    pmi(a,b) = ln( p(a,b) / (p(a) p(b)) ) with p(a,b) over bigram events
+    and p(.) over unigram events; pairs below ``min_count`` are dropped
+    (PMI is noise-dominated on rare events).
+
+    Scale shape: two explode+aggregate passes (unigrams, bigrams), two
+    joins of the bigram table against the unigram table (vocab-sized —
+    AQE broadcasts when it fits), scalar totals on a 1-row broadcast.
+    Output: (w1, w2, n_ab, pmi) with pmi rounded to 4 dp.
+    """
+    words = _words(text_col)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.struct(
+            F.element_at(words, i).alias("w1"),
+            F.element_at(words, i + 1).alias("w2"),
+        ),
+    )
+    bc = (
+        docs.filter(F.size(words) >= 2)
+        .select(F.explode(bigrams).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    uc = (
+        docs.select(F.explode(words).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = bc.agg(F.sum("n_ab").cast("double").alias("n_bi")).crossJoin(
+        uc.agg(F.sum("c").cast("double").alias("n_uni"))
+    )
+    u1 = uc.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("t").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bc.filter(F.col("n_ab") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") / F.col("n_bi"))
+                    / ((F.col("c1") / F.col("n_uni"))
+                       * (F.col("c2") / F.col("n_uni")))
+                ), 4,
+            ).alias("pmi"),
+        )
+    )

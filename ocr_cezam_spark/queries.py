@@ -2638,6 +2638,72 @@ def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
 _register("host_pagerank", _pagerank_query, _pagerank_oracle())
 
 _register(
+    "select_and_pack",
+    lambda s, d: sampling.select_and_pack(
+        _t(s, d, "documents"), budget_tokens=_TOKEN_BUDGET
+    ),
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_tokens,
+             round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4)
+               AS quality
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS words
+            FROM documents)
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY quality DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM base
+    ),
+    chosen AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN cum USING (doc_id) WHERE cum.cum_tokens <= {_TOKEN_BUDGET}
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+           CAST(cum_before % 512 AS BIGINT) AS offset_in_pack
+    FROM (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             coalesce(sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY doc_id % 8 ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM chosen
+    )
+    """,
+)
+
+_register(
+    "bigram_pmi",
+    lambda s, d: textstats.bigram_pmi(_t(s, d, "documents")),
+    """
+    WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+    uc AS (SELECT t, count(*) AS c FROM
+             (SELECT unnest(words) AS t FROM w) GROUP BY t),
+    bi AS (SELECT words[i] AS w1, words[i + 1] AS w2
+           FROM (SELECT words, unnest(range(1, len(words))) AS i
+                 FROM w WHERE len(words) >= 2)),
+    bc AS (SELECT w1, w2, count(*) AS n_ab FROM bi GROUP BY w1, w2),
+    tot AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uc) AS n_uni,
+                   (SELECT CAST(sum(n_ab) AS DOUBLE) FROM bc) AS n_bi)
+    SELECT bc.w1, bc.w2, bc.n_ab,
+           round(ln((bc.n_ab / tot.n_bi)
+                    / ((u1.c / tot.n_uni) * (u2.c / tot.n_uni))), 4) AS pmi
+    FROM bc
+    JOIN uc u1 ON bc.w1 = u1.t
+    JOIN uc u2 ON bc.w2 = u2.t
+    CROSS JOIN tot
+    WHERE bc.n_ab >= 5
+    """,
+)
+
+_register(
     "unigram_logprob",
     lambda s, d: textstats.unigram_logprob(_t(s, d, "documents")),
     """
@@ -2725,7 +2791,8 @@ _WINDOW_TAIL = [
     # criterion — r03 driver-green, untouched this round):
     "ngram_jaccard", "cosine_topk", "ivf_bucket_stats",
     "multimodal_meta", "image_header_meta", "frame_sample", "line_stats",
-    "dedup_exact", "lsh_jaccard_verify",
+    "dedup_exact", "lsh_jaccard_verify", "minhash_lsh_pairs",
+    "simhash_buckets",
 ]
 
 

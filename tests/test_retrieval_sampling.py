@@ -156,3 +156,34 @@ def test_nfc_normalize_composes_and_flags(spark):
     out = {r["doc_id"]: r for r in multimodal.nfc_normalize(df).collect()}
     assert out[1]["text_nfc"] == composed and out[1]["changed"]
     assert out[2]["text_nfc"] == composed and not out[2]["changed"]
+
+
+def test_select_and_pack_only_packs_selected_docs(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),                   # q=1.0, 10 toks
+        (2, "a a a a a b b b b b"),                   # q=0.2 -> dropped
+        (3, "p q r s t u v w x y z aa bb cc dd ee"),  # q=1.0, 16 toks
+    ]
+    out = sampling.select_and_pack(_docs(spark, rows), budget_tokens=27,
+                                   pack=8, n_shards=2)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 3}
+    # both ids are odd -> same shard; doc 1 (10 toks) lays first, doc 3
+    # starts at stream offset 10 -> pack 1 (8-token packs), offset 2
+    assert got[1]["pack_id"] == 0 and got[1]["offset_in_pack"] == 0
+    assert got[3]["pack_id"] == 1 and got[3]["offset_in_pack"] == 2
+
+
+def test_bigram_pmi_favors_fixed_collocations(spark):
+    from ocr_cezam_spark.operators import textstats
+
+    # 'new york' always together; 'the' everywhere -> low pmi with 'a'
+    rows = [(i, "new york " + "the a " * 10) for i in range(10)]
+    out = {(r["w1"], r["w2"]): r
+           for r in textstats.bigram_pmi(_docs(spark, rows), min_count=5)
+           .collect()}
+    assert ("new", "york") in out
+    ny = out[("new", "york")]
+    assert ny["n_ab"] == 10
+    assert ny["pmi"] > out[("the", "a")]["pmi"]
+    assert ny["pmi"] > out[("a", "the")]["pmi"]
