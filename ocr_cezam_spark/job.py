@@ -55,6 +55,20 @@ def run_job(
 
     extracted_table = f"{output_prefix}/extracted"
     if resume:
+        # A hygiene flag must never silently no-op: resuming over a table
+        # written with the OTHER redaction state would skip the committed
+        # rows (leaving raw PII in place when the flag is on) and mix two
+        # schemas in one table. Refuse loudly instead.
+        existing = catalog.read(spark, extracted_table)
+        if existing is not None:
+            was_redacted = "n_emails" in existing.columns
+            if was_redacted != redact_pii:
+                raise ValueError(
+                    f"redact_pii={redact_pii} but {extracted_table} was "
+                    f"written with redaction={was_redacted}; resuming would "
+                    "mix schemas and leave committed rows in the other "
+                    "state. Use a fresh --output-prefix or --no-resume."
+                )
         docs = catalog.resume_filter(docs, spark, extracted_table)
 
     if salt_hot_hosts:

@@ -1111,7 +1111,9 @@ USE_FAST_PARSER = True
 _META_TAG_RX = re.compile(rb"<meta\b[^>]*>", re.IGNORECASE)
 _ROBOTS_NAME_RX = re.compile(rb"""name\s*=\s*["']?robots\b""", re.IGNORECASE)
 _META_CONTENT_RX = re.compile(
-    rb"""content\s*=\s*["']?([A-Za-z0-9_, -]*)""", re.IGNORECASE
+    # ':' and '-' admit value-bearing directives (max-snippet:-1) so a
+    # trailing noindex after them is never lost
+    rb"""content\s*=\s*["']?([A-Za-z0-9_,: -]*)""", re.IGNORECASE
 )
 
 
@@ -1156,6 +1158,11 @@ def decode_html(raw: bytes) -> str:
             m.group(1).decode("ascii", errors="replace").lower()
         )
         if codec:
+            # WHATWG prescan: a meta-DECLARED utf-16 is a lie (the tag was
+            # readable as ASCII bytes, so the payload is not UTF-16) and
+            # must be treated as UTF-8 — honoring it garbles the page
+            if codec.startswith("utf-16"):
+                codec = "utf-8"
             return raw.decode(codec, errors="replace")
     return raw.decode("utf-8", errors="replace")
 

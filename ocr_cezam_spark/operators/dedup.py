@@ -613,27 +613,31 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
     drop paragraphs seen in more than ``max_freq`` rows corpus-wide, and
     reassemble each document's surviving paragraphs in original order.
 
-    Scale shape: each paragraph's global frequency comes from
-    count() OVER (PARTITION BY digest) — one exchange on the paragraph's
-    md5 digest (a 32-char shuffle key, never the paragraph text), no
-    frequency table and no join back (the earlier aggregate+semi-join
-    formulation cost an extra exchange for the probe side). The
+    Scale shape: frequencies aggregate on the paragraph's md5 digest (a
+    32-char shuffle key, never the paragraph text) — partial aggregation
+    collapses a hot key to one row PER MAP PARTITION before the shuffle,
+    so a boilerplate paragraph repeated 10^8 times ships ~num_tasks rows,
+    and the join back to paras on the same key is splittable by AQE's
+    skew-join when the probe side is hot. (A count() OVER (PARTITION BY
+    digest) window was tried — one fewer exchange — but a window
+    partition cannot be split: the 10^8-occurrence key becomes a single
+    sorting/spilling task. Aggregate+join is the 100 TB-safe shape.) The
     reassembly is one aggregation on doc id (collect_list of (pos, para)
     structs, array_sort, join) — bounded by the document's own paragraph
     count. Documents whose every paragraph was boilerplate survive with
     empty text (the row count is the input row count, a lineage
     invariant)."""
-    from pyspark.sql import Window
-
     paras = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
     ).withColumn("ph", F.md5("para"))
-    kept = (
-        paras.withColumn(
-            "freq", F.count("*").over(Window.partitionBy("ph")))
+    keep = (
+        paras.groupBy("ph")
+        .agg(F.count("*").alias("freq"))
         .filter(F.col("freq") <= max_freq)
+        .select("ph")
     )
+    kept = paras.join(keep, "ph")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -720,17 +724,19 @@ def window_dedup_stats(docs: DataFrame, window: int = 30, stride: int = 15,
     documents embedding boilerplate passages — the cases document-level
     MinHash misses.
 
-    Scale shape: explode produces ~|tokens|/stride rows; each occurrence's
-    corpus-wide frequency comes from count() OVER (PARTITION BY hash) —
-    ONE exchange on the window hash, no self-join, no second frequency
-    table shuffled (a join formulation was measured at three exchanges:
-    probe side, freq aggregate, final rollup — the window does it in
-    two). No pairwise joins anywhere — cost is linear in corpus size,
-    which is why Lee et al.-style substring dedup stays feasible at
-    100 TB. Window hashes use md5 for cross-engine checks; xxhash64 is
-    the production drop-in.
+    Scale shape: explode produces ~|tokens|/stride rows; the frequency
+    count is one hash aggregation on the 32-hex window hash — partial
+    aggregation collapses a hot window (identical boilerplate repeated
+    across 10^8 docs) to one row per map partition before the shuffle —
+    and the per-doc rollup joins freq back on that same key, where a hot
+    probe key is splittable by AQE skew-join. (A count() OVER (PARTITION
+    BY hash) window saves one exchange but concentrates every occurrence
+    of a hot hash in one unsplittable sorting task — rejected for the
+    same reason as in paragraph_dedup.) No pairwise joins anywhere —
+    cost is linear in corpus size, which is why Lee et al.-style
+    substring dedup stays feasible at 100 TB. Window hashes use md5 for
+    cross-engine checks; xxhash64 is the production drop-in.
     """
-    from pyspark.sql import Window
     words = _words(text_col)
     n = F.size(words)
     starts = F.sequence(
@@ -745,10 +751,11 @@ def window_dedup_stats(docs: DataFrame, window: int = 30, stride: int = 15,
     occ = (
         docs.filter(n >= window)
         .select(F.col(id_col), F.explode(hashes).alias("wh"))
-        .withColumn("freq", F.count("*").over(Window.partitionBy("wh")))
     )
+    freq = occ.groupBy("wh").agg(F.count("*").alias("freq"))
     return (
-        occ.groupBy(id_col)
+        occ.join(freq, "wh")
+        .groupBy(id_col)
         .agg(
             F.count("*").alias("n_windows"),
             F.sum((F.col("freq") > 1).cast("long")).alias("n_dup_windows"),

@@ -41,6 +41,10 @@ def pagerank(links: DataFrame, iters: int = 3, damping: float = DAMPING,
         .distinct()
     )
     n = hosts.count()  # scalar driver state: the host count only
+    if n == 0:  # empty edge table: no hosts, not a ZeroDivisionError
+        return links.sparkSession.createDataFrame(
+            [], "host string, rank double"
+        )
     teleport = (1.0 - damping) / n
     deg = links.groupBy(src_col).agg(F.count("*").alias("outd"))
     edges = links.join(deg, src_col)

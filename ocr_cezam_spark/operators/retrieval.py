@@ -76,24 +76,27 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
         idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
     with idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)  (Lucene form).
 
-    Scale shape: doc lengths and N/avgdl come from one aggregation whose
-    scalar result rides a broadcast crossJoin (a 1-row build side — not a
-    data cartesian); the query term set broadcasts into a semi-join that
-    prunes the term_freqs shuffle to query terms only, so the scoring
-    join touches |query| postings lists, not the whole index. Top-k is
-    TakeOrdered (no global sort).
+    Scale shape: every consumer derives from ONE term_freqs aggregation —
+    doc lengths are sum(tf) per doc (no second corpus scan; N therefore
+    counts docs with at least one token, which is also the only kind that
+    can match), N/avgdl ride a 1-row broadcast crossJoin, and the query
+    term set broadcasts into a semi-join that prunes the scoring work to
+    |query| postings lists. The tf exchange is shared by the df/dl/score
+    branches (ReusedExchange under AQE — the same pattern the minhash
+    plan test asserts). Top-k is TakeOrdered (no global sort). Duplicate
+    query terms are deduplicated (a bag-of-terms query; weighted queries
+    would carry an explicit weight column instead of duplicates, which
+    would otherwise corrupt df).
 
     Output: (id, score, n_matched) for the k best documents,
     score rounded to 4 dp, ties broken by id ascending.
     """
     tf = term_freqs(docs, id_col, text_col)
     qt = tf.sparkSession.createDataFrame(
-        [(t,) for t in query_terms], ["term"]
+        [(t,) for t in dict.fromkeys(query_terms)], ["term"]
     )
-    dl = docs.select(
-        F.col(id_col),
-        F.size(F.filter(F.split(F.col(text_col), " "), lambda w: w != ""))
-        .cast("double").alias("dl"),
+    dl = tf.groupBy(id_col).agg(
+        F.sum("tf").cast("double").alias("dl")
     )
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),

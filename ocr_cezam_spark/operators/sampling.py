@@ -21,9 +21,13 @@ def doc_quality(docs: DataFrame, text_col: str = "text") -> F.Column:
     words), rounded. Repetitive boilerplate scores low. Swappable for a
     model-based score column at production."""
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    return F.round(
-        F.size(F.array_distinct(words)) / F.size(words), QUALITY_DP
-    )
+    # empty docs score 0.0 (worst), never 0/0 — under Spark 4's default
+    # ANSI mode an unguarded division would abort the whole job, and with
+    # ANSI off a NULL quality would sort into the BEST band via least()
+    return F.when(
+        F.size(words) > 0,
+        F.round(F.size(F.array_distinct(words)) / F.size(words), QUALITY_DP),
+    ).otherwise(F.lit(0.0))
 
 
 def token_budget_select(docs: DataFrame, budget: int,

@@ -2454,12 +2454,8 @@ _register(
     WITH tf AS ({_TF_SQL}),
     q AS (SELECT unnest(
         [{", ".join(repr(t) for t in _BM25_TERMS)}]) AS term),
-    dl AS (
-      SELECT doc_id,
-             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
-                  AS DOUBLE) AS dl
-      FROM documents
-    ),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl
+           FROM tf GROUP BY doc_id),
     st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
            FROM dl),
     dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
@@ -2521,8 +2517,9 @@ _register(
     WITH base AS (
       SELECT doc_id,
              CAST(len(words) AS BIGINT) AS n_tokens,
-             round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4)
-               AS quality
+             CASE WHEN len(words) > 0 THEN
+               round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4)
+             ELSE 0.0 END AS quality
       FROM (SELECT doc_id,
                    list_filter(string_split(text, ' '), w -> w <> '') AS words
             FROM documents)
@@ -2646,8 +2643,9 @@ _register(
     WITH base AS (
       SELECT doc_id,
              CAST(len(words) AS BIGINT) AS n_tokens,
-             round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4)
-               AS quality
+             CASE WHEN len(words) > 0 THEN
+               round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4)
+             ELSE 0.0 END AS quality
       FROM (SELECT doc_id,
                    list_filter(string_split(text, ' '), w -> w <> '') AS words
             FROM documents)

@@ -178,3 +178,20 @@ def test_job_redact_pii_masks_extracted_table(spark, tmp_path):
     dig_raw = {(r["url"], r["digest"]) for r in
                spark.read.parquet(str(tmp_path / "raw" / "digests")).collect()}
     assert dig_red == dig_raw
+
+
+def test_job_refuses_resume_across_redaction_states(spark, tmp_path):
+    import pytest as _pytest
+
+    from ocr_cezam_spark.job import run_job
+
+    docs = corpus_df(spark, 40)
+    run_job(spark, docs, str(tmp_path / "mix"), num_partitions=2)
+    with _pytest.raises(ValueError, match="redaction"):
+        run_job(spark, docs, str(tmp_path / "mix"), num_partitions=2,
+                redact_pii=True)
+    # --no-resume opts out of the guard (fresh append, caller's choice)
+    run_job(spark, docs, str(tmp_path / "mix2"), num_partitions=2,
+            redact_pii=True)
+    run_job(spark, docs, str(tmp_path / "mix2"), num_partitions=2,
+            redact_pii=True)  # same state resumes fine (0 rows)

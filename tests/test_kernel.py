@@ -291,3 +291,19 @@ def test_robots_noindex_surfaced_as_field():
     assert "robots" not in kernel.extract("http://x/idx", ok.encode(), "fr")["fields"]
     plain = "<html><body><p>no robots meta at all on this page</p></body></html>"
     assert "robots" not in kernel.extract("http://x/none", plain.encode(), "fr")["fields"]
+
+
+def test_robots_directive_after_colon_value_not_lost():
+    page = ('<html><head><meta name="robots" '
+            'content="max-snippet:-1, noindex"></head>'
+            "<body><p>words for the content scorer here</p></body></html>")
+    out = kernel.extract("http://x/colon", page.encode(), "fr")
+    assert out["fields"].get("robots") == "noindex"
+
+
+def test_meta_declared_utf16_is_treated_as_utf8():
+    body = ('<html><head><meta charset="utf-16"></head>'
+            "<body><p>Café words survive the lying charset tag</p>"
+            "</body></html>")
+    out = kernel.extract("http://x/lie16", body.encode("utf-8"), "fr")
+    assert "Café words survive" in out["text"]

@@ -187,3 +187,33 @@ def test_bigram_pmi_favors_fixed_collocations(spark):
     assert ny["n_ab"] == 10
     assert ny["pmi"] > out[("the", "a")]["pmi"]
     assert ny["pmi"] > out[("a", "the")]["pmi"]
+
+
+def test_empty_doc_quality_is_zero_not_crash(spark):
+    df = _docs(spark, [(1, "a b c d e"), (2, ""), (3, "x y z")])
+    out = sampling.token_budget_select(df, budget=100)
+    got = {r["doc_id"]: (r["quality"], r["n_tokens"]) for r in out.collect()}
+    assert got[2] == (0.0, 0)  # empty doc: worst quality, zero tokens, no 0/0
+    assert got[1][0] == 1.0 and got[3][0] == 1.0
+    # empty doc sorts LAST (quality 0), not into the best band
+    assert max(r["cum_tokens"] for r in out.collect()) == \
+        [r["cum_tokens"] for r in out.collect()
+         if r["doc_id"] == 2][0]
+
+
+def test_bm25_duplicate_query_terms_deduplicated(spark):
+    df = _docs(spark, [
+        (1, "spark spark join"), (2, "spark other words"), (3, "unrelated"),
+    ])
+    once = sorted(map(tuple, retrieval.bm25_topk(df, ["spark", "join"]).collect()))
+    dup = sorted(map(tuple, retrieval.bm25_topk(
+        df, ["spark", "spark", "join"]).collect()))
+    assert once == dup
+
+
+def test_pagerank_empty_links_returns_empty(spark):
+    from ocr_cezam_spark.operators import graph
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = graph.pagerank(empty)
+    assert out.count() == 0 and out.columns == ["host", "rank"]
