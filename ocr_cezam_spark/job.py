@@ -101,7 +101,10 @@ def run_job(
     # (url, digest) table: the standing index for cross-run incremental
     # dedup — the next increment's operators.dedup.incremental_dedup reads
     # this table as its corpus side instead of re-hashing all prior text.
-    digests = out.select(
+    # Error rows carry NULL text; md5(NULL) rows in the standing index can
+    # never match a real increment digest and would all hash to one Bloom
+    # position downstream — only successful extractions are indexed.
+    digests = out.filter(F.col("text").isNotNull()).select(
         "url", F.md5("text").alias("digest"), "n_bytes"
     )
     # Optional hygiene stage on the primary output: mask emails/phones/IPs

@@ -264,7 +264,11 @@ _TOKEN_RX = re.compile(
     # the first matching close tag = the old _RAWTEXT_CLOSE semantics.
     # An UNCLOSED script/style does not match and falls through to the
     # generic tag alternative + the rawtext fallback below.
-    r"|(?i:<(script|style)\b[^>]*>.*?</\1[^>]*>)"
+    # (?<!/)> excludes self-closing <script/> — that form has no raw-text
+    # body, so it must fall through to the generic-tag alternative whose
+    # trailing-'/' check emits an empty element and KEEPS following text
+    # (html.parser parity; swallowing to a later </script> would drop it)
+    r"|(?i:<(script|style)\b[^>]*(?<!/)>.*?</\1[^>]*>)"
     # start / end tag; attributes matched GREEDILY ([^>]* cannot cross the
     # '>', so greedy == the old non-greedy '[^>]*?(/?)' semantics without
     # its per-char backtracking) — self-close is a trailing-'/' check on
@@ -861,7 +865,10 @@ _PDF_MAGIC = b"%PDF-"
 _PDF_STREAM_OPEN_RX = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
 # direct /Length only — an indirect reference (/Length 12 0 R) can't be
 # resolved without the xref table, so it falls back to the delimiter scan
-_PDF_LENGTH_RX = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# (?!\d|...) pins \d+ to the FULL digit run: without it the engine
+# backtracks '/Length 123 0 R' to group(1)='12' until the indirect-ref
+# lookahead passes, mis-reading an indirect length as a direct one
+_PDF_LENGTH_RX = re.compile(rb"/Length\s+(\d+)(?!\d|\s+\d+\s+R)")
 _PDF_ESCAPES = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
 # PDF delimiters + whitespace: an operator token must be bounded by these
 # (or the stream edge), so 'ET' inside 'INTERETS' never ends a text block
@@ -1183,8 +1190,12 @@ def _extract_inner(url: str, html: bytes, lang: str) -> dict:
     # The spec (and real crawls) allow junk/BOM before the %PDF- header as
     # long as it sits within the first 1024 bytes; slice from the magic so
     # offsets inside the parser see a well-formed file.
-    pdf_at = html.find(_PDF_MAGIC, 0, 1024)
-    if pdf_at >= 0:
+    # Magic may START anywhere in the first 1024 bytes (junk/BOM prefixes
+    # are legal) — but a '<' before it means markup: an HTML page that
+    # merely MENTIONS '%PDF-' in its first 1KB must stay on the DOM path,
+    # not lose its whole text to a failed content-stream parse.
+    pdf_at = html.find(_PDF_MAGIC, 0, 1024 + len(_PDF_MAGIC) - 1)
+    if pdf_at >= 0 and b"<" not in html[:pdf_at]:
         return _analyze(url, pdf_text(html[pdf_at:]), [], [])
     root = _parse_tree(decode_html(html))
 

@@ -230,9 +230,11 @@ def _build_bloom(hashes: DataFrame, num_bits: int, num_hashes: int) -> bytes:
     into a local num_bits bitmap inside one Arrow-batched pass
     (mapInPandas + numpy, no per-row Python); the per-partition bitmaps —
     num_bits/8 bytes each, independent of row count — are OR-combined on
-    the driver. Driver state is bounded by num_bits, exactly like the
-    collected centroid/codebook state elsewhere in this repo; corpus rows
-    never leave the executors."""
+    the driver via toLocalIterator, so driver state is TWO bitmaps (the
+    accumulator and the in-flight partition result), never
+    partitions x num_bits (a .collect() of 200 partitions at the
+    10^9-item design point — ~1.2 GB per bitmap at 1% fpp — would be
+    hundreds of GB). Corpus rows never leave the executors."""
     import numpy as np
 
     coeffs = _bloom_coeffs(num_hashes)
@@ -256,9 +258,8 @@ def _build_bloom(hashes: DataFrame, num_bits: int, num_hashes: int) -> bytes:
         if seen:
             yield pd.DataFrame({"bm": [bitmap.tobytes()]})
 
-    parts = hashes.mapInPandas(fold, "bm binary").collect()
     combined = np.zeros(n_bytes, dtype=np.uint8)
-    for r in parts:
+    for r in hashes.mapInPandas(fold, "bm binary").toLocalIterator():
         combined |= np.frombuffer(r["bm"], dtype=np.uint8)
     return combined.tobytes()
 
@@ -274,7 +275,9 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame,
     orders of magnitude larger than the increment, so a direct anti-join
     shuffles corpus-scale data every increment. Instead the corpus
     digests fold into a Bloom filter built distributedly (_build_bloom —
-    a few MB for 10^9 items at 1% fpp) that is broadcast and probed on
+    ~1.2 GB for 10^9 items at 1% fpp, i.e. 9.6 bits/item; size the
+    expected_items/fpp pair to the executor memory you can broadcast)
+    that is broadcast and probed on
     the increment in one Arrow-vectorized pass: true negatives (the
     overwhelming majority of genuinely-new docs) are decided WITHOUT any
     join. Only the might-contain survivors — actual dups plus the fpp
@@ -334,10 +337,21 @@ def incremental_dedup_against_index(new_docs: DataFrame, index: DataFrame,
             out["maybe_dup"] = hit
             yield out
 
+    # Output schema follows the actual id column type — hardcoding 'long'
+    # would break the natural url-keyed call against the job's index.
+    id_type = new_docs.schema[id_col].dataType.simpleString()
     with_h = new_d.withColumn("h", F.xxhash64("digest"))
     flagged = with_h.mapInPandas(
-        probe, f"{id_col} long, digest string, maybe_dup boolean"
+        probe, f"{id_col} {id_type}, digest string, maybe_dup boolean"
     )
+    # The clean branch and the suspect anti-join both consume `flagged`;
+    # repartitioning on the digest ends the probe subtree in an exchange
+    # the anti-join needs anyway, so AQE's ReusedExchange runs the
+    # md5+xxhash64+bloom-probe pass ONCE (the same shared-exchange pattern
+    # the minhash plan test asserts) instead of once per branch. The
+    # broadcast handle is left to GC with the returned plan — destroying
+    # it here would break the not-yet-executed DataFrame.
+    flagged = flagged.repartition(F.col("digest"))
     clean = flagged.filter(~F.col("maybe_dup")).select(id_col, "digest")
     suspects = flagged.filter(F.col("maybe_dup")).select(id_col, "digest")
     verified_new = suspects.join(corpus_d, "digest", "left_anti").select(
@@ -631,10 +645,15 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
     ).withColumn("ph", F.md5("para"))
+    # The empty paragraph (blank-line separators, trailing newlines) is
+    # LAYOUT, not content: its digest exceeds max_freq as soon as a few
+    # docs contain any blank line, and dropping it would strip blank-line
+    # structure corpus-wide. Always kept.
+    md5_empty = "d41d8cd98f00b204e9800998ecf8427e"
     keep = (
         paras.groupBy("ph")
         .agg(F.count("*").alias("freq"))
-        .filter(F.col("freq") <= max_freq)
+        .filter((F.col("freq") <= max_freq) | (F.col("ph") == md5_empty))
         .select("ph")
     )
     kept = paras.join(keep, "ph")

@@ -812,7 +812,7 @@ _register(
     kept AS (
       SELECT p.doc_id, p.pos, p.para
       FROM paras p JOIN freq f ON md5(p.para) = f.ph
-      WHERE f.freq <= 5
+      WHERE f.freq <= 5 OR p.para = ''
     )
     SELECT c.doc_id,
            coalesce(string_agg(k.para, chr(10) ORDER BY k.pos), '')
@@ -847,7 +847,7 @@ _register(
     freq AS (SELECT md5(para) AS ph, count(*) AS freq FROM paras GROUP BY 1),
     kept AS (
       SELECT p.doc_id, p.pos, p.para
-      FROM paras p JOIN freq f ON md5(p.para) = f.ph WHERE f.freq <= 5
+      FROM paras p JOIN freq f ON md5(p.para) = f.ph WHERE f.freq <= 5 OR p.para = ''
     ),
     cleaned AS (
       SELECT c.doc_id,

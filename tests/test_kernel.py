@@ -307,3 +307,35 @@ def test_meta_declared_utf16_is_treated_as_utf8():
             "</body></html>")
     out = kernel.extract("http://x/lie16", body.encode("utf-8"), "fr")
     assert "Café words survive" in out["text"]
+
+
+def test_html_mentioning_pdf_magic_stays_on_dom_path():
+    page = ("<html><body><p>The file header %PDF-1.7 identifies portable "
+            "documents and this page explains it at length</p></body></html>")
+    out = kernel.extract("http://x/about-pdf", page.encode(), "fr")
+    assert "identifies portable" in out["text"]
+
+
+def test_pdf_magic_with_junk_prefix_still_parses():
+    from ocr_cezam_spark.corpus import build_pdf
+
+    blob = build_pdf(["Ligne de texte pour le test du prefixe"], compress=True)
+    with_junk = b"\xef\xbb\xbf\x00junk" + blob
+    out = kernel.extract("http://x/junkpdf", with_junk, "fr")
+    assert "prefixe" in out["text"]
+
+
+def test_pdf_length_regex_indirect_reference_not_truncated():
+    from ocr_cezam_spark.kernel import _PDF_LENGTH_RX
+
+    assert _PDF_LENGTH_RX.search(b"<</Length 123 0 R>>") is None
+    assert _PDF_LENGTH_RX.search(b"<</Length 12 0 R>>") is None
+    m = _PDF_LENGTH_RX.search(b"<</Length 123>>")
+    assert m and m.group(1) == b"123"
+
+
+def test_self_closing_script_keeps_following_text():
+    page = ("<html><body><p><script/>Hello words kept</script>World after"
+            "</p></body></html>")
+    out = kernel.extract("http://x/selfclose", page.encode(), "fr")
+    assert "Hello words kept" in out["text"]

@@ -522,3 +522,23 @@ def test_canonicalize_url_edge_cases(spark):
                                      "example.org", "example.org",
                                      "example.org", "example.net",
                                      "example.net", "", "example.org", ""]
+
+
+def test_paragraph_dedup_preserves_blank_line_layout(spark):
+    # two docs share ONLY the empty paragraph from their blank lines;
+    # layout must survive even at max_freq=1
+    docs = spark.createDataFrame(
+        [(1, "x\n\ny"), (2, "p\n\nq")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["text_dedup"]
+           for r in dedup.paragraph_dedup(docs, max_freq=1).collect()}
+    assert out == {1: "x\n\ny", 2: "p\n\nq"}
+
+
+def test_incremental_dedup_with_string_id_column(spark):
+    corpus = spark.createDataFrame(
+        [("u1", "alpha beta"), ("u2", "gamma delta")], ["url", "text"])
+    new = spark.createDataFrame(
+        [("u3", "alpha beta"), ("u4", "fresh words")], ["url", "text"])
+    out = dedup.incremental_dedup(new, corpus, id_col="url",
+                                  expected_items=1000)
+    assert {r["url"] for r in out.collect()} == {"u4"}
