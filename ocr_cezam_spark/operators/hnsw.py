@@ -30,7 +30,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
 
-from .simsearch import Centroids, _dist_entries, _dot, _to_double, seed_centroids
+from .simsearch import (
+    Centroids, _dist_entries, _dot, _to_double, probe_cents, seed_centroids,
+)
 
 
 def _bucketed(emb: DataFrame, cents: Centroids, probe_ids: list[int],
@@ -42,18 +44,11 @@ def _bucketed(emb: DataFrame, cents: Centroids, probe_ids: list[int],
         "centroid_id",
         F.array_min(_dist_entries(F.col("v"), cents, F.col("_vv")))["cid"],
     ).select("nb_id", "v", "centroid_id")
-    probe_cents = F.transform(
-        F.slice(
-            F.array_sort(_dist_entries(F.col("v"), cents, F.col("_vv"))),
-            1,
-            nprobe,
-        ),
-        lambda s: s["cid"],
-    )
+    probes_expr = probe_cents(F.col("v"), cents, F.col("_vv"), nprobe)
     probes = base.filter(F.col("nb_id").isin(probe_ids)).select(
         F.col("nb_id").alias("probe_id"),
         F.col("v").alias("p"),
-        F.explode(probe_cents).alias("centroid_id"),
+        F.explode(probes_expr).alias("centroid_id"),
     )
     return assigned, probes
 
@@ -127,7 +122,13 @@ def hnsw_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
                         continue
                     visited.add(nb)
                     s = psims[nb]
-                    if len(result) < beam or s > result[0][0]:
+                    # admit on strict improvement OR an equal-sim neighbor
+                    # with a SMALLER id than the incumbent worst — the
+                    # documented (sim desc, id asc) tie-break; result[0]
+                    # is the min by (s, -id), i.e. the tie's larger id
+                    if (len(result) < beam or s > result[0][0]
+                            or (s == result[0][0]
+                                and -ids[nb] > result[0][1])):
                         heapq.heappush(cand, (-s, ids[nb], nb))
                         heapq.heappush(result, (s, -ids[nb], nb))
                         if len(result) > beam:

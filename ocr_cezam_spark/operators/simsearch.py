@@ -48,13 +48,16 @@ def seed_centroids(emb: DataFrame, n_centroids: int = 8,
                    vec_col: str = "embedding") -> Centroids:
     """Deterministic seed centroids: the first K vectors by id (the
     k-means|| init stand-in; see train_centroids for the Lloyd step)."""
+    # literally the first K vectors BY id — orderBy+limit (TakeOrdered),
+    # not filter(id < K): sparse/offset/hash id spaces would otherwise
+    # seed short or empty and crash train_centroids downstream
     rows = (
-        emb.filter(F.col(id_col) < n_centroids)
-        .select(
+        emb.select(
             F.col(id_col).cast("long").alias("cid"),
             _to_double(F.col(vec_col)).alias("c"),
         )
         .orderBy("cid")
+        .limit(n_centroids)
         .collect()
     )
     return [(int(r["cid"]), [float(x) for x in r["c"]]) for r in rows]
@@ -96,6 +99,18 @@ def _nearest(v: F.Column, cents: Centroids, vv: F.Column) -> F.Column:
     # struct comparison is lexicographic: min dist, then min cid (the same
     # tie-break as ORDER BY dist ASC, centroid_id ASC in the oracle)
     return F.array_min(_dist_entries(v, cents, vv))
+
+
+def probe_cents(v: F.Column, cents: Centroids, vv: F.Column,
+                nprobe: int) -> F.Column:
+    """The nprobe nearest centroid ids for a vector — the multi-probe
+    routing expression shared by IVF near-dup, IVF top-k and the HNSW
+    bucket router (one definition so the (dist, cid) tie-break can never
+    silently diverge between paths)."""
+    return F.transform(
+        F.slice(F.array_sort(_dist_entries(v, cents, vv)), 1, nprobe),
+        lambda s: s["cid"],
+    )
 
 
 def train_centroids(emb: DataFrame, n_centroids: int = 8,
@@ -190,19 +205,12 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.99,
     # norms computed once per VECTOR (not once per candidate pair): the
     # pair stage then does exactly one dot product per pair
     prepped = base.withColumn("_vv", _dot(F.col("va"), F.col("va")))
-    probe_cents = F.transform(
-        F.slice(
-            F.array_sort(_dist_entries(F.col("va"), cents, F.col("_vv"))),
-            1,
-            nprobe,
-        ),
-        lambda s: s["cid"],
-    )
+    probes = probe_cents(F.col("va"), cents, F.col("_vv"), nprobe)
     # candidate generation on (id, centroid_id) ONLY — the multi-probe
     # explode duplicates pairs up to nprobe^2 times, so dedup the id pairs
     # BEFORE attaching vectors: the dim-wide cosine is computed exactly
     # once per unique candidate (same shape as minhash_lsh_pairs)
-    buckets = prepped.select("a", F.explode(probe_cents).alias("centroid_id"))
+    buckets = prepped.select("a", F.explode(probes).alias("centroid_id"))
     cand = (
         buckets.join(
             buckets.select(F.col("a").alias("b"), "centroid_id"), "centroid_id"
@@ -260,8 +268,15 @@ def _dist_join(base: DataFrame, cdf: DataFrame) -> DataFrame:
     BroadcastNestedLoopJoin; a BHJ on a single-valued key is fine because
     the build side is the tiny centroid table) — no K-wide literal tree
     in the plan."""
-    id_c = F.col(base.columns[0])
-    left = base.withColumn("_k", F.pmod(id_c, F.lit(1)).cast("int"))
+    # single-valued non-foldable join key: pmod(xxhash64(col), 1) is 0 on
+    # every row, but the column reference keeps Catalyst from folding it
+    # to a literal (which would turn the BHJ into a BNLJ cross join).
+    # xxhash64 accepts ANY column type and maps NULL to the seed, so this
+    # works for string ids and never drops NULL-id rows (a numeric
+    # pmod(id, 1) would yield NULL keys and silently lose those vectors).
+    left = base.withColumn(
+        "_k", F.pmod(F.xxhash64(F.col(base.columns[0])), F.lit(1)).cast("int")
+    )
     right = F.broadcast(cdf)
     dd = F.col("_vv") - 2 * _dot(F.col("v"), F.col("c")) + F.col("_cc")
     return (
@@ -390,17 +405,12 @@ def ivf_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
         .withColumn("_vv", _dot(F.col("v"), F.col("v")))
         .withColumn("centroid_id", _nearest(F.col("v"), cents, F.col("_vv"))["cid"])
     )
-    probe_cents = F.transform(
-        F.slice(
-            F.array_sort(_dist_entries(F.col("v"), cents, F.col("_vv"))), 1, nprobe
-        ),
-        lambda s: s["cid"],
-    )
+    probes_expr = probe_cents(F.col("v"), cents, F.col("_vv"), nprobe)
     probes = base.filter(F.col("nb_id").isin(probe_ids)).select(
         F.col("nb_id").alias("probe_id"),
         F.col("v").alias("p"),
         F.sqrt(F.col("_vv")).alias("np"),
-        F.explode(probe_cents).alias("centroid_id"),
+        F.explode(probes_expr).alias("centroid_id"),
     )
     cands = base.join(F.broadcast(probes), "centroid_id").filter(
         F.col("nb_id") != F.col("probe_id")

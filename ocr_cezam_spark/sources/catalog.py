@@ -38,8 +38,16 @@ def read(spark: SparkSession, table: str) -> DataFrame | None:
         return spark.read.table(table)
     try:
         return spark.read.parquet(table)
-    except Exception:  # table does not exist yet
-        return None
+    except Exception as e:
+        # ONLY "table does not exist yet" maps to None — any other read
+        # failure (transient FS error, corrupt footer, permissions) must
+        # surface: resume_filter treats None as "nothing committed" and a
+        # swallowed error would re-append every url, breaking the
+        # exactly-once contract.
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
 
 
 def resume_filter(docs: DataFrame, spark: SparkSession, table: str) -> DataFrame:

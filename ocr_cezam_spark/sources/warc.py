@@ -68,6 +68,11 @@ def parse_warc(data: bytes) -> Iterator[tuple[str, dt.datetime | None, bytes]]:
                 headers[k.strip().lower()] = v.strip()
         try:
             length = int(headers.get("content-length", ""))
+            if length < 0:
+                # a negative length would move `pos` BACKWARDS and re-find
+                # this same record forever (executor hang) — treat it as
+                # unparsable and resynchronize forward instead
+                raise ValueError("negative Content-Length")
         except ValueError:
             # Missing/unparsable Content-Length: resynchronize on the next
             # plausible record start. Without a length any resync is a

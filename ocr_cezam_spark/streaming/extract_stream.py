@@ -43,15 +43,9 @@ def run_extract_stream(
 ) -> None:
     """Drain all currently-available input files through the kernel into
     a parquet sink, exactly-once per source file via the checkpoint."""
+    from .events import run_available_now
+
     out = extract_stream(read_documents_stream(spark, in_path)).select(
         "url", "lang", "text", "n_bytes", "error", "part_id"
     )
-    q = (
-        out.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_path)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_available_now(out, checkpoint, out_path)

@@ -37,10 +37,16 @@ def _update_sessions(
         last_ts, session_id, n_events, session_value = (None, 0, 0, 0.0)
 
     touched: dict[int, tuple[int, float]] = {}
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # A group's micro-batch rows arrive as MULTIPLE Arrow chunks (split at
+    # arrow.maxRecordsPerBatch); sorting each chunk independently would
+    # process chunk 2's earlier timestamps after chunk 1's later ones and
+    # silently merge/misplace session boundaries. Concatenate, sort ONCE.
+    frames = [pdf for pdf in pdfs]
+    if frames:
+        whole = pd.concat(frames).sort_values(["ts", "event_id"])
         for ts, value in zip(
-            pdf["ts"].astype("int64") / 1e9, pdf["value"].astype("float64")
+            whole["ts"].astype("int64") / 1e9,
+            whole["value"].astype("float64"),
         ):
             if last_ts is not None and ts - last_ts > GAP_SECONDS:
                 session_id += 1

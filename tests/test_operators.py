@@ -542,3 +542,16 @@ def test_incremental_dedup_with_string_id_column(spark):
     out = dedup.incremental_dedup(new, corpus, id_col="url",
                                   expected_items=1000)
     assert {r["url"] for r in out.collect()} == {"u4"}
+
+
+def test_seed_centroids_with_offset_id_space(spark):
+    from ocr_cezam_spark.operators import simsearch
+
+    emb = spark.createDataFrame(
+        [(1000 + i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = simsearch.seed_centroids(emb, n_centroids=4)
+    assert [cid for cid, _ in cents] == [1000, 1001, 1002, 1003]
+    trained = simsearch.train_centroids(emb, n_centroids=4)
+    assert len(trained) == 4

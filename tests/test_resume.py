@@ -57,3 +57,21 @@ def test_resume_mixed_html_pdf(spark, tmp_path):
     assert len(_texts(spark, prefix)) == 80
     rerun = run_job(spark, docs, prefix, num_partitions=4, resume=True)
     assert rerun["extracted"] == 0
+
+
+def test_catalog_read_raises_on_non_missing_errors(spark, tmp_path):
+    from ocr_cezam_spark.sources import catalog
+
+    # missing path -> None (resume treats as nothing committed)
+    assert catalog.read(spark, str(tmp_path / "nope")) is None
+    # an existing path that is NOT parquet must raise, never None
+    bad = tmp_path / "corrupt"
+    bad.mkdir()
+    (bad / "part-0000.parquet").write_bytes(b"not a parquet file")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        df = catalog.read(spark, str(bad))
+        # parquet footer errors may surface at action time
+        if df is not None:
+            df.collect()

@@ -97,3 +97,16 @@ def test_resync_requires_warc_type_in_candidate_header():
     good = write_warc([(make_page(0)["url"], make_page(0)["warc_ts"], b"<p>ok</p>")])
     got = list(parse_warc(bad + b"\r\n\r\n" + good))
     assert len(got) == 1 and got[0][2] == b"<p>ok</p>"
+
+
+def test_negative_content_length_does_not_hang():
+    from ocr_cezam_spark.sources.warc import parse_warc
+
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://x/neg\r\nContent-Length: -500\r\n\r\n"
+           b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://x/ok\r\nContent-Length: 11\r\n\r\n"
+           b"hello world\r\n\r\n")
+    out = list(parse_warc(bad))
+    # the malformed record is skipped, the next record still parses
+    assert [u for u, _, _ in out] == ["http://x/ok"]
