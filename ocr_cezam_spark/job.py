@@ -7,8 +7,12 @@ metrics -> append with resume anti-join.
 
 Cluster launch::
 
-    spark-submit --py-files ocr_cezam_spark.zip -m ocr_cezam_spark.job \
+    spark-submit --py-files ocr_cezam_spark.zip driver.py \
         --input db.documents --output-prefix db.extracted
+
+(where driver.py is a two-liner calling ocr_cezam_spark.job.main();
+spark-submit takes a script path, not python's -m module syntax —
+tests/test_submit.py exercises exactly this launch form.)
 
 Locally the same code runs on ``local[N]`` against parquet (see
 ``sources.catalog`` for the Iceberg/parquet seam).
@@ -40,36 +44,37 @@ def run_job(
     """Run the extraction job; returns row counts per output table."""
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism * 2
 
-    # Hot-host detection runs ONCE here, on the column-pruned raw source
-    # (one action over the url column), never on the post-anti-join plan —
-    # detecting inside salted_repartition would re-execute the scan +
-    # html filter + resume anti-join once per detection action.
-    hot_hosts: list[str] = []
-    if salt_hot_hosts:
-        threshold = min(HOT_HOST_THRESHOLD, 0.5 / max(num_partitions, 1))
-        hot_hosts = detect_hot_hosts(docs.select("url"), threshold)
-
     # Native pre-filter before the kernel (predicate stays below the UDF
     # boundary — P7 analog: only rows that look like pages enter Python).
     docs = docs.filter(F.col("html").isNotNull() & (F.length("url") > 0))
 
     extracted_table = f"{output_prefix}/extracted"
+    # A hygiene flag must never silently no-op or fork the schema: a table
+    # written with the OTHER redaction state must not be appended to,
+    # with OR without resume (a --no-resume append would mix rows with
+    # and without the n_* columns in one directory). Refuse loudly.
+    existing = catalog.read(spark, extracted_table)
+    if existing is not None:
+        was_redacted = "n_emails" in existing.columns
+        if was_redacted != redact_pii:
+            raise ValueError(
+                f"redact_pii={redact_pii} but {extracted_table} was "
+                f"written with redaction={was_redacted}; appending would "
+                "mix schemas and leave committed rows in the other "
+                "state. Use a fresh --output-prefix."
+            )
     if resume:
-        # A hygiene flag must never silently no-op: resuming over a table
-        # written with the OTHER redaction state would skip the committed
-        # rows (leaving raw PII in place when the flag is on) and mix two
-        # schemas in one table. Refuse loudly instead.
-        existing = catalog.read(spark, extracted_table)
-        if existing is not None:
-            was_redacted = "n_emails" in existing.columns
-            if was_redacted != redact_pii:
-                raise ValueError(
-                    f"redact_pii={redact_pii} but {extracted_table} was "
-                    f"written with redaction={was_redacted}; resuming would "
-                    "mix schemas and leave committed rows in the other "
-                    "state. Use a fresh --output-prefix or --no-resume."
-                )
         docs = catalog.resume_filter(docs, spark, extracted_table)
+
+    # Hot-host detection runs ONCE, on the column-pruned url column of the
+    # REMAINING work (post pre-filter and resume anti-join): on a resume
+    # run the committed 99% must not mask a host that dominates the
+    # remaining 1% — the exact straggler salting exists to prevent. One
+    # action; the anti-join it re-executes is url-column-pruned.
+    hot_hosts: list[str] = []
+    if salt_hot_hosts:
+        threshold = min(HOT_HOST_THRESHOLD, 0.5 / max(num_partitions, 1))
+        hot_hosts = detect_hot_hosts(docs.select("url"), threshold)
 
     if salt_hot_hosts:
         docs = salted_repartition(docs, num_partitions, hot_hosts=hot_hosts)
@@ -101,10 +106,13 @@ def run_job(
     # (url, digest) table: the standing index for cross-run incremental
     # dedup — the next increment's operators.dedup.incremental_dedup reads
     # this table as its corpus side instead of re-hashing all prior text.
-    # Error rows carry NULL text; md5(NULL) rows in the standing index can
-    # never match a real increment digest and would all hash to one Bloom
-    # position downstream — only successful extractions are indexed.
-    digests = out.filter(F.col("text").isNotNull()).select(
+    # Only SUCCESSFUL extractions are indexed: error rows carry text=''
+    # (the kernel never yields NULL text), so filtering on the error
+    # column — not on text nullability — keeps one md5('') per failure
+    # out of the standing index, where it would both concentrate on a
+    # single Bloom position and wrongly mark later legitimately-empty
+    # documents as already seen.
+    digests = out.filter(F.col("error").isNull()).select(
         "url", F.md5("text").alias("digest"), "n_bytes"
     )
     # Optional hygiene stage on the primary output: mask emails/phones/IPs
@@ -119,14 +127,20 @@ def run_job(
         ext = scrub.pii_redact(
             ext, id_col="url", keep_cols=("n_bytes", "error")
         ).withColumnRenamed("text_redacted", "text")
+    # 'extracted' is the RESUME MARKER (resume_filter anti-joins on it),
+    # so it commits LAST: a crash mid-loop then re-processes those urls
+    # and re-appends the secondary tables (at-least-once, dedupable by
+    # url downstream) instead of permanently losing their rows (the
+    # marker-first order made fields/cells/... unrecoverable for any url
+    # whose marker committed before the crash).
     for name, df in (
-        ("extracted", ext),
         ("fields", X.extracted_fields(out)),
         ("cells", X.extracted_cells(out)),
         ("statuses", X.extracted_statuses(out)),
         ("codes", X.extracted_codes(out)),
         ("digests", digests),
         ("metrics", X.partition_metrics(out)),
+        ("extracted", ext),
     ):
         # Row counts ride the write action itself via observe() — one
         # action per table, never a second .count() pass re-executing the
@@ -139,7 +153,11 @@ def run_job(
         counts[name] = int(table_obs.get.get("n") or 0)
     counts["observed_docs"] = int(obs.get.get("docs") or 0)
     counts["observed_errors"] = int(obs.get.get("errors") or 0)
-    out.unpersist()  # releases the localCheckpoint blocks
+    # localCheckpoint blocks are NOT released by DataFrame.unpersist()
+    # (that only clears CacheManager entries from .cache()/.persist());
+    # they are freed by the ContextCleaner once the checkpointed RDD is
+    # garbage-collected when `out` goes out of scope — per-run residency
+    # is bounded by one job's kernel output.
     return counts
 
 

@@ -160,7 +160,11 @@ def reconcile_cells(cells: DataFrame) -> DataFrame:
     delta = F.when(F.col("side_deb"), F.col("deb_sum") - F.col("cred_sum")).otherwise(
         F.col("cred_sum") - F.col("deb_sum")
     )
-    res = F.round(num(F.col("first_val")) + delta, 2)
+    # bround = banker's rounding, matching the pure-Python kernel's
+    # round(first_f + delta, 2) (kernel.py check_solde) — F.round's
+    # HALF_UP would flip Success/Error vs the golden on exactly
+    # representable midpoints (x.125, x.375, ...)
+    res = F.bround(num(F.col("first_val")) + delta, 2)
     last_num = num(F.col("last_val"))
 
     missing = F.concat_ws(

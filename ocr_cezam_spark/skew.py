@@ -20,7 +20,11 @@ HOT_HOST_THRESHOLD = 0.05  # absolute cap: a host owning >5% of rows is hot
 
 
 def host_of(col: str = "url") -> F.Column:
-    return F.regexp_extract(F.col(col), r"^https?://([^/]+)/", 1)
+    # authority ends at '/', '?' or '#' OR at end-of-string — requiring a
+    # trailing '/' would map every bare-host url (https://a.com,
+    # https://a.com?q=1) to host '' and collapse unrelated hosts into one
+    # repartition key (same authority grammar as functions/url.py)
+    return F.regexp_extract(F.col(col), r"^https?://([^/?#]*)", 1)
 
 
 def detect_hot_hosts(docs: DataFrame, threshold: float = HOT_HOST_THRESHOLD):

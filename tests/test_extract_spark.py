@@ -190,7 +190,7 @@ def test_job_refuses_resume_across_redaction_states(spark, tmp_path):
     with _pytest.raises(ValueError, match="redaction"):
         run_job(spark, docs, str(tmp_path / "mix"), num_partitions=2,
                 redact_pii=True)
-    # --no-resume opts out of the guard (fresh append, caller's choice)
+    # matching state on a fresh prefix works, and same-state resume is a no-op
     run_job(spark, docs, str(tmp_path / "mix2"), num_partitions=2,
             redact_pii=True)
     run_job(spark, docs, str(tmp_path / "mix2"), num_partitions=2,

@@ -68,3 +68,15 @@ def test_salted_output_byte_identical(spark):
         .collect()
     }
     assert plain == salted
+
+
+def test_host_of_handles_bare_and_query_urls(spark):
+    from ocr_cezam_spark.skew import host_of
+
+    df = spark.createDataFrame(
+        [("https://a.com",), ("https://b.com?q=1",), ("http://c.com/x",),
+         ("https://d.com#frag",)],
+        ["url"],
+    )
+    got = [r[0] for r in df.select(host_of()).collect()]
+    assert got == ["a.com", "b.com", "c.com", "d.com"]
