@@ -37,9 +37,16 @@ def parse_fr_date(s: Column) -> Column:
     def rx(pattern: str) -> Column:
         return F.nullif(F.regexp_extract(s, pattern, 1), F.lit(""))
 
-    day = rx(r"^(\d{1,2}) ").try_cast("int")
-    month = fr_month_number(rx(r"^\d{1,2} (\S+) "))
-    year = rx(r" (\d{4})$").try_cast("int")
+    # ONE fully-anchored pattern (the kernel's _DATE_FR twin): three
+    # independently-anchored extractions would accept junk between the
+    # components ('12 mars truc 2024') that the kernel rejects. \p{L}
+    # instead of \w because Java/RE2 \w is ASCII-only ('février').
+    _full = r"^(\d{1,2}) (\p{L}+) (\d{4})$"
+    day = F.nullif(F.regexp_extract(s, _full, 1), F.lit("")).try_cast("int")
+    month = fr_month_number(
+        F.nullif(F.regexp_extract(s, _full, 2), F.lit(""))
+    )
+    year = F.nullif(F.regexp_extract(s, _full, 3), F.lit("")).try_cast("int")
     iso = F.concat(
         year.cast("string"),
         F.lit("-"),
@@ -63,8 +70,10 @@ def format_fr_date(d: Column) -> Column:
 
 
 def decimal_comma(s: Column) -> Column:
-    """French decimal comma -> double (F8)."""
-    return F.regexp_replace(s, ",", ".").cast("double")
+    """French decimal comma -> double (F8). try_cast: non-numeric input
+    yields null like the kernel's gated _parse_float, instead of an
+    ANSI-mode NumberFormatException killing the job."""
+    return F.regexp_replace(s, ",", ".").try_cast("double")
 
 
 def digit_filter(s: Column) -> Column:

@@ -350,8 +350,16 @@ def _fast_parse(html: str) -> _Node:
     return root
 
 
-def _walk_text(node: _Node, memo: dict | None = None) -> tuple[str, int]:
+def _walk_text(node: _Node, memo: dict | None = None,
+               skip_tables: bool = False) -> tuple[str, int]:
     """(raw text, link-text chars) of a subtree, skipping dropped tags.
+
+    ``skip_tables`` is the TEXT-RECOVERY mode: tables anywhere under a
+    block (not just as direct flow blocks) go to the cells output, never
+    into the main text — without it a table nested in a li/p leaked its
+    cell text into `text` while also being emitted as cells. Container
+    SCORING keeps table text (density counts all visible text), so the
+    two modes memoize separately — never share a memo dict across modes.
 
     ``memo`` (id(node) -> result) makes repeated walks — container scoring
     visits every ancestor of every node — O(nodes) total instead of
@@ -367,8 +375,10 @@ def _walk_text(node: _Node, memo: dict | None = None) -> tuple[str, int]:
             parts.append(child)
         elif child.tag in _DROP_TAGS:
             continue
+        elif skip_tables and child.tag == "table":
+            continue
         else:
-            t, l = _walk_text(child, memo)
+            t, l = _walk_text(child, memo, skip_tables)
             parts.append(" " + t + " ")
             link_chars += len(_norm(t)) if child.tag == "a" else l
     result = ("".join(parts), link_chars)
@@ -393,8 +403,10 @@ def _score_containers(node: _Node, out: list, memo: dict | None = None) -> None:
             _score_containers(child, out, memo)
 
 
-def _flow_blocks(node: _Node) -> list[_Node | str]:
-    """Flatten a container into flow blocks; nested containers recurse."""
+def _flow_blocks(node: _Node, memo: dict | None = None) -> list[_Node | str]:
+    """Flatten a container into flow blocks; nested containers recurse.
+    ``memo`` is the TEXT-mode walk memo (tables skipped) threaded from
+    _extract_inner so inline subtrees are not re-traversed."""
     blocks: list = []
     inline: list[str] = []
 
@@ -410,12 +422,12 @@ def _flow_blocks(node: _Node) -> list[_Node | str]:
             continue
         elif child.tag in ("div", "section", "article", "main"):
             flush()
-            blocks.extend(_flow_blocks(child))
+            blocks.extend(_flow_blocks(child, memo))
         elif child.tag in _BLOCK_TAGS:
             flush()
             blocks.append(child)
         else:  # inline element: merge its text into the running block
-            inline.append(" " + _walk_text(child)[0] + " ")
+            inline.append(" " + _walk_text(child, memo, True)[0] + " ")
     flush()
     return blocks
 
@@ -1116,7 +1128,11 @@ USE_FAST_PARSER = True
 # within the first 1024 bytes, then UTF-8. Per the HTML5 spec,
 # iso-8859-1/ascii declarations decode as windows-1252 (their superset).
 _META_TAG_RX = re.compile(rb"<meta\b[^>]*>", re.IGNORECASE)
-_ROBOTS_NAME_RX = re.compile(rb"""name\s*=\s*["']?robots\b""", re.IGNORECASE)
+# (?<![-\w]) guards the attribute START: data-name="robots" is a template
+# attribute, not a robots directive
+_ROBOTS_NAME_RX = re.compile(
+    rb"""(?<![-\w])name\s*=\s*["']?robots\b""", re.IGNORECASE
+)
 _META_CONTENT_RX = re.compile(
     # ':' and '-' admit value-bearing directives (max-snippet:-1) so a
     # trailing noindex after them is never lost
@@ -1208,11 +1224,13 @@ def _extract_inner(url: str, html: bytes, lang: str) -> dict:
         candidates.sort(key=lambda t: (t[0], t[1]))
         winner = candidates[-1][2]
         parts = []
-        for block in _flow_blocks(winner):
+        text_memo: dict = {}  # text-mode memo (tables skipped) — never
+        # shared with walk_memo, whose entries include table text
+        for block in _flow_blocks(winner, text_memo):
             if isinstance(block, _Node):
                 if block.tag == "table":
                     continue  # tables go to the cells output, not main text
-                raw = _walk_text(block, walk_memo)[0]
+                raw = _walk_text(block, text_memo, True)[0]
                 if block.tag == "pre":
                     # Preserve line structure: MRZ lines are positional
                     # (document_identite.py:254-262 reads fixed-width lines).

@@ -41,10 +41,16 @@ def clean_corpus(docs: DataFrame, id_col: str = "doc_id",
     reps = c.join(
         keepers.select(F.col("keeper").alias(id_col)), id_col, "left_semi"
     )
-    tq = token_quality(reps, id_col, text_col).filter(
+    # The quality gates tokenize on single spaces; the reassembled text
+    # joins paragraphs with '\n', which would otherwise merge the words
+    # around every boundary into one token (and count the newline as a
+    # word character). Dedup keeps the '\n' form — layout is part of
+    # content identity — only the stats input flattens separators.
+    gated = reps.withColumn(text_col, F.translate(F.col(text_col), "\n", " "))
+    tq = token_quality(gated, id_col, text_col).filter(
         F.col("quality_ok") == 1
     ).select(id_col, "n_tokens", "stopword_ratio", "avg_word_len")
-    gq = gopher_quality(reps, id_col, text_col).filter(
+    gq = gopher_quality(gated, id_col, text_col).filter(
         F.col("passes") == 1
     ).select(id_col, "mean_word_len", "alpha_word_frac")
     return tq.join(gq, id_col)

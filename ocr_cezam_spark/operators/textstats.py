@@ -141,10 +141,14 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
                      dup_threshold: float = 0.3) -> DataFrame:
-    """Gopher-style repetition quality filters: duplicate 3-gram fraction
-    and top-word fraction per document. Shingle stats are pure array
+    """Gopher-style repetition quality STATS: duplicate 3-gram fraction
+    and top-word fraction per document. The `repetitive` flag gates on the
+    dup-gram fraction only (the dominant Gopher gate); top_word_frac is
+    emitted alongside so a caller can add its own top-word threshold
+    (Gopher uses per-n thresholds that are corpus-tuned — policy, not
+    mechanism, so it stays a column here). Shingle stats are pure array
     expressions; the top-word count is one explode + two hash aggregations
-    (map-side combined) — the standard pre-training repetition gate."""
+    (map-side combined)."""
     from .dedup import shingles
 
     sh = shingles(text_col)
@@ -181,14 +185,15 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
 
 
 def source_skew_stats(docs: DataFrame, source_col: str = "source",
-                      threshold: float = 0.05) -> DataFrame:
+                      threshold: float = 0.05,
+                      text_col: str = "text") -> DataFrame:
     """The hot-key pre-aggregation (skew.detect_hot_hosts) as a checked
     relational operator: per source, row share of the corpus and the
     hot flag at `threshold`. One hash aggregation + a broadcast of the
     single-row total."""
     per = docs.groupBy(F.col(source_col).alias("src")).agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(F.length(text_col)).alias("total_chars"),
     )
     total = per.agg(F.sum("n_docs").alias("total_docs"))
     return (

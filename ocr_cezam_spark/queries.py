@@ -858,7 +858,8 @@ _register(
     keepers AS (SELECT min(doc_id) AS keeper FROM ne GROUP BY md5(text)),
     reps AS (SELECT n.doc_id, n.text FROM ne n
              JOIN keepers kk ON n.doc_id = kk.keeper),
-    tb AS (SELECT doc_id, string_split(text, ' ') AS words,
+    tb AS (SELECT doc_id,
+                  string_split(replace(text, chr(10), ' '), ' ') AS words,
                   length(text) AS n_chars FROM reps),
     tm AS (
       SELECT doc_id, words, CAST(len(words) AS INT) AS n_tokens,
@@ -1895,21 +1896,48 @@ def _date_field_native(s: SparkSession, d: str) -> DataFrame:
         "date_format",
         F.posexplode(F.split("text", "\n")).alias("pos", "line"),
     )
-    fr = parse_fr_date(F.col("line"))
-    slash = F.expr("try_to_date(line, 'dd/MM/yyyy')")
-    dot = F.expr("try_to_date(line, 'dd.MM.yyyy')")
-    bank_first = (
+    # kernel parity (get_date): candidates per line are the WHOLE line
+    # then each word (single-word lines: just the word), scanned in
+    # document order; the digit guard mirrors _try_date_fmt's.
+    words = F.split(F.col("line"), " ")
+    cands_arr = F.when(F.size(words) <= 1, F.array(F.col("line"))).otherwise(
+        F.concat(F.array(F.col("line")), words)
+    )
+    cands = lines.select(
+        "url", "date_format", "pos",
+        F.posexplode(cands_arr).alias("cand_idx", "cand"),
+    ).filter(F.substring("cand", 1, 1).rlike("^[0-9]"))
+    fr = parse_fr_date(F.col("cand"))
+    slash = F.expr("try_to_date(cand, 'dd/MM/yyyy')")
+    dot = F.expr("try_to_date(cand, 'dd.MM.yyyy')")
+    bank_dt = (
         F.when(F.col("date_format") == "slash", slash)
         .when(F.col("date_format") == "dot", dot)
         .when(F.col("date_format") == "fr", fr)
     )
-    parsed = F.coalesce(bank_first, fr, slash, dot)
+    gen_dt = F.coalesce(fr, slash, dot)
+    # DOC-level precedence, not line-level: the configured bank format is
+    # scanned across ALL candidates FIRST, and the generic multi-try pass
+    # only applies when that whole scan misses (kernel get_date order —
+    # a line-level coalesce would let an earlier line's generic parse
+    # beat a later line's configured-format date).
+    picked = cands.groupBy("url").agg(
+        F.min(
+            F.when(bank_dt.isNotNull(),
+                   F.struct(F.col("pos"), F.col("cand_idx"),
+                            format_fr_date(bank_dt).alias("v")))
+        ).alias("b"),
+        F.min(
+            F.when(gen_dt.isNotNull(),
+                   F.struct(F.col("pos"), F.col("cand_idx"),
+                            format_fr_date(gen_dt).alias("v")))
+        ).alias("g"),
+    )
+    value = F.coalesce(F.col("b.v"), F.col("g.v"))
     return (
-        lines.select("url", "pos", parsed.alias("dt"))
-        .filter(F.col("dt").isNotNull())
-        .groupBy("url")
-        .agg(F.min_by(format_fr_date(F.col("dt")), F.col("pos")).alias("value"))
-        .select("url", F.lit("date").alias("field"), "value")
+        picked.select("url", F.lit("date").alias("field"),
+                      value.alias("value"))
+        .filter(F.col("value").isNotNull())
     )
 
 

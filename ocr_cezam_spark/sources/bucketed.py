@@ -20,8 +20,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int,
                    path: str | None = None) -> None:
-    """Overwrite ``table`` bucketed+sorted by ``key`` into ``n_buckets``."""
-    w = df.write.mode("overwrite").bucketBy(n_buckets, key).sortBy(key)
+    """Overwrite ``table`` bucketed+sorted by ``key`` into ``n_buckets``.
+
+    The repartition aligns write tasks with buckets: without it every
+    upstream task writes one file PER bucket (tasks x n_buckets small
+    files at scale); with it each bucket is one task -> one file."""
+    w = (
+        df.repartition(n_buckets, key)
+        .write.mode("overwrite").bucketBy(n_buckets, key).sortBy(key)
+    )
     if path is not None:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)

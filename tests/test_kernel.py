@@ -339,3 +339,23 @@ def test_self_closing_script_keeps_following_text():
             "</p></body></html>")
     out = kernel.extract("http://x/selfclose", page.encode(), "fr")
     assert "Hello words kept" in out["text"]
+
+
+def test_nested_table_text_goes_to_cells_not_main_text():
+    page = ("<html><body><div><p>Intro paragraph words here today</p>"
+            "<ul><li>item before <table><tr><td>cellvalue</td>"
+            "<td>othercell</td></tr></table> item after</li></ul>"
+            "</div></body></html>")
+    out = kernel.extract("http://x/nested", page.encode(), "fr")
+    assert "cellvalue" not in out["text"]
+    assert "item before" in out["text"] and "item after" in out["text"]
+    flat = [v for (_, _, _, v) in out["cells"]]
+    assert "cellvalue" in flat and "othercell" in flat
+
+
+def test_data_name_robots_attribute_is_not_a_directive():
+    page = ('<html><head><meta data-name="robots" content="noindex">'
+            "</head><body><p>visible words stay indexable here</p>"
+            "</body></html>")
+    out = kernel.extract("http://x/dataname", page.encode(), "fr")
+    assert "robots" not in out["fields"]
