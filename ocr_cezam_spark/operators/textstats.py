@@ -269,7 +269,11 @@ def sequence_pack(docs: DataFrame, budget: int = 512, n_shards: int = 8,
     base = docs.select(
         F.col(id_col),
         F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
-        F.size(_words(text_col)).cast("int").alias("n_tokens"),
+        # whitespace-FILTERED count, matching sampling.token_budget_select:
+        # a doc must occupy exactly the tokens it was budgeted at, or the
+        # select->pack composition over-packs on multi-space text
+        F.size(F.filter(_words(text_col), lambda w: w != ""))
+        .cast("int").alias("n_tokens"),
     )
     w = Window.partitionBy("shard").orderBy(id_col)
     cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")

@@ -12,7 +12,15 @@ Conventions that keep the cross-engine value-hash stable:
 Kernel-backed queries (extraction itself) are not SQL-expressible; two of
 them are checked against *frozen goldens* computed by the pure-Python
 kernel (tools/freeze_golden.py -> golden/*.parquet, read by DuckDB via
-read_parquet) — an independent oracle; the rest are rows-only.
+read_parquet); the rest are rows-only. Honesty note on what the golden
+checks prove: the Spark path wraps the SAME kernel in mapInArrow, so the
+golden comparison verifies distribution correctness (batching,
+partitioning, salting, resume never change a byte) and golden freshness —
+NOT kernel semantics, which a kernel bug would encode identically on both
+sides. Kernel semantics are covered by the kernel unit/property tests and
+by the NATIVE relational twins (solde_native, doc_kind, date_field_native,
+key_value_fields, ...) that re-derive the same answers from first
+principles in Spark SQL against the goldens.
 """
 
 from __future__ import annotations
@@ -316,13 +324,51 @@ _register(
 # Text analysis / quality / language id / fingerprint
 # ===========================================================================
 
+# Fixtures for the quality/flag queries inject deterministic dirt so the
+# FLAG columns discriminate (on the raw corpus every flag was constant,
+# leaving inverted comparisons invisible to the hash gate): short docs
+# and overlong-word tails for token_quality, digit floods and long words
+# for gopher, a repeated-trigram tail for repetition_stats, language
+# marker tails (and an es/de tie) for langid, and a skewed source map
+# with one source EXACTLY on the 5% threshold for source_skew_stats.
+_TQ_LONG_TAIL = " " + " ".join(["x" * 40] * 25)
+_GQ_DIGIT_TAIL = " " + " ".join(str(11 * (i % 9 + 1)) for i in range(45))
+_REP_TAIL = " " + " ".join(["rep"] * 60)
+_LANG_TAILS = {
+    1: " " + " ".join(["le", "et", "est"] * 12),
+    2: " " + " ".join(["der", "und", "ist"] * 12),
+    3: " " + " ".join(["el", "y", "de"] * 12),
+    9: " " + " ".join(["el", "y", "der", "und"] * 15),
+}
+_TQ_SHORT = "court texte de cinq mots"
+
+
+def _tq_docs(s: SparkSession, d: str) -> DataFrame:
+    doc_id = F.col("doc_id")
+    return _t(s, d, "documents").select(
+        "doc_id",
+        F.when(doc_id % 10 == 7, F.lit(_TQ_SHORT))
+        .when(doc_id % 9 == 4, F.concat("text", F.lit(_TQ_LONG_TAIL)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+
+
+_TQ_SQL_CORPUS = f"""
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 7 THEN '{_TQ_SHORT}'
+                  WHEN doc_id % 9 = 4 THEN text || '{_TQ_LONG_TAIL}'
+                  ELSE text END AS text
+      FROM documents
+"""
+
 _register(
     "token_quality",
-    lambda s, d: textstats.token_quality(_t(s, d, "documents")),
-    """
-    WITH base AS (
+    lambda s, d: textstats.token_quality(_tq_docs(s, d)),
+    f"""
+    WITH corpus AS ({_TQ_SQL_CORPUS}),
+    base AS (
       SELECT doc_id, string_split(text, ' ') AS words, length(text) AS n_chars
-      FROM documents
+      FROM corpus
     ), m AS (
       SELECT doc_id, CAST(len(words) AS INT) AS n_tokens,
              CAST(len(list_filter(words, w -> w IN
@@ -349,9 +395,16 @@ def _langid_oracle() -> str:
         )
         for lang, markers in textstats.LANG_MARKERS.items()
     }
+    tails = " ".join(
+        f"WHEN doc_id % 10 = {k} THEN text || '{t}'"
+        for k, t in sorted(_LANG_TAILS.items())
+    )
     return f"""
-    WITH base AS (
-      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    WITH corpus AS (
+      SELECT doc_id, CASE {tails} ELSE text END AS text FROM documents
+    ),
+    base AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM corpus
     ), sc AS (
       SELECT doc_id, {score['en']} AS score_en, {score['es']} AS score_es,
              {score['de']} AS score_de, {score['fr']} AS score_fr
@@ -367,9 +420,17 @@ def _langid_oracle() -> str:
     """
 
 
+def _langid_docs(s: SparkSession, d: str) -> DataFrame:
+    doc_id = F.col("doc_id")
+    expr = F.col("text")
+    for k, t in sorted(_LANG_TAILS.items(), reverse=True):
+        expr = F.when(doc_id % 10 == k, F.concat("text", F.lit(t))).otherwise(expr)
+    return _t(s, d, "documents").select("doc_id", expr.alias("text"))
+
+
 _register(
     "langid",
-    lambda s, d: textstats.langid(_t(s, d, "documents")),
+    lambda s, d: textstats.langid(_langid_docs(s, d)),
     _langid_oracle(),
 )
 
@@ -421,12 +482,29 @@ _SHINGLE_SQL = (
     "i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))"
 )
 
+def _rep_docs(s: SparkSession, d: str) -> DataFrame:
+    doc_id = F.col("doc_id")
+    return _t(s, d, "documents").select(
+        "doc_id",
+        F.when(doc_id % 8 == 6, F.concat("text", F.lit(_REP_TAIL)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+
+
+_REP_SQL_CORPUS = f"""
+      SELECT doc_id,
+             CASE WHEN doc_id % 8 = 6 THEN text || '{_REP_TAIL}'
+                  ELSE text END AS text
+      FROM documents
+"""
+
 _register(
     "repetition_stats",
-    lambda s, d: textstats.repetition_stats(_t(s, d, "documents")),
+    lambda s, d: textstats.repetition_stats(_rep_docs(s, d)),
     f"""
-    WITH base AS (
-      SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents
+    WITH corpus AS ({_REP_SQL_CORPUS}),
+    base AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sh FROM corpus
     ), gram AS (
       SELECT doc_id, CAST(len(sh) AS INT) AS n_grams,
              CAST(len(list_distinct(sh)) AS INT) AS n_distinct_grams,
@@ -435,7 +513,7 @@ _register(
       FROM base
     ), wc AS (
       SELECT doc_id, w, count(*) AS c
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus)
       GROUP BY doc_id, w
     ), top AS (
       SELECT doc_id, CAST(sum(c) AS INT) AS n_words,
@@ -449,12 +527,29 @@ _register(
     """,
 )
 
+def _gq_docs(s: SparkSession, d: str) -> DataFrame:
+    doc_id = F.col("doc_id")
+    return _t(s, d, "documents").select(
+        "doc_id",
+        F.when(doc_id % 9 == 4, F.concat("text", F.lit(_TQ_LONG_TAIL)))
+        .when(doc_id % 7 == 2, F.concat("text", F.lit(_GQ_DIGIT_TAIL)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+
+
 _register(
     "gopher_quality",
-    lambda s, d: textstats.gopher_quality(_t(s, d, "documents")),
-    """
-    WITH w AS (
-      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    lambda s, d: textstats.gopher_quality(_gq_docs(s, d)),
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 4 THEN text || '{_TQ_LONG_TAIL}'
+                  WHEN doc_id % 7 = 2 THEN text || '{_GQ_DIGIT_TAIL}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM corpus
     ), stats AS (
       SELECT doc_id,
              CAST(len(ws) AS INT) AS n_words,
@@ -474,14 +569,33 @@ _register(
     """,
 )
 
+def _skew_docs(s: SparkSession, d: str) -> DataFrame:
+    # skewed source map with one source EXACTLY at the 5% threshold
+    # (25 of 500 docs at sf0.01): strict '>' must flag hot but NOT edge
+    doc_id = F.col("doc_id")
+    return _t(s, d, "documents").select(
+        "doc_id", "text",
+        F.when(doc_id < 250, F.lit("hot"))
+        .when(doc_id < 275, F.lit("edge"))
+        .otherwise(F.col("source")).alias("source"),
+    )
+
+
 _register(
     "source_skew_stats",
-    lambda s, d: textstats.source_skew_stats(_t(s, d, "documents")),
+    lambda s, d: textstats.source_skew_stats(_skew_docs(s, d)),
     """
-    WITH per AS (
+    WITH corpus AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id < 250 THEN 'hot'
+                  WHEN doc_id < 275 THEN 'edge'
+                  ELSE source END AS source
+      FROM documents
+    ),
+    per AS (
       SELECT source AS src, count(*) AS n_docs,
              sum(length(text)) AS total_chars
-      FROM documents GROUP BY source
+      FROM corpus GROUP BY source
     ), t AS (
       SELECT sum(n_docs) AS total_docs FROM per
     )
@@ -780,17 +894,26 @@ _register(
     _simhash_oracle(),
 )
 
-# Paragraph-level dedup (C4/CCNet boilerplate removal): the fixture
-# appends one boilerplate line to EVERY document, so a paragraph with
-# corpus-wide frequency far above max_freq is guaranteed to exist and
-# must vanish from every reassembled text.
+# Paragraph-level dedup (C4/CCNet boilerplate removal). The fixture gives
+# every document FOUR paragraphs so the operator\'s full surface
+# discriminates: its own unique text (freq 1, kept), a shared block with
+# corpus frequency EXACTLY max_freq (5 = 500/100 at sf0.01 — the <=
+# boundary; an off-by-one drops it), an EMPTY paragraph from a blank
+# line (frequency 500 but layout — the always-keep rule must fire), and
+# the boilerplate (freq 500, dropped). Reassembly must restore the three
+# survivors in original order, so broken pos-ordering is visible too.
 _PARA_BOILER = "Abonnez-vous à la newsletter"
 
 
 def _para_docs(s: SparkSession, d: str) -> DataFrame:
+    doc_id = F.col("doc_id")
     return _t(s, d, "documents").select(
         "doc_id",
-        F.concat("text", F.lit("\n" + _PARA_BOILER)).alias("text"),
+        F.concat(
+            "text",
+            F.lit("\nbloc partagé "), (doc_id % 100).cast("string"),
+            F.lit("\n\n" + _PARA_BOILER),
+        ).alias("text"),
     )
 
 
@@ -799,7 +922,10 @@ _register(
     lambda s, d: dedup.paragraph_dedup(_para_docs(s, d), max_freq=5),
     f"""
     WITH corpus AS (
-      SELECT doc_id, text || chr(10) || '{_PARA_BOILER}' AS text
+      SELECT doc_id,
+             text || chr(10) || 'bloc partagé '
+                  || CAST(doc_id % 100 AS VARCHAR)
+                  || chr(10) || chr(10) || '{_PARA_BOILER}' AS text
       FROM documents
     ),
     paras AS (
@@ -906,8 +1032,8 @@ _register(
            CAST(cum_before % 512 AS BIGINT) AS offset_in_pack
     FROM (
       SELECT doc_id, doc_id % 8 AS shard,
-             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-             coalesce(sum(len(string_split(text, ' '))) OVER (
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INT) AS n_tokens,
+             coalesce(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) OVER (
                PARTITION BY doc_id % 8 ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS cum_before
@@ -2344,8 +2470,10 @@ _register("fix_mojibake", _moji_query, _moji_oracle())
 # Decontamination fixture: a 12-word benchmark passage appended to the
 # benchmark docs (doc_id % 97 == 0) and leaked into doc_id % 13 == 5 of
 # the training corpus (benchmark docs excluded from it). Each leaked doc
-# must surface with exactly the passage's 5 distinct pure 8-grams;
-# boundary-crossing windows differ per doc and never match.
+# surfaces with AT LEAST the passage's 5 pure 8-grams; a handful gain a
+# 6th hit where a boundary-crossing window happens to coincide with a
+# benchmark doc's n-gram (measured at sf0.01: n_hits {5: 30, 6: 8}) —
+# the invariant is >= 5 for leaked docs and absence for clean ones.
 _DECON_PASSAGE = ("quick brown fox jumps over lazy dog tonight "
                   "again friends forever together")
 
@@ -2504,11 +2632,46 @@ _register(
     """,
 )
 
+# window_dedup fixture: a mixed corpus so dup_frac actually discriminates
+# (an all-cloned corpus scored 1.0 everywhere): even docs are cloned
+# (dup_frac 1.0 for them and their clones), docs with doc_id % 5 == 1 get
+# a shared 35-token passage PREPENDED (their leading windows match across
+# docs while their own-text windows stay unique -> mid-range dup_frac),
+# the rest are untouched (dup_frac 0.0).
+_WD_PASSAGE = " ".join(f"wd{i}" for i in range(35))
+
+
+def _wd_docs(s: SparkSession, d: str) -> DataFrame:
+    doc_id = F.col("doc_id")
+    base = _t(s, d, "documents").select(
+        "doc_id",
+        F.when(doc_id % 5 == 1,
+               F.concat(F.lit(_WD_PASSAGE + " "), F.col("text")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    clones = base.filter(doc_id % 2 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return base.unionByName(clones)
+
+
+_WD_SQL_CORPUS = f"""
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 1 THEN '{_WD_PASSAGE} ' || text
+                  ELSE text END AS text
+      FROM documents
+"""
+
 _register(
     "window_dedup",
-    lambda s, d: dedup.window_dedup_stats(_cloned_docs(s, d)),
+    lambda s, d: dedup.window_dedup_stats(_wd_docs(s, d)),
     f"""
-    WITH corpus AS ({_CLONED_SQL}),
+    WITH corpus AS (
+      SELECT doc_id, text FROM ({_WD_SQL_CORPUS})
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM ({_WD_SQL_CORPUS})
+      WHERE doc_id % 2 = 0
+    ),
     w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
     occ AS (
       SELECT doc_id,
@@ -2695,8 +2858,8 @@ _register(
            CAST(cum_before % 512 AS BIGINT) AS offset_in_pack
     FROM (
       SELECT doc_id, doc_id % 8 AS shard,
-             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-             coalesce(sum(len(string_split(text, ' '))) OVER (
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INT) AS n_tokens,
+             coalesce(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) OVER (
                PARTITION BY doc_id % 8 ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS cum_before

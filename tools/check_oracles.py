@@ -98,7 +98,14 @@ def main() -> None:
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"weak  {name}: rows={spark_n} cols={sorted(cols)} ({time.time()-t0:.1f}s)")
+            # rows-only check must still be a CHECK: an approximate
+            # operator silently regressing to an empty result is a
+            # failure, not a green "weak" line
+            if spark_n <= 0:
+                print(f"FAIL  {name}: rows-only query returned {spark_n} rows")
+                failures.append(name)
+            else:
+                print(f"weak  {name}: rows={spark_n} cols={sorted(cols)} ({time.time()-t0:.1f}s)")
             continue
         try:
             rel = con.sql(oracles[name])
