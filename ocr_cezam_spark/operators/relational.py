@@ -59,7 +59,13 @@ def region_rollup(customer: DataFrame, nation: DataFrame, region: DataFrame) -> 
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+            # floor(x*100+0.5)/100, NOT F.round: Spark rounds the SHORTEST
+            # DECIMAL repr of the double (HALF_UP) while DuckDB rounds the
+            # binary value, so an exact-midpoint average (x.315 stored as
+            # x.31499..) rounds differently per engine; the floor form
+            # applies identical IEEE ops on both sides
+            (F.floor(F.avg("c_acctbal") * 100 + F.lit(0.5)) / 100)
+            .alias("avg_acctbal"),
         )
         .orderBy("r_name", "n_name")
     )

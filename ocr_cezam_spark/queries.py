@@ -118,7 +118,7 @@ _register(
     ),
     """
     SELECT r_name, n_name, count(*) AS n_customers,
-           round(avg(c_acctbal), 2) AS avg_acctbal
+           floor(avg(c_acctbal) * 100 + 0.5) / 100 AS avg_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
