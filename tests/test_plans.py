@@ -134,3 +134,35 @@ def test_driver_window_holds_exactly_50_queries():
     assert len(front) == 50, (len(front), front[50:])
     assert set(Q._WINDOW_TAIL) <= set(names)
     assert names[:50] == front
+
+
+def test_new_operator_plans_stay_native(spark):
+    """No row-at-a-time Python UDF in any of the continuation operators;
+    BM25 and temperature sampling broadcast their small sides."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ocr_cezam_spark.operators import graph, retrieval, sampling, textstats
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common tok{i % 5} end", f"s{i % 4}") for i in range(40)],
+        ["doc_id", "text", "source"],
+    )
+    plans = {
+        "unigram": textstats.unigram_logprob(docs),
+        "pmi": textstats.bigram_pmi(docs, min_count=2),
+        "budget": sampling.token_budget_select(docs, budget=100),
+        "temp": sampling.temperature_sample(docs),
+        "pagerank": graph.pagerank(
+            docs.select(F.col("source").alias("src"),
+                        F.concat(F.lit("s"), (F.col("doc_id") % 4)
+                                 .cast("string")).alias("dst"))),
+    }
+    for name, df in plans.items():
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in p, name
+    bp = (retrieval.bm25_topk(docs, ["common"])._jdf.queryExecution()
+          .executedPlan().toString())
+    assert "BatchEvalPython" not in bp
+    tp = (sampling.temperature_sample(docs)._jdf.queryExecution()
+          .executedPlan().toString())
+    assert "BroadcastHashJoin" in tp  # probs join back broadcast
