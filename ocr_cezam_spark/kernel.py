@@ -1135,15 +1135,26 @@ _ROBOTS_NAME_RX = re.compile(
 )
 _META_CONTENT_RX = re.compile(
     # ':' and '-' admit value-bearing directives (max-snippet:-1) so a
-    # trailing noindex after them is never lost
-    rb"""content\s*=\s*["']?([A-Za-z0-9_,: -]*)""", re.IGNORECASE
+    # trailing noindex after them is never lost. (?<![-\w]) guards the
+    # attribute START like _ROBOTS_NAME_RX: data-content="noindex" is a
+    # template attribute, not the robots content
+    rb"""(?<![-\w])content\s*=\s*["']?([A-Za-z0-9_,: -]*)""", re.IGNORECASE
 )
+
+# A robots meta tag may START inside the 4KB head budget but END after it
+# (long head, many attributes). Let matches begin within the budget without
+# truncating the tag body — same discipline as the %PDF magic-anywhere fix.
+_ROBOTS_SCAN = 4096
+_MAX_META_TAG = 512
 
 
 def robots_directives(html: bytes) -> set[str]:
-    """Directives of the first <meta name=robots> tag in the head region
-    (first 4KB), lowercased; attribute order inside the tag is free."""
-    for m in _META_TAG_RX.finditer(html, 0, 4096):
+    """Directives of the first <meta name=robots> tag whose START lies in
+    the head region (first 4KB), lowercased; attribute order inside the
+    tag is free."""
+    for m in _META_TAG_RX.finditer(html, 0, _ROBOTS_SCAN + _MAX_META_TAG):
+        if m.start() >= _ROBOTS_SCAN:
+            break
         tag = m.group(0)
         if _ROBOTS_NAME_RX.search(tag):
             c = _META_CONTENT_RX.search(tag)

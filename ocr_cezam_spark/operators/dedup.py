@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
+from ocr_cezam_spark.functions.numeric import round_he
+
 HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
@@ -696,7 +698,7 @@ def jaccard_verify_pairs(docs: DataFrame, cand: DataFrame,
         .join(b, "b")
         .select("a", "b", (inter / union).alias("j_raw"))
         .filter(F.col("j_raw") >= threshold)
-        .select("a", "b", F.round("j_raw", 4).alias("jaccard"))
+        .select("a", "b", round_he("j_raw", 4).alias("jaccard"))
     )
 
 
@@ -724,7 +726,7 @@ def ngram_jaccard_pairs(docs: DataFrame, group_col: str = "source",
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", (inter / union).alias("j_raw"))
         .filter(F.col("j_raw") >= threshold)
-        .select("a", "b", F.round("j_raw", 4).alias("jaccard"))
+        .select("a", "b", round_he("j_raw", 4).alias("jaccard"))
     )
 
 
@@ -781,7 +783,7 @@ def window_dedup_stats(docs: DataFrame, window: int = 30, stride: int = 15,
         )
         .select(
             id_col, "n_windows", "n_dup_windows",
-            F.round(F.col("n_dup_windows") / F.col("n_windows"), 4)
+            round_he(F.col("n_dup_windows") / F.col("n_windows"), 4)
             .alias("dup_frac"),
         )
     )

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
+from ocr_cezam_spark.functions.numeric import round_he
+
 DAMPING = 0.85
 
 
@@ -60,4 +62,4 @@ def pagerank(links: DataFrame, iters: int = 3, damping: float = DAMPING,
             (F.lit(teleport)
              + damping * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
         )
-    return ranks.select("host", F.round("rank", 8).alias("rank"))
+    return ranks.select("host", round_he("rank", 8).alias("rank"))

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
 
+from ocr_cezam_spark.functions.numeric import round_he
+
 from .simsearch import _dot, _lit_vec, _self_dot, _to_double
 
 PQ_M = 8       # subspaces
@@ -211,5 +213,5 @@ def pq_topk(emb: DataFrame, probe_ids: list[int], k: int = 5,
         joined.select("probe_id", "nb_id", adc.alias("adc_raw"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("probe_id", "rank", "nb_id", F.round("adc_raw", 4).alias("adc"))
+        .select("probe_id", "rank", "nb_id", round_he("adc_raw", 4).alias("adc"))
     )

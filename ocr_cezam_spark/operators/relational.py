@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
 
+from ocr_cezam_spark.functions.numeric import round_he
+
 
 def pricing_summary(lineitem: DataFrame) -> DataFrame:
     """A1 analog (credit/debit sums, releve_bancaire.py:215-222) in its
@@ -19,9 +21,9 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
+            round_he(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_he(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            round_he(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
@@ -34,7 +36,7 @@ def top_revenue_customers(orders: DataFrame, customer: DataFrame, k: int = 10) -
     """O5 top-k (tables ranked by size, releve_bancaire.py:147) + broadcast
     dim join: aggregate the fact, rank, then join the small side broadcast."""
     rev = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        round_he(F.sum("o_totalprice"), 2).alias("revenue"),
         F.count("*").alias("n_orders"),
     )
     # orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k
@@ -79,7 +81,7 @@ def running_balance(orders: DataFrame) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.row_number().over(w).cast("long").alias("rn"),
-        F.round(
+        round_he(
             F.sum("o_totalprice").over(
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
@@ -109,7 +111,7 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            round_he(F.sum("value"), 2).alias("session_value"),
         )
     )
 
@@ -145,7 +147,7 @@ def union_by_arity(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         .groupBy("src")
         .agg(
             F.count("*").alias("n_rows"),
-            F.round(F.sum("v"), 2).alias("total_v"),
+            round_he(F.sum("v"), 2).alias("total_v"),
         )
         .orderBy("src")
     )
@@ -165,7 +167,7 @@ def code_semijoin_lead(lineitem: DataFrame, spark) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.col("l_quantity").cast("int").alias("qty"),
-        F.round(F.lead("l_extendedprice").over(w), 2).alias("next_price"),
+        round_he(F.lead("l_extendedprice").over(w), 2).alias("next_price"),
     )
     return (
         with_next.join(F.broadcast(codes), with_next.qty == codes.code)
@@ -190,7 +192,7 @@ def value_bucket_join(events: DataFrame, spark) -> DataFrame:
         .groupBy("bucket_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 2).alias("avg_value"),
+            round_he(F.avg("value"), 2).alias("avg_value"),
         )
         .orderBy("bucket_id")
     )
@@ -207,8 +209,8 @@ def statement_reconciliation(orders: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("o_orderstatus") != "F", F.col("o_totalprice")).otherwise(0.0)).alias("cred"),
         F.count("*").alias("n_rows"),
     )
-    computed = F.round(opening + F.col("deb") - F.col("cred"), 2)
-    reported = F.round(
+    computed = round_he(opening + F.col("deb") - F.col("cred"), 2)
+    reported = round_he(
         opening
         + F.col("deb")
         - F.col("cred")

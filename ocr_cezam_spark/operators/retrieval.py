@@ -18,6 +18,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
+from ocr_cezam_spark.functions.numeric import round_he
+
 # BM25 constants (Robertson et al. defaults)
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -124,7 +126,7 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
         )
         .groupBy(id_col)
         .agg(
-            F.round(F.sum("part"), 4).alias("score"),
+            round_he(F.sum("part"), 4).alias("score"),
             F.count("*").alias("n_matched"),
         )
     )

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
 
+from ocr_cezam_spark.functions.numeric import round_he
+
 QUALITY_DP = 4  # quality is rounded before ordering so both engines sort alike
 
 
@@ -26,7 +28,7 @@ def doc_quality(docs: DataFrame, text_col: str = "text") -> F.Column:
     # ANSI off a NULL quality would sort into the BEST band via least()
     return F.when(
         F.size(words) > 0,
-        F.round(F.size(F.array_distinct(words)) / F.size(words), QUALITY_DP),
+        round_he(F.size(F.array_distinct(words)) / F.size(words), QUALITY_DP),
     ).otherwise(F.lit(0.0))
 
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
 
+from ocr_cezam_spark.functions.numeric import round_he
+
 
 def _to_double(col) -> F.Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -177,7 +179,7 @@ def cosine_topk(emb: DataFrame, probe_ids: list[int], k: int = 5,
         joined.select("probe_id", "nb_id", sim.alias("sim_raw"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("probe_id", "rank", "nb_id", F.round("sim_raw", 4).alias("cosine"))
+        .select("probe_id", "rank", "nb_id", round_he("sim_raw", 4).alias("cosine"))
     )
 
 
@@ -232,7 +234,7 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.99,
     return (
         pairs.select("a", "b", sim.alias("sim_raw"))
         .filter(F.col("sim_raw") >= threshold)
-        .select("a", "b", F.round("sim_raw", 4).alias("cosine"))
+        .select("a", "b", round_he("sim_raw", 4).alias("cosine"))
     )
 
 
@@ -305,7 +307,7 @@ def ivf_assign_join(emb: DataFrame, n_centroids: int = 64,
     return best.select(
         "vid",
         F.col("best.cid").alias("centroid_id"),
-        F.round(F.col("best.dist"), 3).alias("dist"),
+        round_he(F.col("best.dist"), 3).alias("dist"),
     )
 
 
@@ -360,7 +362,7 @@ def ivf_topk_join(emb: DataFrame, probe_ids: list[int], k: int = 3,
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("probe_id", "centroid_id", "rank", "nb_id",
-                F.round("sim_raw", 4).alias("cosine"))
+                round_he("sim_raw", 4).alias("cosine"))
     )
 
 
@@ -381,7 +383,7 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8,
     return base.select(
         "vid",
         best["cid"].alias("centroid_id"),
-        F.round(best["dist"], 3).alias("dist"),
+        round_he(best["dist"], 3).alias("dist"),
     )
 
 
@@ -422,7 +424,7 @@ def ivf_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("probe_id", "centroid_id", "rank", "nb_id",
-                F.round("sim_raw", 4).alias("cosine"))
+                round_he("sim_raw", 4).alias("cosine"))
     )
 
 

@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
+from ocr_cezam_spark.functions.numeric import round_he
+
 STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is")
 
 # Marker word sets for the n-gram-heuristic language ID. Purely structural
@@ -34,8 +36,8 @@ def token_quality(docs: DataFrame, id_col: str = "doc_id",
     n_tokens = F.size(words)
     n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS_EN)))
     n_chars = F.length(F.col(text_col))
-    avg_word_len = F.round((n_chars - (n_tokens - 1)) / n_tokens, 3)
-    stop_ratio = F.round(n_stop / n_tokens, 3)
+    avg_word_len = round_he((n_chars - (n_tokens - 1)) / n_tokens, 3)
+    stop_ratio = round_he(n_stop / n_tokens, 3)
     return docs.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
@@ -160,7 +162,7 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         "n_grams",
         "n_distinct_grams",
-        F.round(
+        round_he(
             1.0 - F.col("n_distinct_grams") / F.col("n_grams"), 4
         ).alias("dup_gram_frac"),
     )
@@ -176,7 +178,7 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
         .select(
             F.col(id_col),
             F.col("n_words").cast("int").alias("n_words"),
-            F.round(F.col("top_word_n") / F.col("n_words"), 4).alias("top_word_frac"),
+            round_he(F.col("top_word_n") / F.col("n_words"), 4).alias("top_word_frac"),
         )
     )
     out = gram.join(top, id_col)
@@ -202,7 +204,7 @@ def source_skew_stats(docs: DataFrame, source_col: str = "source",
             "src",
             "n_docs",
             "total_chars",
-            F.round(F.col("n_docs") / F.col("total_docs"), 4).alias("share"),
+            round_he(F.col("n_docs") / F.col("total_docs"), 4).alias("share"),
             (F.col("n_docs") > threshold * F.col("total_docs")).cast("int").alias("is_hot"),
         )
     )
@@ -229,9 +231,9 @@ def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
     )
     n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
     n_digit = F.size(F.filter(words, lambda w: w.rlike("^[0-9]+$")))
-    mean_len = F.round(total_chars / n_words, 4)
-    alpha_frac = F.round(n_alpha / n_words, 4)
-    digit_frac = F.round(n_digit / n_words, 4)
+    mean_len = round_he(total_chars / n_words, 4)
+    alpha_frac = round_he(n_alpha / n_words, 4)
+    digit_frac = round_he(n_digit / n_words, 4)
     passes = (
         mean_len.between(3.0, 10.0)
         & (alpha_frac >= 0.8)
@@ -320,7 +322,7 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
         .groupBy(id_col)
         .agg(
             F.sum("tf").alias("n_tokens"),
-            F.round(
+            round_he(
                 F.sum(F.col("tf") * F.log(F.col("freq") / F.col("total")))
                 / F.sum("tf"), 4,
             ).alias("logprob"),
@@ -375,7 +377,12 @@ def bigram_pmi(docs: DataFrame, min_count: int = 5,
         .crossJoin(F.broadcast(tot))
         .select(
             "w1", "w2", "n_ab",
-            F.round(
+            # round_he, NOT F.round: PMI lands in (-eps, 0) for weakly
+            # anti-correlated pairs, where F.round yields -0.0 in Spark but
+            # round() yields 0.0 in DuckDB (the r4 driver hash-red row);
+            # floor(x*1e4+0.5)/1e4 can never produce -0.0 and applies
+            # identical IEEE ops in both engines (functions/numeric.py)
+            round_he(
                 F.log(
                     (F.col("n_ab") / F.col("n_bi"))
                     / ((F.col("c1") / F.col("n_uni"))

@@ -32,6 +32,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
 
+from ocr_cezam_spark.functions.numeric import round_he
+
 from . import skew
 from .corpus import corpus_df
 from .operators import dedup, hnsw, multimodal, pipeline, relational, simsearch, textstats
@@ -80,9 +82,9 @@ _register(
     lambda s, d: relational.pricing_summary(_t(s, d, "lineitem")),
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
+           floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_base_price,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -98,7 +100,7 @@ _register(
     ),
     """
     WITH rev AS (
-      SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue,
+      SELECT o_custkey, floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS revenue,
              count(*) AS n_orders
       FROM orders GROUP BY o_custkey
     ), ranked AS (
@@ -132,9 +134,9 @@ _register(
     """
     SELECT o_custkey, o_orderkey,
            row_number() OVER w AS rn,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           floor((sum(o_totalprice) OVER (PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e2 + 0.5) / 1e2
              AS running_total
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -159,7 +161,7 @@ _register(
     )
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           round(sum(value), 2) AS session_value
+           floor((sum(value)) * 1e2 + 0.5) / 1e2 AS session_value
     FROM with_id GROUP BY user_id, session_id
     """,
 )
@@ -189,7 +191,7 @@ _register(
       UNION ALL
       SELECT l_orderkey, l_extendedprice, 'lineitem' FROM lineitem
     )
-    SELECT src, count(*) AS n_rows, round(sum(v), 2) AS total_v
+    SELECT src, count(*) AS n_rows, floor((sum(v)) * 1e2 + 0.5) / 1e2 AS total_v
     FROM u GROUP BY src ORDER BY src
     """,
 )
@@ -200,8 +202,8 @@ _register(
     """
     WITH w AS (
       SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty,
-             round(lead(l_extendedprice) OVER (PARTITION BY l_orderkey
-                   ORDER BY l_linenumber, l_partkey, l_extendedprice), 2)
+             floor((lead(l_extendedprice) OVER (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_extendedprice)) * 1e2 + 0.5) / 1e2
                AS next_price
       FROM lineitem
     )
@@ -218,7 +220,7 @@ _register(
       SELECT CAST(i AS INT) AS bucket_id, i * 10.0 AS lo, (i + 1) * 10.0 AS hi
       FROM (SELECT unnest(range(0, 10)) AS i)
     )
-    SELECT bucket_id, count(*) AS n_events, round(avg(value), 2) AS avg_value
+    SELECT bucket_id, count(*) AS n_events, floor((avg(value)) * 1e2 + 0.5) / 1e2 AS avg_value
     FROM events JOIN buckets ON value >= lo AND value < hi
     GROUP BY bucket_id ORDER BY bucket_id
     """,
@@ -236,13 +238,13 @@ _register(
       FROM orders GROUP BY o_custkey
     )
     SELECT o_custkey, n_rows,
-           round(1000.0 + deb - cred, 2) AS computed_closing,
-           round(1000.0 + deb - cred
-                 + CASE WHEN o_custkey % 10 = 0 THEN 7.77 ELSE 0.0 END, 2)
+           floor((1000.0 + deb - cred) * 1e2 + 0.5) / 1e2 AS computed_closing,
+           floor((1000.0 + deb - cred
+                 + CASE WHEN o_custkey % 10 = 0 THEN 7.77 ELSE 0.0 END) * 1e2 + 0.5) / 1e2
              AS reported_closing,
-           CASE WHEN round(1000.0 + deb - cred, 2)
-                   = round(1000.0 + deb - cred
-                     + CASE WHEN o_custkey % 10 = 0 THEN 7.77 ELSE 0.0 END, 2)
+           CASE WHEN floor((1000.0 + deb - cred) * 1e2 + 0.5) / 1e2
+                   = floor((1000.0 + deb - cred
+                     + CASE WHEN o_custkey % 10 = 0 THEN 7.77 ELSE 0.0 END) * 1e2 + 0.5) / 1e2
                 THEN 'Success' ELSE 'Error' END AS verdict
     FROM per_cust
     """,
@@ -275,18 +277,18 @@ _register(
     lambda s, d: _t(s, d, "lineitem")
     .groupBy("l_returnflag")
     .agg(
-        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
-        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        round_he(F.median("l_extendedprice"), 4).alias("med_price"),
+        round_he(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        round_he(F.min("l_extendedprice"), 2).alias("min_price"),
+        round_he(F.max("l_extendedprice"), 2).alias("max_price"),
     )
     .orderBy("l_returnflag"),
     """
     SELECT l_returnflag,
-           round(median(l_extendedprice), 4) AS med_price,
-           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
-           round(min(l_extendedprice), 2) AS min_price,
-           round(max(l_extendedprice), 2) AS max_price
+           floor((median(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS med_price,
+           floor((quantile_cont(l_extendedprice, 0.9)) * 1e4 + 0.5) / 1e4 AS p90_price,
+           floor((min(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS min_price,
+           floor((max(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS max_price
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
@@ -377,10 +379,10 @@ _register(
       FROM base
     )
     SELECT doc_id, n_tokens, n_stopwords,
-           round(CAST(n_stopwords AS DOUBLE) / n_tokens, 3) AS stopword_ratio,
-           round(awl_raw, 3) AS avg_word_len,
-           CAST(n_tokens >= 10 AND round(awl_raw, 3) >= 2.0
-                AND round(awl_raw, 3) <= 12.0 AS INT) AS quality_ok
+           floor((CAST(n_stopwords AS DOUBLE) / n_tokens) * 1e3 + 0.5) / 1e3 AS stopword_ratio,
+           floor((awl_raw) * 1e3 + 0.5) / 1e3 AS avg_word_len,
+           CAST(n_tokens >= 10 AND floor((awl_raw) * 1e3 + 0.5) / 1e3 >= 2.0
+                AND floor((awl_raw) * 1e3 + 0.5) / 1e3 <= 12.0 AS INT) AS quality_ok
     FROM m
     """,
 )
@@ -508,7 +510,7 @@ _register(
     ), gram AS (
       SELECT doc_id, CAST(len(sh) AS INT) AS n_grams,
              CAST(len(list_distinct(sh)) AS INT) AS n_distinct_grams,
-             round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 4)
+             floor((1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)) * 1e4 + 0.5) / 1e4
                AS dup_gram_frac
       FROM base
     ), wc AS (
@@ -517,7 +519,7 @@ _register(
       GROUP BY doc_id, w
     ), top AS (
       SELECT doc_id, CAST(sum(c) AS INT) AS n_words,
-             round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_word_frac
+             floor((CAST(max(c) AS DOUBLE) / sum(c)) * 1e4 + 0.5) / 1e4 AS top_word_frac
       FROM wc GROUP BY doc_id
     )
     SELECT g.doc_id, n_grams, n_distinct_grams, dup_gram_frac,
@@ -553,12 +555,12 @@ _register(
     ), stats AS (
       SELECT doc_id,
              CAST(len(ws) AS INT) AS n_words,
-             round(CAST(list_sum(list_transform(ws, x -> length(x)))
-                        AS DOUBLE) / len(ws), 4) AS mean_word_len,
-             round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
-                        AS DOUBLE) / len(ws), 4) AS alpha_word_frac,
-             round(CAST(len(list_filter(ws, x -> regexp_matches(x, '^[0-9]+$')))
-                        AS DOUBLE) / len(ws), 4) AS digit_word_frac
+             floor((CAST(list_sum(list_transform(ws, x -> length(x)))
+                        AS DOUBLE) / len(ws)) * 1e4 + 0.5) / 1e4 AS mean_word_len,
+             floor((CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+                        AS DOUBLE) / len(ws)) * 1e4 + 0.5) / 1e4 AS alpha_word_frac,
+             floor((CAST(len(list_filter(ws, x -> regexp_matches(x, '^[0-9]+$')))
+                        AS DOUBLE) / len(ws)) * 1e4 + 0.5) / 1e4 AS digit_word_frac
       FROM w
     )
     SELECT doc_id, n_words, mean_word_len, alpha_word_frac, digit_word_frac,
@@ -600,7 +602,7 @@ _register(
       SELECT sum(n_docs) AS total_docs FROM per
     )
     SELECT src, n_docs, CAST(total_chars AS BIGINT) AS total_chars,
-           round(CAST(n_docs AS DOUBLE) / total_docs, 4) AS share,
+           floor((CAST(n_docs AS DOUBLE) / total_docs) * 1e4 + 0.5) / 1e4 AS share,
            CAST(n_docs > 0.05 * total_docs AS INT) AS is_hot
     FROM per, t
     """,
@@ -658,7 +660,7 @@ def _digit_decimal(s: SparkSession, d: str) -> DataFrame:
         .select(
             "c_custkey",
             "digits",
-            F.round(
+            round_he(
                 F.regexp_replace(
                     F.concat(
                         F.expr("substr(digits, 1, length(digits) - 2)"),
@@ -683,9 +685,9 @@ _register(
       FROM customer
     )
     SELECT c_custkey, digits,
-           round(CAST(replace(
+           floor((CAST(replace(
              substr(digits, 1, length(digits) - 2) || ',' ||
-             substr(digits, length(digits) - 1, 2), ',', '.') AS DOUBLE), 2)
+             substr(digits, length(digits) - 1, 2), ',', '.') AS DOUBLE)) * 1e2 + 0.5) / 1e2
              AS amount
     FROM d WHERE length(digits) >= 3
     """,
@@ -996,20 +998,20 @@ _register(
     ),
     tq AS (
       SELECT doc_id, n_tokens,
-             round(CAST(n_stop AS DOUBLE) / n_tokens, 3) AS stopword_ratio,
-             round(awl_raw, 3) AS avg_word_len
+             floor((CAST(n_stop AS DOUBLE) / n_tokens) * 1e3 + 0.5) / 1e3 AS stopword_ratio,
+             floor((awl_raw) * 1e3 + 0.5) / 1e3 AS avg_word_len
       FROM tm
-      WHERE n_tokens >= 10 AND round(awl_raw, 3) >= 2.0
-            AND round(awl_raw, 3) <= 12.0
+      WHERE n_tokens >= 10 AND floor((awl_raw) * 1e3 + 0.5) / 1e3 >= 2.0
+            AND floor((awl_raw) * 1e3 + 0.5) / 1e3 <= 12.0
     ),
     gs AS (
       SELECT doc_id,
-             round(CAST(list_sum(list_transform(words, x -> length(x)))
-                        AS DOUBLE) / len(words), 4) AS mean_word_len,
-             round(CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
-                        AS DOUBLE) / len(words), 4) AS alpha_word_frac,
-             round(CAST(len(list_filter(words, x -> regexp_matches(x, '^[0-9]+$')))
-                        AS DOUBLE) / len(words), 4) AS digit_word_frac
+             floor((CAST(list_sum(list_transform(words, x -> length(x)))
+                        AS DOUBLE) / len(words)) * 1e4 + 0.5) / 1e4 AS mean_word_len,
+             floor((CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+                        AS DOUBLE) / len(words)) * 1e4 + 0.5) / 1e4 AS alpha_word_frac,
+             floor((CAST(len(list_filter(words, x -> regexp_matches(x, '^[0-9]+$')))
+                        AS DOUBLE) / len(words)) * 1e4 + 0.5) / 1e4 AS digit_word_frac
       FROM tm
     ),
     gq AS (
@@ -1154,7 +1156,7 @@ _register(
       JOIN ws wa ON f.a = wa.doc_id
       JOIN ws wb ON f.b = wb.doc_id
     )
-    SELECT a, b, round(j_raw, 4) AS jaccard FROM j WHERE j_raw >= 0.9
+    SELECT a, b, floor((j_raw) * 1e4 + 0.5) / 1e4 AS jaccard FROM j WHERE j_raw >= 0.9
     """,
 )
 
@@ -1174,7 +1176,7 @@ _register(
                / len(list_distinct(list_concat(l.wset, r.wset))) AS j_raw
       FROM base l JOIN base r ON l.grp = r.grp AND l.doc_id < r.doc_id
     )
-    SELECT a, b, round(j_raw, 4) AS jaccard FROM pairs WHERE j_raw >= 0.9
+    SELECT a, b, floor((j_raw) * 1e4 + 0.5) / 1e4 AS jaccard FROM pairs WHERE j_raw >= 0.9
     """,
 )
 
@@ -1204,7 +1206,7 @@ _register(
                                 ORDER BY sim_raw DESC, nb_id ASC) AS rank
       FROM j
     )
-    SELECT probe_id, rank, nb_id, round(sim_raw, 4) AS cosine
+    SELECT probe_id, rank, nb_id, floor((sim_raw) * 1e4 + 0.5) / 1e4 AS cosine
     FROM r WHERE rank <= 5
     """,
 )
@@ -1223,7 +1225,7 @@ _register(
                + list_dot_product(c, c) AS dist
       FROM base, cents
     ), assigned AS (
-      SELECT vid, centroid_id, round(dist, 3) AS dist,
+      SELECT vid, centroid_id, floor((dist) * 1e3 + 0.5) / 1e3 AS dist,
              row_number() OVER (PARTITION BY vid
                                 ORDER BY dist ASC, centroid_id ASC) AS rn
       FROM d
@@ -1284,7 +1286,7 @@ _register(
                   * sqrt(list_dot_product(r.va, r.va))) AS sim_raw
       FROM assigned l JOIN assigned r ON l.cid = r.cid AND l.a < r.a
     )
-    SELECT DISTINCT a, b, round(sim_raw, 4) AS cosine
+    SELECT DISTINCT a, b, floor((sim_raw) * 1e4 + 0.5) / 1e4 AS cosine
     FROM pairs WHERE sim_raw >= 0.99
     """,
 )
@@ -1351,7 +1353,7 @@ def _ann_ivf_oracle(n_centroids: int) -> str:
       FROM probes pr JOIN withc w USING (centroid_id)
       WHERE w.nb_id <> pr.probe_id
     )
-    SELECT probe_id, centroid_id, rank, nb_id, round(sim_raw, 4) AS cosine
+    SELECT probe_id, centroid_id, rank, nb_id, floor((sim_raw) * 1e4 + 0.5) / 1e4 AS cosine
     FROM (
       SELECT *, row_number() OVER (PARTITION BY probe_id
                                    ORDER BY sim_raw DESC, nb_id ASC) AS rank
@@ -1379,13 +1381,21 @@ _register(
 )
 
 # Graph ANN (NSW search inside IVF buckets, cogrouped applyInPandas):
-# approximate by construction, so no SQL oracle — rows-only driver check;
-# the recall-vs-brute-force guarantee lives in pytest
-# (test_hnsw_recall_vs_brute_force), like the other ANN recall checks.
+# approximate vs BRUTE FORCE (recall pytest), but DETERMINISTIC in its own
+# output — (sim desc, id asc) ties, medoid entry, id-sorted bucket kernel
+# — so the oracle is a frozen golden (tools/freeze_hnsw_golden.py: a pure
+# -Python twin of the routing + the same numpy bucket kernel), selected by
+# a content checksum of the embeddings table the driver handed us
+# (sf0.001 and sf0.01 both count 500 rows, so count can't key the slice).
 _register(
     "hnsw_ann_topk",
     lambda s, d: hnsw.hnsw_topk(_t(s, d, "embeddings"), _PROBES),
-    None,
+    f"""
+    SELECT probe_id, rank, nb_id, cosine
+    FROM read_parquet('{GOLDEN_DIR}/hnsw_topk.parquet')
+    WHERE emb_key = (SELECT sum(CAST(trunc(embedding[1] * 1e6) AS BIGINT))
+                     FROM embeddings)
+    """,
 )
 
 # IVF top-k with TRAINED centroids (one Lloyd step from the seeds),
@@ -1422,7 +1432,7 @@ _register(
       SELECT a0.cid, unnest(b.v) AS x, generate_subscripts(b.v, 1) AS i
       FROM a0 JOIN base b USING (nb_id)
     ), m AS (
-      SELECT cid, i, round(avg(x), 6) AS cx FROM unnested GROUP BY cid, i
+      SELECT cid, i, floor((avg(x)) * 1e6 + 0.5) / 1e6 AS cx FROM unnested GROUP BY cid, i
     ), trained AS (
       -- empty buckets keep their seed centroid
       SELECT s.cid, coalesce(t.c, s.c) AS c
@@ -1454,7 +1464,7 @@ _register(
       FROM probes pr JOIN withc w USING (centroid_id)
       WHERE w.nb_id <> pr.probe_id
     )
-    SELECT probe_id, centroid_id, rank, nb_id, round(sim_raw, 4) AS cosine
+    SELECT probe_id, centroid_id, rank, nb_id, floor((sim_raw) * 1e4 + 0.5) / 1e4 AS cosine
     FROM (
       SELECT *, row_number() OVER (PARTITION BY probe_id
                                    ORDER BY sim_raw DESC, nb_id ASC) AS rank
@@ -1522,7 +1532,7 @@ def _pq_oracle() -> str:
       {dt_joins}
       WHERE e.nb_id <> d0.probe_id
     )
-    SELECT probe_id, rank, nb_id, round(adc_raw, 4) AS adc
+    SELECT probe_id, rank, nb_id, floor((adc_raw) * 1e4 + 0.5) / 1e4 AS adc
     FROM (
       SELECT *, row_number() OVER (PARTITION BY probe_id
                                    ORDER BY adc_raw ASC, nb_id ASC) AS rank
@@ -1749,9 +1759,9 @@ def _line_stats(s: SparkSession, d: str) -> DataFrame:
     ln = F.length("l")
     return lines.groupBy("url").agg(
         F.count("*").cast("int").alias("n_lines"),
-        F.round(F.avg(ln), 4).alias("avg_line_chars"),
+        round_he(F.avg(ln), 4).alias("avg_line_chars"),
         F.max(ln).cast("int").alias("max_line_chars"),
-        F.round(F.avg((ln < 20).cast("int")), 4).alias("short_line_frac"),
+        round_he(F.avg((ln < 20).cast("int")), 4).alias("short_line_frac"),
     )
 
 
@@ -1764,9 +1774,9 @@ _register(
       FROM read_parquet('{{GOLDEN}}/extract_text_n{{N}}.parquet')
     )
     SELECT url, CAST(count(*) AS INT) AS n_lines,
-           round(avg(length(l)), 4) AS avg_line_chars,
+           floor((avg(length(l))) * 1e4 + 0.5) / 1e4 AS avg_line_chars,
            CAST(max(length(l)) AS INT) AS max_line_chars,
-           round(avg(CASE WHEN length(l) < 20 THEN 1 ELSE 0 END), 4)
+           floor((avg(CASE WHEN length(l) < 20 THEN 1 ELSE 0 END)) * 1e4 + 0.5) / 1e4
              AS short_line_frac
     FROM l GROUP BY url
     """.replace("{GOLDEN}", GOLDEN_DIR).replace("{N}", str(KERNEL_N)),
@@ -2624,7 +2634,7 @@ _register(
       FROM tf JOIN q USING (term) JOIN dft USING (term)
       JOIN dl USING (doc_id) CROSS JOIN st
     ),
-    sc AS (SELECT doc_id, round(sum(part), 4) AS score,
+    sc AS (SELECT doc_id, floor((sum(part)) * 1e4 + 0.5) / 1e4 AS score,
                   count(*) AS n_matched
            FROM parts GROUP BY doc_id)
     SELECT doc_id, score, n_matched FROM sc
@@ -2691,7 +2701,7 @@ _register(
       FROM occ o JOIN freq f USING (wh) GROUP BY o.doc_id
     )
     SELECT doc_id, n_windows, n_dup_windows,
-           round(CAST(n_dup_windows AS DOUBLE) / n_windows, 4) AS dup_frac
+           floor((CAST(n_dup_windows AS DOUBLE) / n_windows) * 1e4 + 0.5) / 1e4 AS dup_frac
     FROM roll
     """,
 )
@@ -2709,7 +2719,7 @@ _register(
       SELECT doc_id,
              CAST(len(words) AS BIGINT) AS n_tokens,
              CASE WHEN len(words) > 0 THEN
-               round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4)
+               floor((CAST(len(list_distinct(words)) AS DOUBLE) / len(words)) * 1e4 + 0.5) / 1e4
              ELSE 0.0 END AS quality
       FROM (SELECT doc_id,
                    list_filter(string_split(text, ' '), w -> w <> '') AS words
@@ -2818,7 +2828,7 @@ def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
              FROM hosts h CROSS JOIN nn
              LEFT JOIN c{k} c ON h.host = c.host)"""
     sql += f"""
-    SELECT host, round(rank, 8) AS rank FROM r{iters}
+    SELECT host, floor((rank) * 1e8 + 0.5) / 1e8 AS rank FROM r{iters}
     """
     return sql
 
@@ -2835,7 +2845,7 @@ _register(
       SELECT doc_id,
              CAST(len(words) AS BIGINT) AS n_tokens,
              CASE WHEN len(words) > 0 THEN
-               round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4)
+               floor((CAST(len(list_distinct(words)) AS DOUBLE) / len(words)) * 1e4 + 0.5) / 1e4
              ELSE 0.0 END AS quality
       FROM (SELECT doc_id,
                    list_filter(string_split(text, ' '), w -> w <> '') AS words
@@ -2882,8 +2892,8 @@ _register(
     tot AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uc) AS n_uni,
                    (SELECT CAST(sum(n_ab) AS DOUBLE) FROM bc) AS n_bi)
     SELECT bc.w1, bc.w2, bc.n_ab,
-           round(ln((bc.n_ab / tot.n_bi)
-                    / ((u1.c / tot.n_uni) * (u2.c / tot.n_uni))), 4) AS pmi
+           floor((ln((bc.n_ab / tot.n_bi)
+                    / ((u1.c / tot.n_uni) * (u2.c / tot.n_uni)))) * 1e4 + 0.5) / 1e4 AS pmi
     FROM bc
     JOIN uc u1 ON bc.w1 = u1.t
     JOIN uc u2 ON bc.w2 = u2.t
@@ -2905,7 +2915,7 @@ _register(
     uni AS (SELECT term, sum(tf) AS freq FROM tf GROUP BY term),
     tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM uni)
     SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-           round(sum(tf * ln(freq / total)) / sum(tf), 4) AS logprob
+           floor((sum(tf * ln(freq / total)) / sum(tf)) * 1e4 + 0.5) / 1e4 AS logprob
     FROM tf JOIN uni USING (term) CROSS JOIN tot
     GROUP BY doc_id
     """,

@@ -359,3 +359,32 @@ def test_data_name_robots_attribute_is_not_a_directive():
             "</body></html>")
     out = kernel.extract("http://x/dataname", page.encode(), "fr")
     assert "robots" not in out["fields"]
+
+
+def test_data_content_attribute_is_not_the_robots_content():
+    # data-content precedes the real content attribute; the directive must
+    # come from content=, never from data-content= (mirror of the
+    # data-name guard above)
+    assert kernel.robots_directives(
+        b'<meta data-content="noindex" name="robots" content="index, follow">'
+    ) == {"index", "follow"}
+    # and with NO real content attribute, no directives at all
+    assert kernel.robots_directives(
+        b'<meta data-content="noindex" name="robots">'
+    ) == set()
+
+
+def test_robots_tag_straddling_head_budget_still_matches():
+    # tag starts before byte 4096 but ends after it: the directive must
+    # not be silently dropped
+    pad = b"<html><head>" + b"<!-- x -->" * 408  # 12 + 4080 = 4092 bytes
+    page = (pad + b'<meta name="robots" content="noindex, nofollow">'
+            b"</head><body><p>hi</p></body></html>")
+    assert len(pad) < 4096 < len(pad) + 48
+    assert "noindex" in kernel.robots_directives(page)
+    # but a tag STARTING past the head budget stays out of scope
+    pad2 = b"<html><head>" + b"<!-- x -->" * 410
+    page2 = (pad2 + b'<meta name="robots" content="noindex">'
+             b"</head><body><p>hi</p></body></html>")
+    assert len(pad2) >= 4096
+    assert kernel.robots_directives(page2) == set()

@@ -287,6 +287,53 @@ def test_hnsw_recall_vs_brute_force(spark):
         assert len(got[p]) == k and p not in got[p]
 
 
+def test_hnsw_build_scales_without_bxb_matrix():
+    """The incremental NSW build must handle a large bucket in O(b·deg)
+    memory — no b×b similarity matrix. 50k unit vectors would need a
+    20 GB float64 b×b matrix; cap the process address space well below
+    that and build."""
+    import resource
+
+    import numpy as np
+
+    from ocr_cezam_spark.operators.hnsw import _build_graph
+
+    b, dim, deg = 50_000, 8, 4
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal((b, dim))
+    unit = v / np.linalg.norm(v, axis=1)[:, None]
+    ids = np.arange(b)
+    soft, hard = resource.getrlimit(resource.RLIMIT_AS)
+    resource.setrlimit(resource.RLIMIT_AS, (6 * 1024**3, hard))
+    try:
+        nbrs = _build_graph(unit, ids, deg, ef_build=8)
+    finally:
+        resource.setrlimit(resource.RLIMIT_AS, (soft, hard))
+    assert len(nbrs) == b
+    assert max(len(n) for n in nbrs) <= deg
+    # connected enough to navigate: every non-seed node has neighbors
+    assert all(len(n) >= 1 for n in nbrs[1:])
+
+
+def test_hnsw_build_deterministic_under_row_permutation():
+    """Bucket kernel output must not depend on the order pandas handed
+    the rows in (cluster partition order is not deterministic)."""
+    import numpy as np
+
+    from ocr_cezam_spark.operators.hnsw import _bucket_search
+
+    rng = np.random.default_rng(3)
+    vecs = [list(x) for x in rng.standard_normal((200, 8))]
+    ids = list(range(200))
+    probe = [list(rng.standard_normal(8))]
+    base = _bucket_search(ids, vecs, [999], probe, 8, 16)
+    perm = rng.permutation(200)
+    shuffled = _bucket_search(
+        [ids[i] for i in perm], [vecs[i] for i in perm], [999], probe, 8, 16
+    )
+    assert sorted(zip(*base)) == sorted(zip(*shuffled))
+
+
 def test_incremental_dedup_matches_anti_join_even_with_saturated_bloom(spark):
     """The bloom stage is pure pruning: with expected_items=1 the filter
     saturates (near-100% false positives), yet the exact verification

@@ -20,7 +20,14 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO))
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("OCR_CEZAM_GATE_SF_DIR", "/root/testdata/sf0.001")
+
+# Skip (don't error) on machines without the driver-generated fixture —
+# a missing parquet directory is an environment gap, not a red gate.
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR),
+    reason=f"oracle-gate fixture dir {SF_DIR} absent",
+)
 
 
 def _tail_names():

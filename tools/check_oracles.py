@@ -30,14 +30,16 @@ TABLES = (
 def norm_val(v) -> str:
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
     if isinstance(v, float):
         if v != v:
             return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        # repr, NOT int-collapse: the r4 gate collapsed -0.0 and 0.0 to
+        # "0", masking the bigram_pmi divergence the driver saw. Integral
+        # floats stay "5.0" so an int-vs-double column mismatch (or a
+        # negative-zero split) can never hash green here while red there.
         return repr(v)
-    if isinstance(v, bool):
-        return str(int(v))
     return str(v)
 
 
