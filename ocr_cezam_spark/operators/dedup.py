@@ -622,7 +622,7 @@ def dedup_clusters(docs: DataFrame, id_col: str = "doc_id",
 
 def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", max_freq: int = 1,
-                    sep: str = "\n") -> DataFrame:
+                    sep: str = "\n", keep_first: bool = False) -> DataFrame:
     """Paragraph-level exact dedup across documents (the C4/CCNet
     boilerplate-removal operator): explode each document into
     sep-delimited paragraphs, count each paragraph's global frequency,
@@ -642,7 +642,14 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
     structs, array_sort, join) — bounded by the document's own paragraph
     count. Documents whose every paragraph was boilerplate survive with
     empty text (the row count is the input row count, a lineage
-    invariant)."""
+    invariant).
+
+    ``keep_first=True`` switches to C4's actual line-dedup semantics:
+    the FIRST occurrence of an over-frequent paragraph — min (doc id,
+    position) corpus-wide — survives, later occurrences drop. One extra
+    min-of-struct in the SAME digest aggregation (no new shuffle); the
+    default drops every occurrence (self-consistent boilerplate removal,
+    oracle-checked since round 4)."""
     paras = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
@@ -652,13 +659,33 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
     # docs contain any blank line, and dropping it would strip blank-line
     # structure corpus-wide. Always kept.
     md5_empty = "d41d8cd98f00b204e9800998ecf8427e"
-    keep = (
-        paras.groupBy("ph")
-        .agg(F.count("*").alias("freq"))
-        .filter((F.col("freq") <= max_freq) | (F.col("ph") == md5_empty))
-        .select("ph")
-    )
-    kept = paras.join(keep, "ph")
+    if keep_first:
+        stats = paras.groupBy("ph").agg(
+            F.count("*").alias("freq"),
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+            ).alias("first_occ"),
+        )
+        kept = (
+            paras.join(stats, "ph")
+            .filter(
+                (F.col("freq") <= max_freq)
+                | (F.col("ph") == md5_empty)
+                | (
+                    (F.col(id_col) == F.col("first_occ.i"))
+                    & (F.col("pos") == F.col("first_occ.p"))
+                )
+            )
+            .select(id_col, "pos", "para")
+        )
+    else:
+        keep = (
+            paras.groupBy("ph")
+            .agg(F.count("*").alias("freq"))
+            .filter((F.col("freq") <= max_freq) | (F.col("ph") == md5_empty))
+            .select("ph")
+        )
+        kept = paras.join(keep, "ph")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

@@ -135,6 +135,80 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     )
 
 
+def bm25_multi_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """Weighted multi-query BM25: score THOUSANDS of queries against the
+    corpus in ONE job — a retrieval pipeline never loops ``bm25_topk``
+    per query.
+
+    ``queries``: (query_id, term, weight) — weights scale each term's
+    contribution (duplicate (query_id, term) rows sum their weights, the
+    bag-of-terms multiplicity made explicit). Per-query score(d) =
+    sum over the query's terms of weight * idf * tf-saturation, the same
+    Lucene-form idf as ``bm25_topk``.
+
+    Scale shape: the query table broadcasts (it is tiny next to the
+    corpus); df/dl/stats derive from the SAME single term_freqs
+    aggregation as the single-query path; scoring joins postings to the
+    broadcast query table — one row per (matching term, doc, query) —
+    then aggregates on (query_id, doc). Per-query top-k is a row_number
+    window on query_id, which Spark compiles to WindowGroupLimit
+    (map-side per-partition top-k before the shuffle — the
+    domain_quota_sample pattern), so no global sort and no per-query
+    jobs. Output: (query_id, rank, id, score, n_matched).
+    """
+    from pyspark.sql import Window
+
+    tf = term_freqs(docs, id_col, text_col)
+    q = (
+        queries.groupBy("query_id", "term")
+        .agg(F.sum("weight").cast("double").alias("weight"))
+    )
+    terms = q.select("term").distinct()
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    df_t = (
+        tf.join(F.broadcast(terms), "term")
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(df_t), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            F.col(id_col),
+            (
+                F.col("weight")
+                * F.log((F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf")
+                   + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("part"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(
+            round_he(F.sum("part"), 4).alias("score"),
+            F.count("*").alias("n_matched"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score", "n_matched")
+    )
+
+
 def bm25_idf(n_docs: float, df: float) -> float:
     """Reference scalar for tests."""
     return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)

@@ -950,6 +950,44 @@ _register(
     """,
 )
 
+# keep_first variant — C4's actual line-dedup semantics: the min
+# (doc_id, pos) occurrence of each over-frequent paragraph survives.
+_register(
+    "paragraph_dedup_keep_first",
+    lambda s, d: dedup.paragraph_dedup(
+        _para_docs(s, d), max_freq=5, keep_first=True
+    ),
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             text || chr(10) || 'bloc partagé '
+                  || CAST(doc_id % 100 AS VARCHAR)
+                  || chr(10) || chr(10) || '{_PARA_BOILER}' AS text
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS para,
+             unnest(range(len(string_split(text, chr(10))))) AS pos
+      FROM corpus
+    ),
+    freq AS (SELECT md5(para) AS ph, count(*) AS freq,
+                    min(ROW(doc_id, pos)) AS first_occ
+             FROM paras GROUP BY 1),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.para
+      FROM paras p JOIN freq f ON md5(p.para) = f.ph
+      WHERE f.freq <= 5 OR p.para = ''
+            OR ROW(p.doc_id, p.pos) = f.first_occ
+    )
+    SELECT c.doc_id,
+           coalesce(string_agg(k.para, chr(10) ORDER BY k.pos), '')
+             AS text_dedup
+    FROM corpus c LEFT JOIN kept k USING (doc_id)
+    GROUP BY c.doc_id
+    """,
+)
+
 # End-to-end C4-style cleaning pipeline (composition showpiece): clone
 # corpus + injected boilerplate -> paragraph dedup -> exact doc dedup on
 # cleaned text -> quality gates, all one Catalyst plan.
@@ -2642,6 +2680,63 @@ _register(
     """,
 )
 
+# Weighted multi-query BM25: 3 queries, one of them weighted, one sharing
+# terms with another — the fixture exercises weight scaling, per-query
+# isolation and the duplicate-term weight sum. ONE Spark job for all
+# queries (plan-asserted: WindowGroupLimit, no per-query loops).
+_BM25_MULTI = [
+    (1, "spark", 1.0), (1, "join", 1.0),
+    (2, "spark", 2.0), (2, "window", 0.5), (2, "window", 0.5),
+    (3, "fast", 1.0), (3, "slow", 3.0),
+]
+
+
+def _bm25_multi(s: SparkSession, d: str) -> DataFrame:
+    q = s.createDataFrame(_BM25_MULTI, "query_id long, term string, weight double")
+    return retrieval.bm25_multi_topk(_t(s, d, "documents"), q, k=5)
+
+
+_register(
+    "bm25_multi_topk",
+    _bm25_multi,
+    f"""
+    WITH tf AS ({{_TF_SQL}}),
+    qraw AS (SELECT CAST(query_id AS BIGINT) AS query_id, term, weight
+        FROM (VALUES
+        {", ".join(f"({qid}, {t!r}, {w})" for qid, t, w in _BM25_MULTI)})
+        v(query_id, term, weight)),
+    q AS (SELECT query_id, term, CAST(sum(weight) AS DOUBLE) AS weight
+          FROM qraw GROUP BY query_id, term),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl
+           FROM tf GROUP BY doc_id),
+    st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+           FROM dl),
+    dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+            FROM tf JOIN (SELECT DISTINCT term FROM q) USING (term)
+            GROUP BY term),
+    parts AS (
+      SELECT q.query_id, tf.doc_id,
+             q.weight
+             * ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1))
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS part
+      FROM tf JOIN q USING (term) JOIN dft USING (term)
+      JOIN dl USING (doc_id) CROSS JOIN st
+    ),
+    sc AS (SELECT query_id, doc_id,
+                  floor((sum(part)) * 1e4 + 0.5) / 1e4 AS score,
+                  count(*) AS n_matched
+           FROM parts GROUP BY query_id, doc_id),
+    rk AS (SELECT query_id, doc_id, score, n_matched,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC)
+                    AS rank
+           FROM sc)
+    SELECT query_id, rank, doc_id, score, n_matched
+    FROM rk WHERE rank <= 5
+    """.replace("{_TF_SQL}", _TF_SQL),
+)
+
 # window_dedup fixture: a mixed corpus so dup_frac actually discriminates
 # (an all-cloned corpus scored 1.0 everywhere): even docs are cloned
 # (dup_frac 1.0 for them and their clones), docs with doc_id % 5 == 1 get
@@ -2992,6 +3087,9 @@ _WINDOW_TAIL = [
     "multimodal_meta", "image_header_meta", "frame_sample", "line_stats",
     "dedup_exact", "lsh_jaccard_verify", "minhash_lsh_pairs",
     "simhash_buckets",
+    # rotated out when paragraph_dedup_keep_first and bm25_multi_topk
+    # entered (r04 driver-green, no rounding involved, untouched in r5):
+    "url_canonicalize", "nfc_normalize",
 ]
 
 

@@ -481,6 +481,36 @@ def test_paragraph_dedup_removes_injected_boilerplate(spark):
                    2: "", 3: "gamma a\ngamma b"}
 
 
+def test_paragraph_dedup_keep_first_retains_exactly_one_copy(spark):
+    """keep_first=True is C4's line-dedup rule: the min-(doc_id, pos)
+    occurrence of an over-frequent paragraph survives, every later one
+    drops — exactly one copy corpus-wide."""
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (0, f"alpha one\n{boiler}\nalpha two"),
+        (1, f"{boiler}\nbeta only"),
+        (2, boiler),
+        (3, f"gamma a\n{boiler}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text_dedup"]
+           for r in dedup.paragraph_dedup(
+               docs, max_freq=2, keep_first=True).collect()}
+    # first occurrence is (doc 0, pos 1): doc 0 keeps it, docs 1/2/3 lose it
+    assert got == {0: f"alpha one\n{boiler}\nalpha two", 1: "beta only",
+                   2: "", 3: "gamma a"}
+    joined = "\n".join(got.values())
+    assert joined.count(boiler) == 1
+    # and when the first occurrence is at pos 0 of a LATER doc id, the
+    # doc-id component of the min dominates: doc 1's copy survives
+    rows2 = [(1, boiler), (5, f"intro\n{boiler}")]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got2 = {r["doc_id"]: r["text_dedup"]
+            for r in dedup.paragraph_dedup(
+                docs2, max_freq=1, keep_first=True).collect()}
+    assert got2 == {1: boiler, 5: "intro"}
+
+
 def test_domain_quota_sample_caps_hot_domains(spark):
     from ocr_cezam_spark.skew import domain_quota_sample
 

@@ -166,3 +166,32 @@ def test_new_operator_plans_stay_native(spark):
     tp = (sampling.temperature_sample(docs)._jdf.queryExecution()
           .executedPlan().toString())
     assert "BroadcastHashJoin" in tp  # probs join back broadcast
+
+
+def test_bm25_multi_is_one_job_with_window_group_limit(spark):
+    """Multi-query BM25 must score every query in ONE plan: the query
+    table broadcasts, per-query top-k compiles to WindowGroupLimit
+    (map-side pruning), and nothing degenerates to a nested-loop join
+    or a Python UDF."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ocr_cezam_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common tok{i % 5} end") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    q = spark.createDataFrame(
+        [(1, "common", 1.0), (2, "tok1", 2.0), (2, "end", 0.5)],
+        "query_id long, term string, weight double",
+    )
+    df = retrieval.bm25_multi_topk(docs, q, k=3)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the query table side is broadcast, never shuffled
+    assert plan.count("BroadcastHashJoin") >= 2
+    # weighted duplicate terms summed: query 2's 'end' weight is 0.5
+    rows = {(r["query_id"], r["rank"]): r for r in df.collect()}
+    assert all(r["n_matched"] >= 1 for r in rows.values())
