@@ -37,11 +37,7 @@ def pagerank(links: DataFrame, iters: int = 3, damping: float = DAMPING,
     iterations to cut lineage — exactly the pattern already used in
     dedup.connected_components.
     """
-    hosts = (
-        links.select(F.col(src_col).alias("host"))
-        .union(links.select(F.col(dst_col).alias("host")))
-        .distinct()
-    )
+    hosts = _hosts(links, src_col, dst_col)
     n = hosts.count()  # scalar driver state: the host count only
     if n == 0:  # empty edge table: no hosts, not a ZeroDivisionError
         return links.sparkSession.createDataFrame(
@@ -63,3 +59,90 @@ def pagerank(links: DataFrame, iters: int = 3, damping: float = DAMPING,
              + damping * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
         )
     return ranks.select("host", round_he("rank", 8).alias("rank"))
+
+
+def _hosts(links: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    return (
+        links.select(F.col(src_col).alias("host"))
+        .union(links.select(F.col(dst_col).alias("host")))
+        .distinct()
+    )
+
+
+def pagerank_converged(links: DataFrame, tol: float = 1e-9,
+                       max_iters: int = 50, damping: float = DAMPING,
+                       src_col: str = "src", dst_col: str = "dst",
+                       checkpoint_every: int = 5) -> DataFrame:
+    """Production-shape PageRank: dangling-mass redistribution plus an
+    L1-convergence loop — the full model, vs the fixed-iteration
+    ``pagerank`` above (kept unrolled because its DuckDB oracle twin is a
+    fixed recursive CTE).
+
+    Dangling hosts (no out-links — crawl frontier leaves, robots-blocked
+    pages) hold rank that a plain contribution join silently destroys;
+    each iteration redistributes their summed rank uniformly, so total
+    rank mass stays 1 and converged ranks match the true eigenvector
+    (numpy power-iteration pytest with dangling nodes).
+
+    Scale shape: per iteration, one edges-to-ranks equi-join +
+    aggregation (the only |edges|-sized shuffle), then a left join back
+    to the host list carrying the OLD rank so the L1 delta and the new
+    ranks come out of the same frame. Driver state is scalars only: the
+    dangling sum (single-row aggregate over the |hosts|-sized anti-join)
+    and the delta. ``localCheckpoint`` every ``checkpoint_every``
+    iterations truncates the growing lineage (the
+    dedup.connected_components pattern) — without it the plan doubles
+    per iteration and Catalyst analysis dominates past ~15 iterations.
+
+    Returns (host, rank) with raw double ranks (callers round; the
+    convergence loop's iteration count is data-dependent, so a frozen
+    rounding here would suggest cross-engine stability this operator
+    does not promise)."""
+    hosts = _hosts(links, src_col, dst_col)
+    n = hosts.count()
+    if n == 0:
+        return links.sparkSession.createDataFrame(
+            [], "host string, rank double"
+        )
+    teleport = (1.0 - damping) / n
+    deg = links.groupBy(src_col).agg(F.count("*").alias("outd"))
+    edges = links.join(deg, src_col)
+    dangling_hosts = hosts.join(
+        deg, hosts["host"] == deg[src_col], "left_anti"
+    ).localCheckpoint()
+    ranks = hosts.select(
+        "host", F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint()
+    for i in range(max_iters):
+        dangling = (
+            ranks.join(dangling_hosts, "host")
+            .agg(F.sum("rank").alias("s"))
+            .first()["s"]
+        ) or 0.0
+        contrib = (
+            edges.join(ranks, edges[src_col] == ranks["host"])
+            .groupBy(F.col(dst_col).alias("host"))
+            .agg(F.sum(F.col("rank") / F.col("outd")).alias("s"))
+        )
+        stepped = (
+            hosts.join(contrib, "host", "left")
+            .join(ranks.withColumnRenamed("rank", "old"), "host")
+            .select(
+                "host",
+                "old",
+                (
+                    F.lit(teleport)
+                    + damping * (F.coalesce(F.col("s"), F.lit(0.0))
+                                 + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            stepped = stepped.localCheckpoint()
+        delta = stepped.agg(
+            F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d")
+        ).first()["d"]
+        ranks = stepped.select("host", "rank")
+        if delta < tol:
+            break
+    return ranks

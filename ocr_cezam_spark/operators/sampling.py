@@ -51,9 +51,11 @@ def token_budget_select(docs: DataFrame, budget: int,
          adding the band offset to the within-band running sum.
     The result equals the single-partition global window exactly, because
     band order extends (quality desc, id asc): equal qualities share a
-    band. Early bands that already exceed the budget could prune entirely
-    before the window (not done here; the filter after the window is
-    Catalyst-visible and cheap).
+    band. Bands whose starting offset already exceeds the budget are
+    pruned BEFORE the window (their rows can never satisfy cum <= budget
+    since cum >= offset): on a 100 TB corpus with a 1% budget, ~99% of
+    rows never enter the window sort. `offset <= budget` (not <) keeps
+    the edge band whose first doc may still land exactly on the budget.
 
     Output: (id, n_tokens, quality, cum_tokens) for selected docs, where
     cum_tokens is the inclusive running total in global order.
@@ -90,7 +92,8 @@ def token_budget_select(docs: DataFrame, budget: int,
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        base.withColumn(
+        base.filter(offset_expr <= F.lit(budget))  # band pruning, pre-window
+        .withColumn(
             "cum_tokens", (F.sum("n_tokens").over(w) + offset_expr)
             .cast("long"))
         .filter(F.col("cum_tokens") <= budget)

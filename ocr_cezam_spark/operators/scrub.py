@@ -86,22 +86,93 @@ MOJIBAKE_MAP: list[tuple[str, str]] = [
 ]
 
 
+def _deep_fix_text(s: str, max_passes: int = 3) -> str:
+    """ftfy-style span repair: maximal non-ASCII runs that round-trip
+    cp1252/latin-1 -> UTF-8 are re-decoded; repeated until fixpoint (each
+    pass peels ONE layer of mis-decoding, so double/triple-encoded text
+    needs multiple passes — the case the constant chain cannot express).
+    ASCII spans never change; a legitimate accented span fails the UTF-8
+    decode and passes through untouched."""
+    import re
+
+    runs = re.compile(r"[^\x00-\x7f]+")
+
+    def fix_span(m: "re.Match[str]") -> str:
+        span = m.group(0)
+        for enc in ("cp1252", "latin-1"):
+            try:
+                repaired = span.encode(enc).decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+            if repaired != span:
+                return repaired
+        return span
+
+    for _ in range(max_passes):
+        fixed = runs.sub(fix_span, s)
+        if fixed == s:
+            break
+        s = fixed
+    return s
+
+
 def fix_mojibake(docs: DataFrame, id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text", deep: bool = False) -> DataFrame:
     """Repair latin-1-decoded UTF-8 sequences via a fixed replace chain.
 
-    Returns (id, text_fixed, n_fixed) where n_fixed is the number of
-    repaired sequences — each repair shrinks the text by exactly one
-    character (2-char mojibake -> 1 accented char), so
+    Returns (id, text_fixed, n_fixed) where n_fixed is the character
+    count repaired away: each single-layer repair shrinks the text
+    (2-char mojibake -> 1 accented char), so
     n_fixed = len(before) - len(after); both engines' length() count
     characters, not bytes.
 
     Scale shape: a chain of constant replace() calls over one column —
-    pure codegen, no shuffle. A full ftfy-style repair (heuristic
-    detection of which spans are corrupted) needs bytes-level logic and
-    would go behind mapInArrow; this native chain covers the dominant
-    single-pass corruption crawls actually exhibit.
+    pure codegen, no shuffle. The native chain covers the dominant
+    single-pass corruption crawls actually exhibit and stays the
+    default.
+
+    ``deep=True`` switches to the ftfy-style escalation path for
+    multi-layer corruption (double/triple-encoded text the constant
+    chain misses): per-row span detection + iterated cp1252/latin-1 ->
+    UTF-8 round-trips, Arrow-batched through ``mapInArrow`` (bytes-level
+    logic has no native expression). Still shuffle-free — one narrow
+    Python stage instead of the codegen'd chain, so reserve it for
+    corpora where the cheap chain's n_fixed signals residual damage.
     """
+    if deep:
+        import pyarrow as pa
+
+        id_field = docs.schema[id_col]
+
+        def batches(it):
+            for rb in it:
+                tbl = pa.table(rb)
+                texts = tbl.column(text_col).to_pylist()
+                ids = tbl.column(id_col).to_pylist()
+                fixed = [None if t is None else _deep_fix_text(t)
+                         for t in texts]
+                n_fixed = [
+                    None if t is None else len(t) - len(ft)
+                    for t, ft in zip(texts, fixed)
+                ]
+                yield pa.record_batch(
+                    [
+                        pa.array(ids, type=tbl.column(id_col).type),
+                        pa.array(fixed, type=pa.string()),
+                        pa.array(n_fixed, type=pa.int32()),
+                    ],
+                    names=[id_col, "text_fixed", "n_fixed"],
+                )
+
+        from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+        out_schema = StructType([
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("text_fixed", StringType(), True),
+            StructField("n_fixed", IntegerType(), True),
+        ])
+        return docs.select(id_col, text_col).mapInArrow(batches, out_schema)
+
     text = F.col(text_col)
     fixed = text
     for bad, good in MOJIBAKE_MAP:

@@ -37,3 +37,52 @@ def test_pagerank_no_inlink_host_keeps_teleport_mass(spark):
            for r in graph.pagerank(links, iters=2).collect()}
     assert got["x"] == round(0.15 / 2, 8)
     assert got["y"] > got["x"]
+
+
+def _numpy_pagerank_dangling(edges, damping=0.85, iters=200):
+    hosts = sorted({h for e in edges for h in e})
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    outd = np.zeros(n)
+    for s, _ in edges:
+        outd[idx[s]] += 1
+    m = np.zeros((n, n))
+    for s, d in edges:
+        m[idx[d], idx[s]] += 1.0 / outd[idx[s]]
+    dangling = outd == 0
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dm = r[dangling].sum()
+        r = (1 - damping) / n + damping * (m @ r + dm / n)
+    return {h: r[idx[h]] for h in hosts}
+
+
+def test_pagerank_converged_matches_numpy_with_dangling_nodes(spark):
+    """b and e have no out-links: their rank must redistribute (total
+    mass stays 1), and the converged ranks must match the true
+    eigenvector from numpy power iteration."""
+    edges = [("a", "b"), ("a", "c"), ("c", "a"), ("c", "e"), ("d", "a")]
+    links = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["host"]: r["rank"]
+           for r in graph.pagerank_converged(links, tol=1e-12).collect()}
+    want = _numpy_pagerank_dangling(edges)
+    assert set(got) == set(want)
+    for h, w in want.items():
+        assert abs(got[h] - w) < 1e-9, (h, got[h], w)
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_pagerank_converged_stops_before_max_iters(spark):
+    """A loose tolerance converges in a handful of iterations — the loop
+    must stop early (checkpoint cadence exercised by checkpoint_every=2)
+    and still conserve mass."""
+    edges = [("a", "b"), ("b", "a"), ("b", "c")]
+    links = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["host"]: r["rank"]
+           for r in graph.pagerank_converged(
+               links, tol=1e-6, max_iters=100, checkpoint_every=2
+           ).collect()}
+    want = _numpy_pagerank_dangling(edges)
+    for h, w in want.items():
+        assert abs(got[h] - w) < 1e-5, (h, got[h], w)
+    assert abs(sum(got.values()) - 1.0) < 1e-6

@@ -90,6 +90,39 @@ def test_token_budget_equals_naive_single_partition(spark):
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
 
 
+def test_token_budget_band_pruning_filters_below_window(spark):
+    """Bands whose start offset exceeds the budget must be filtered
+    BEFORE the window (pre-sort pruning — the 100 TB lever), and the
+    pruned plan must still match the naive global window bit-for-bit
+    even at a tiny budget where most bands prune away."""
+    rows = [(i, " ".join(f"w{j}" for j in range(i % 7 + 1))
+             + (" rep rep" if i % 3 == 0 else ""))
+            for i in range(60)]
+    df = _docs(spark, rows)
+    out = sampling.token_budget_select(df, budget=25, n_buckets=8)
+    from pyspark.sql import Window
+
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    base = df.select(
+        "doc_id", F.size(words).cast("long").alias("n_tokens"),
+        sampling.doc_quality(df).alias("quality"),
+    )
+    w = (Window.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    naive = (base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+             .filter(F.col("cum_tokens") <= 25))
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in naive.collect())
+    # plan shape: the band-offset filter sits BELOW the window operator
+    # (executedPlan prints top-down, so the pre-window filter appears
+    # AFTER the Window line in the string)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    win_pos = plan.index("Window")
+    pre_filters = [i for i in range(len(plan))
+                   if plan.startswith("Filter", i) and i > win_pos]
+    assert pre_filters, "no filter below the window — band pruning lost"
+
+
 def test_temperature_sample_downweights_hot_source(spark):
     rows = [(i, "hot" if i < 400 else f"cold{i % 5}") for i in range(500)]
     df = spark.createDataFrame(rows, ["doc_id", "source"])

@@ -42,6 +42,38 @@ def test_mojibake_roundtrip_restores_original(spark):
     assert out["n_fixed"] == sum(original.count(g) for _, g in scrub.MOJIBAKE_MAP)
 
 
+def test_mojibake_deep_repairs_double_encoding(spark):
+    """Double-encoded text (UTF-8 bytes mis-decoded as latin-1 TWICE) is
+    invisible to the constant chain — its 2-char patterns don't occur —
+    but the deep (mapInArrow, ftfy-style) path peels both layers."""
+    original = "café «déjà» 25° — naïve"
+
+    def corrupt_once(s: str) -> str:
+        return s.encode("utf-8").decode("latin-1")
+
+    double = corrupt_once(corrupt_once(original))
+    assert "Ã©" not in double  # the chain's patterns are absent
+    rows = _docs(spark, [(1, double), (2, "plain ascii"), (3, None)])
+    shallow = {r["doc_id"]: r for r in scrub.fix_mojibake(rows).collect()}
+    assert shallow[1]["text_fixed"] != original  # chain can't fix it
+    deep = {r["doc_id"]: r
+            for r in scrub.fix_mojibake(rows, deep=True).collect()}
+    assert deep[1]["text_fixed"] == original
+    assert deep[1]["n_fixed"] == len(double) - len(original)
+    # ascii untouched, nulls pass through
+    assert deep[2]["text_fixed"] == "plain ascii" and deep[2]["n_fixed"] == 0
+    assert deep[3]["text_fixed"] is None
+    # single-encoded input repairs identically to the chain's repertoire
+    single = corrupt_once(original)
+    got = scrub.fix_mojibake(
+        _docs(spark, [(1, single)]), deep=True).collect()[0]
+    assert got["text_fixed"] == original
+    # idempotent: clean text is a fixpoint
+    again = scrub.fix_mojibake(
+        _docs(spark, [(1, original)]), deep=True).collect()[0]
+    assert again["text_fixed"] == original and again["n_fixed"] == 0
+
+
 def test_decontaminate_flags_only_leaked_docs(spark):
     passage = "alpha beta gamma delta epsilon zeta eta theta iota"  # 9 words
     corpus = _docs(spark, [
