@@ -65,7 +65,11 @@ HEADLINE = [
     "decontaminate",
     "window_dedup",
     "bm25_topk",
+    "bm25_multi_topk",
     "token_budget_select",
+    "paragraph_dedup_keep_first",
+    "latest_crawl_dedup",
+    "hnsw_ann_topk",
     "extract_text",
 ]
 

@@ -290,6 +290,14 @@ MAX_TREE_DEPTH = 256  # browser-like nesting cap: deeper elements flatten
 from html import unescape  # noqa: E402 — used by the fast parser below
 
 
+_LC_TAGS: dict = {}  # interned lowercase tag cache: the tag vocabulary of
+# real HTML is tiny, so one dict hit replaces a str.lower() per token AND
+# makes subsequent tag comparisons pointer-equal. Capped: custom-element
+# spam (the tag regex admits arbitrary names) must not grow executor
+# memory without bound across a long-lived worker's documents.
+_LC_TAGS_CAP = 4096
+
+
 def _fast_parse(html: str) -> _Node:
     root = _Node("#root", 0)
     stack = [root]
@@ -300,6 +308,7 @@ def _fast_parse(html: str) -> _Node:
     search = _TOKEN_RX.search
     void_tags, rawtext = _VOID_TAGS, _RAWTEXT_CLOSE
     unesc = unescape
+    lc = _LC_TAGS
     order = 0
     pos = 0
     n = len(html)
@@ -317,8 +326,18 @@ def _fast_parse(html: str) -> _Node:
         closing, tag = m.group(2, 3)
         if tag is None:  # comment / CDATA / doctype / script / style
             continue
-        tag = tag.lower()
+        t = lc.get(tag)
+        if t is None:
+            t = tag.lower()
+            if len(lc) < _LC_TAGS_CAP:
+                lc[tag] = t
+        tag = t
         if closing:  # end tag: pop to the matching open tag (tolerant)
+            if stack[-1].tag == tag and len(stack) > 1:
+                # well-nested fast path: no range scan, no slice delete
+                stack.pop()
+                top_children = stack[-1].children
+                continue
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
                     del stack[i:]

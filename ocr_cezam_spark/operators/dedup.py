@@ -35,6 +35,38 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def latest_crawl_dedup(pages: DataFrame, url_col: str = "url",
+                       ts_col: str = "warc_ts",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Recrawl dedup over a Common-Crawl-style page table: a url fetched
+    in several crawls keeps only its NEWEST snapshot (max ``ts_col``,
+    ties broken by max id — deterministic last-writer-wins).
+
+    Returns (url, id, ts, n_crawls); callers needing the winning
+    snapshot's payload semi-join back on the id — keeping the text out
+    of this aggregation means the shuffle carries (url, ts, id) triples,
+    not page bodies.
+
+    Scale shape: ONE max-of-struct hash aggregation on the url key with
+    map-side partial aggregation — a url recrawled in every monthly
+    crawl collapses to one candidate per map partition before the
+    shuffle. The row_number()-over-url window alternative funnels every
+    snapshot of a hot url through a single sorting task and is strictly
+    worse; rejected. ``ts_col`` only needs an orderable type (timestamp
+    or epoch number)."""
+    best = F.max(F.struct(F.col(ts_col), F.col(id_col)))
+    return (
+        pages.groupBy(url_col)
+        .agg(best.alias("best"), F.count("*").alias("n_crawls"))
+        .select(
+            url_col,
+            F.col(f"best.{id_col}").alias(id_col),
+            F.col(f"best.{ts_col}").alias(ts_col),
+            "n_crawls",
+        )
+    )
+
+
 def _words(text_col: str) -> F.Column:
     return F.split(F.col(text_col), " ")
 

@@ -708,6 +708,52 @@ _register(
 )
 
 
+# Recrawl dedup fixture: three synthetic monthly crawls over the document
+# id space — crawl k re-fetches every doc_id divisible by k+2, so urls
+# appear in one, two or three crawls (all three classes present). Newer
+# crawls carry strictly larger warc_ts; row ids are unique per (doc, crawl).
+def _crawl_pages(s: SparkSession, d: str) -> DataFrame:
+    doc_id = F.col("doc_id")
+    crawls = [
+        _t(s, d, "documents")
+        .filter(doc_id % (k + 2) == 0)
+        .select(
+            F.concat(
+                F.lit("https://h"), (doc_id % 50).cast("string"),
+                F.lit(".example/p"), doc_id.cast("string"),
+            ).alias("url"),
+            (F.lit(1700000000) + k * 86400 + doc_id)
+            .cast("long").alias("warc_ts"),
+            (doc_id * 10 + k).alias("doc_id"),
+        )
+        for k in range(3)
+    ]
+    return crawls[0].union(crawls[1]).union(crawls[2])
+
+
+_register(
+    "latest_crawl_dedup",
+    lambda s, d: dedup.latest_crawl_dedup(_crawl_pages(s, d)),
+    """
+    WITH pages AS (
+      SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR)
+               || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
+             1700000000 + k * 86400 + doc_id AS warc_ts,
+             doc_id * 10 + k AS doc_id
+      FROM documents, (VALUES (0), (1), (2)) crawls(k)
+      WHERE doc_id % (k + 2) = 0
+    ),
+    agg AS (
+      SELECT url, max({'ts': warc_ts, 'id': doc_id}) AS best,
+             count(*) AS n_crawls
+      FROM pages GROUP BY url
+    )
+    SELECT url, (best).id AS doc_id, (best).ts AS warc_ts, n_crawls
+    FROM agg
+    """,
+)
+
+
 def _minhash_pairs_ctes(corpus_sql: str | None = None) -> str:
     """Shared CTE chain: corpus (cloned fixture by default, any
     (doc_id, text) SQL via `corpus_sql`) -> affine-permutation minhash
@@ -3090,6 +3136,8 @@ _WINDOW_TAIL = [
     # rotated out when paragraph_dedup_keep_first and bm25_multi_topk
     # entered (r04 driver-green, no rounding involved, untouched in r5):
     "url_canonicalize", "nfc_normalize",
+    # rotated out when latest_crawl_dedup entered (same criterion):
+    "pii_redact",
 ]
 
 

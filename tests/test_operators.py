@@ -481,6 +481,19 @@ def test_paragraph_dedup_removes_injected_boilerplate(spark):
                    2: "", 3: "gamma a\ngamma b"}
 
 
+def test_latest_crawl_dedup_newest_wins_and_ties_break_by_id(spark):
+    rows = [
+        ("u1", 100, 1), ("u1", 300, 2), ("u1", 200, 3),  # newest ts wins
+        ("u2", 500, 4), ("u2", 500, 9),                  # ts tie: max id
+        ("u3", 50, 5),                                   # single crawl
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts long, doc_id long")
+    got = {r["url"]: (r["doc_id"], r["warc_ts"], r["n_crawls"])
+           for r in dedup.latest_crawl_dedup(pages).collect()}
+    assert got == {"u1": (2, 300, 3), "u2": (9, 500, 2), "u3": (5, 50, 1)}
+
+
 def test_paragraph_dedup_keep_first_retains_exactly_one_copy(spark):
     """keep_first=True is C4's line-dedup rule: the min-(doc_id, pos)
     occurrence of an over-frequent paragraph survives, every later one
