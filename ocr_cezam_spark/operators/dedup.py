@@ -622,8 +622,24 @@ def dedup_clusters(docs: DataFrame, id_col: str = "doc_id",
     counts and max ids are restored through the digest mapping. Exact-dup
     groups whose representative has no near-dup neighbor still surface as
     components (their members ARE duplicates of each other)."""
-    from pyspark.sql import functions as F  # noqa: N812
+    members = cluster_members(docs, id_col, text_col)
+    return (
+        members.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max(id_col).alias("max_member"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
 
+
+def cluster_members(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, digest, component) member-level near-dup cluster assignment —
+    the dup-heavy-safe pipeline `dedup_clusters` documents (exact
+    collapse -> LSH on representatives -> connected components -> digest
+    re-attach), exposed so downstream consumers (cluster summaries, best
+    -doc selection, cluster-keyed splits) share one definition."""
     digests = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
     groups = digests.groupBy("digest").agg(F.min(id_col).alias("keeper"))
     reps = docs.join(
@@ -641,14 +657,72 @@ def dedup_clusters(docs: DataFrame, id_col: str = "doc_id",
         "digest",
         F.coalesce("component", "keeper").alias("component"),
     )
-    members = digests.join(rep_comp, "digest")
+    return digests.join(rep_comp, "digest")
+
+
+def cluster_best_docs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Canonical-document selection per near-dup cluster: instead of the
+    min-id representative, keep each cluster's BEST member by quality
+    (lexical diversity, `sampling.doc_quality`) — the production choice
+    when near-duplicates differ in extraction quality (one copy clean,
+    another full of boilerplate).
+
+    Ties (identical quality — e.g. exact copies) break by MIN id via a
+    max-of-(quality, -id) struct, an integer negation with no float
+    negative-zero hazard. One aggregation over the member assignment —
+    no window, no second pass over text.
+
+    Output: (component, best_id, best_quality, n_members) for clusters
+    with >1 member."""
+    from .sampling import doc_quality
+
+    members = cluster_members(docs, id_col, text_col)
+    scored = members.join(
+        docs.select(F.col(id_col), doc_quality(docs, text_col).alias("q")),
+        id_col,
+    )
+    best = F.max(F.struct(F.col("q"), (-F.col(id_col)).alias("nid")))
     return (
-        members.groupBy("component")
-        .agg(
-            F.count("*").alias("n_members"),
-            F.max(id_col).alias("max_member"),
-        )
+        scored.groupBy("component")
+        .agg(best.alias("best"), F.count("*").alias("n_members"))
         .filter(F.col("n_members") > 1)
+        .select(
+            "component",
+            (-F.col("best.nid")).alias("best_id"),
+            F.col("best.q").alias("best_quality"),
+            "n_members",
+        )
+    )
+
+
+def crawl_churn(old: DataFrame, new: DataFrame, url_col: str = "url",
+                text_col: str = "text") -> DataFrame:
+    """Cross-crawl churn statistics: classify every url across two crawl
+    snapshots as added (new only), gone (old only), changed (both, text
+    digest differs) or unchanged — the frontier health metric a recrawl
+    scheduler consumes.
+
+    Scale shape: both sides project to (url, md5) BEFORE the full-outer
+    equi-join, so the shuffle carries 48-byte rows, never page bodies;
+    the classification is a codegen'd CASE and the per-class counts are
+    one 4-row hash aggregation. Output: (status, n_urls) sorted."""
+    o = old.select(F.col(url_col).alias("url"),
+                   F.md5(F.col(text_col)).alias("od"))
+    n = new.select(F.col(url_col).alias("url"),
+                   F.md5(F.col(text_col)).alias("nd"))
+    status = (
+        F.when(F.col("od").isNull(), "added")
+        .when(F.col("nd").isNull(), "gone")
+        .when(F.col("od") == F.col("nd"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        o.join(n, "url", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_urls"))
+        .orderBy("status")
     )
 
 

@@ -145,6 +145,52 @@ def temperature_sample(docs: DataFrame, alpha: float = 0.7,
     )
 
 
+def target_mix_sample(docs: DataFrame, targets: DataFrame,
+                      id_col: str = "doc_id",
+                      source_col: str = "source",
+                      weight_col: str = "target_frac") -> DataFrame:
+    """Sample the corpus DOWN to an arbitrary target domain mixture
+    (DoReMi/Pile-style domain weights) — the generalization of
+    ``temperature_sample`` from the n^alpha family to explicit weights.
+
+    ``targets``: (source, target_frac) with positive fractions. The
+    largest achievable corpus T satisfies every source's capacity
+    (T * t_s <= n_s), so T = min_s n_s / t_s and source s keeps
+    p_s = T * t_s / n_s of its docs — the binding (scarcest relative to
+    its target) source keeps everything, the rest downsample to match
+    the mixture in expectation. Sources absent from ``targets`` drop
+    entirely (weight zero).
+
+    Membership is the same deterministic md5 u-value as
+    temperature_sample — reproducible across runs and engines.
+
+    Scale shape: per-source counts are one hash aggregation; T is a
+    single-row broadcast (bounded driver-free state); p_s joins back by
+    source broadcast — the doc table itself never shuffles.
+    """
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("n_s"))
+    cap = counts.join(F.broadcast(targets), source_col)
+    t_row = cap.agg(
+        F.min(F.col("n_s") / F.col(weight_col)).alias("t_max")
+    )
+    probs = cap.crossJoin(F.broadcast(t_row)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.col("t_max") * F.col(weight_col) / F.col("n_s"),
+        ).alias("p_keep"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+               16, 10).cast("double") / F.lit(float(2 ** 32))
+    )
+    return (
+        docs.join(F.broadcast(probs), source_col)
+        .filter(u < F.col("p_keep"))
+        .select(id_col, source_col)
+    )
+
+
 def train_val_test_split(docs: DataFrame, val_frac: float = 0.05,
                          test_frac: float = 0.05,
                          id_col: str = "doc_id",

@@ -754,6 +754,95 @@ _register(
 )
 
 
+# Cross-crawl churn fixture: old = every doc; new = docs not divisible by
+# 7 (gone), with text edited for multiples of 5 (changed) and a batch of
+# brand-new urls for multiples of 9 (added); everything else unchanged.
+def _churn_crawls(s: SparkSession, d: str):
+    base = _t(s, d, "documents")
+    doc_id = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (doc_id % 50).cast("string"),
+        F.lit(".example/p"), doc_id.cast("string"),
+    )
+    old = base.select(url.alias("url"), "text")
+    new = base.filter(doc_id % 7 != 0).select(
+        url.alias("url"),
+        F.when(doc_id % 5 == 0, F.concat("text", F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        base.filter(doc_id % 9 == 0).select(
+            F.concat(F.lit("https://new.example/p"),
+                     doc_id.cast("string")).alias("url"),
+            "text",
+        )
+    )
+    return old, new
+
+
+_register(
+    "crawl_churn",
+    lambda s, d: dedup.crawl_churn(*_churn_crawls(s, d)),
+    """
+    WITH old AS (
+      SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR)
+               || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
+             md5(text) AS od
+      FROM documents
+    ),
+    new AS (
+      SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR)
+               || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                      ELSE text END) AS nd
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT 'https://new.example/p' || CAST(doc_id AS VARCHAR) AS url,
+             md5(text) AS nd
+      FROM documents WHERE doc_id % 9 = 0
+    )
+    SELECT CASE WHEN od IS NULL THEN 'added'
+                WHEN nd IS NULL THEN 'gone'
+                WHEN od = nd THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           count(*) AS n_urls
+    FROM old FULL OUTER JOIN new USING (url)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+# Target-mixture resampling: explicit domain weights over three of the
+# twenty uniform sources — src0 is the binding source (keeps all 25),
+# src1/src2 halve, the other 17 sources drop (absent from the target).
+_MIX_TARGETS = [("src0", 0.5), ("src1", 0.25), ("src2", 0.25)]
+
+
+def _target_mix(s: SparkSession, d: str) -> DataFrame:
+    targets = s.createDataFrame(_MIX_TARGETS, "source string, target_frac double")
+    return sampling.target_mix_sample(_t(s, d, "documents"), targets)
+
+
+_register(
+    "target_mix_sample",
+    _target_mix,
+    f"""
+    WITH targets AS (SELECT * FROM (VALUES
+        {", ".join(f"({src!r}, {w})" for src, w in _MIX_TARGETS)})
+        v(source, target_frac)),
+    counts AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+    cap AS (SELECT c.source, c.n_s, t.target_frac
+            FROM counts c JOIN targets t USING (source)),
+    tmax AS (SELECT min(n_s / target_frac) AS t_max FROM cap),
+    probs AS (SELECT source,
+                     least(1.0, t_max * target_frac / n_s) AS p_keep
+              FROM cap CROSS JOIN tmax)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN probs p USING (source)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0 < p.p_keep
+    """,
+)
+
+
 def _minhash_pairs_ctes(corpus_sql: str | None = None) -> str:
     """Shared CTE chain: corpus (cloned fixture by default, any
     (doc_id, text) SQL via `corpus_sql`) -> affine-permutation minhash
@@ -933,6 +1022,58 @@ _register(
     comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
     SELECT component, count(*) AS n_members, max(node) AS max_member
     FROM comp GROUP BY component HAVING count(*) > 1
+    """,
+)
+
+# Canonical-doc selection per near-dup cluster: best member by lexical-
+# diversity quality, ties to MIN id (integer negation — no float -0.0
+# hazard). Same recursive-CTE clustering as dedup_clusters plus the
+# doc_quality twin.
+_register(
+    "cluster_best_docs",
+    lambda s, d: dedup.cluster_best_docs(_cloned_docs(s, d)),
+    f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    fpairs AS (SELECT a, b FROM cand WHERE sim_est >= 0.5),
+    edges AS (
+      SELECT a AS x, b AS y FROM fpairs
+      UNION SELECT b, a FROM fpairs
+    ),
+    nodes AS (SELECT DISTINCT x AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT reach.node, e.y FROM reach JOIN edges e ON reach.r = e.x
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    digests AS (SELECT doc_id, md5(text) AS digest FROM corpus),
+    grp AS (SELECT digest, min(doc_id) AS keeper FROM digests GROUP BY digest),
+    rep_comp AS (
+      SELECT g.digest, coalesce(c.component, g.keeper) AS component
+      FROM grp g LEFT JOIN comp c ON g.keeper = c.node
+    ),
+    members AS (
+      SELECT d.doc_id, r.component FROM digests d JOIN rep_comp r USING (digest)
+    ),
+    q AS (
+      SELECT doc_id,
+             CASE WHEN len(words) > 0 THEN
+               floor((CAST(len(list_distinct(words)) AS DOUBLE) / len(words))
+                     * 1e4 + 0.5) / 1e4
+             ELSE 0.0 END AS quality
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS words
+            FROM corpus)
+    ),
+    sc AS (SELECT m.component, m.doc_id, q.quality
+           FROM members m JOIN q USING (doc_id)),
+    agg AS (SELECT component,
+                   max({{'q': quality, 'nid': -doc_id}}) AS best,
+                   count(*) AS n_members
+            FROM sc GROUP BY component)
+    SELECT component, -((best).nid) AS best_id, (best).q AS best_quality,
+           n_members
+    FROM agg WHERE n_members > 1
     """,
 )
 
@@ -3117,27 +3258,32 @@ _register(
 # continuously verified by tools/check_oracles.py (same hash discipline).
 # ---------------------------------------------------------------------------
 _WINDOW_TAIL = [
-    "pricing_summary", "top_revenue_customers", "region_rollup",
-    "running_balance", "sessionize", "event_transitions", "union_by_arity",
-    "code_semijoin_lead", "value_bucket_join", "statement_reconciliation",
-    "line_grouping", "percentile_stats", "cube_counts", "distinct_users",
-    "mrz_fixed_slice", "digit_decimal_parse", "token_quality", "langid",
-    "fingerprint", "hash_embedding", "subtoken_count",
-    # rotated out when the four scrub queries entered the window (all four
-    # below were driver-green in r03 and unchanged since):
-    "repetition_stats", "gopher_quality", "source_skew_stats",
-    "byte_histogram",
-    # rotated out when retrieval/window-dedup/sampling entered (same
-    # criterion — r03 driver-green, untouched this round):
-    "ngram_jaccard", "cosine_topk", "ivf_bucket_stats",
-    "multimodal_meta", "image_header_meta", "frame_sample", "line_stats",
-    "dedup_exact", "lsh_jaccard_verify", "minhash_lsh_pairs",
-    "simhash_buckets",
-    # rotated out when paragraph_dedup_keep_first and bm25_multi_topk
-    # entered (r04 driver-green, no rounding involved, untouched in r5):
-    "url_canonicalize", "nfc_normalize",
-    # rotated out when latest_crawl_dedup entered (same criterion):
-    "pii_redact",
+    # r5 rotation rule, same as always: anything BEHAVIOR-CHANGED this
+    # round sits in the window; only r4-driver-green queries untouched in
+    # r5 rotate out. The engine-identical rounding conversion (round_he /
+    # floor-form SQL) touched 18 former tail queries — they rotated back
+    # IN; the 18 below rotated out in their place (r4-green, zero r5
+    # diff: no rounding, date/solde/dedup-cluster code untouched). All
+    # tail queries stay enforced by tests/test_oracle_gate.py at sf0.001
+    # on every pytest run plus tools/check_oracles.py at sf0.01.
+    "region_rollup",  # already floor-form since r4 (cad53d2) — unchanged
+    "union_by_arity", "code_semijoin_lead", "line_grouping",
+    "cube_counts", "distinct_users", "mrz_fixed_slice", "langid",
+    "fingerprint", "hash_embedding", "subtoken_count", "byte_histogram",
+    "multimodal_meta", "image_header_meta", "frame_sample",
+    "dedup_exact", "minhash_lsh_pairs", "simhash_buckets",
+    "url_canonicalize", "nfc_normalize", "pii_redact",
+    # rotated out in the r5 rounding swap (r4-driver-green, untouched):
+    "doc_kind", "key_value_fields", "id_number_12", "tax_notice_date",
+    "assemble_tables", "cells_schema_groups", "zone_projection",
+    "bank_id_broadcast_join", "incremental_dedup", "decontaminate",
+    "url_blocklist_filter", "inverted_index", "train_val_test_split",
+    "temperature_sample", "sequence_pack", "dedup_clusters",
+    "french_date_roundtrip", "date_field_native",
+    # rotated out when cluster_best_docs / crawl_churn / target_mix_sample
+    # entered (r4-driver-green; their driver-query paths untouched in r5 —
+    # fix_mojibake's driver query runs the unchanged default chain):
+    "fix_mojibake", "solde_native", "pivot_wide_statements",
 ]
 
 

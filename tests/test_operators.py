@@ -5,7 +5,9 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F  # noqa: N812
 
-from ocr_cezam_spark.operators import dedup, multimodal, relational, simsearch, textstats
+from ocr_cezam_spark.operators import (
+    dedup, multimodal, relational, sampling, simsearch, textstats,
+)
 
 
 def test_sessionize_gap_clustering(spark):
@@ -479,6 +481,61 @@ def test_paragraph_dedup_removes_injected_boilerplate(spark):
            for r in dedup.paragraph_dedup(docs, max_freq=2).collect()}
     assert got == {0: "alpha one\nalpha two", 1: "beta only",
                    2: "", 3: "gamma a\ngamma b"}
+
+
+def test_crawl_churn_classifies_all_four_states(spark):
+    old = spark.createDataFrame(
+        [("u1", "same"), ("u2", "before"), ("u3", "bye")],
+        "url string, text string")
+    new = spark.createDataFrame(
+        [("u1", "same"), ("u2", "after"), ("u4", "hi")],
+        "url string, text string")
+    got = {r["status"]: r["n_urls"]
+           for r in dedup.crawl_churn(old, new).collect()}
+    assert got == {"added": 1, "changed": 1, "gone": 1, "unchanged": 1}
+
+
+def test_cluster_best_docs_picks_highest_quality_member(spark):
+    # docs 1/2 are near-duplicates; doc 1 (lower id) is repetitive (low
+    # lexical diversity), doc 2 is the clean copy — quality must beat id
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " spam spam spam"),   # near-dup of 2, repetitive tail
+        (2, base + " lambda mu nu"),     # near-dup of 1, all-distinct
+        (50, "completely different text about other things entirely here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["component"]: r for r in dedup.cluster_best_docs(docs).collect()}
+    assert len(got) == 1
+    (comp,) = got
+    assert got[comp]["best_id"] == 2 and got[comp]["n_members"] == 2
+    # exact copies (equal quality) tie to the MIN id
+    dup_rows = [(7, base), (3, base), (9, base)]
+    dup = spark.createDataFrame(dup_rows, "doc_id long, text string")
+    best = dedup.cluster_best_docs(dup).collect()
+    assert len(best) == 1 and best[0]["best_id"] == 3
+    assert best[0]["n_members"] == 3
+
+
+def test_target_mix_sample_matches_target_mixture(spark):
+    rows = [(i, f"src{i % 4}") for i in range(400)]  # 100 docs per source
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    targets = spark.createDataFrame(
+        [("src0", 0.6), ("src1", 0.2), ("src2", 0.2)],
+        "source string, target_frac double")
+    kept = sampling.target_mix_sample(docs, targets)
+    by_src = {r["source"]: r["count"]
+              for r in kept.groupBy("source").count().collect()}
+    # T = min(100/0.6, 100/0.2) = 166.7 -> src0 binding: keeps all 100
+    assert by_src["src0"] == 100
+    # src1/src2 keep ~ T*0.2 = 33 in expectation (deterministic hash set)
+    for s in ("src1", "src2"):
+        assert 20 <= by_src[s] <= 47, by_src
+    # src3 absent from targets: dropped entirely
+    assert "src3" not in by_src
+    # deterministic: re-run returns the identical membership
+    assert sorted(map(tuple, kept.collect())) == \
+        sorted(map(tuple, sampling.target_mix_sample(docs, targets).collect()))
 
 
 def test_latest_crawl_dedup_newest_wins_and_ties_break_by_id(spark):
