@@ -37,8 +37,16 @@ def round_he(col: Column | str, k: int) -> Column:
     """
     if isinstance(col, str):
         col = F.col(col)
+    col = col.cast("double")
     f = F.lit(float(10 ** k))
-    return F.floor(col * f + F.lit(0.5)) / f
+    # Non-finite guard: Spark's floor(DOUBLE) returns LONG, which maps
+    # NaN -> 0 and +/-Inf -> +/-Long.MAX — a plausible-looking corrupt
+    # value — while DuckDB's floor keeps NaN/Inf. Propagate non-finite
+    # inputs unchanged (matching DuckDB and the old F.round) and apply
+    # the floor form only to finite values. NULL falls through the
+    # otherwise branch as NULL.
+    finite = ~F.isnan(col) & (F.abs(col) != F.lit(float("inf")))
+    return F.when(finite, F.floor(col * f + F.lit(0.5)) / f).otherwise(col)
 
 
 def sql_round_he(expr: str, k: int) -> str:

@@ -703,18 +703,35 @@ def crawl_churn(old: DataFrame, new: DataFrame, url_col: str = "url",
     digest differs) or unchanged — the frontier health metric a recrawl
     scheduler consumes.
 
-    Scale shape: both sides project to (url, md5) BEFORE the full-outer
-    equi-join, so the shuffle carries 48-byte rows, never page bodies;
-    the classification is a codegen'd CASE and the per-class counts are
-    one 4-row hash aggregation. Output: (status, n_urls) sorted."""
-    o = old.select(F.col(url_col).alias("url"),
+    Scale shape: both sides aggregate to ONE (url, digest) row BEFORE the
+    full-outer equi-join (duplicate fetches of a url within a snapshot —
+    the condition latest_crawl_dedup exists for — must not multiply join
+    output; min(digest) is the deterministic per-snapshot content pick),
+    so the shuffle carries 48-byte rows, never page bodies, and n_urls
+    counts URLS. Presence is tracked by explicit flags, not digest
+    nullness — a NULL text (extraction-failure rows) still marks its url
+    present, and two NULL-text snapshots compare as unchanged via
+    null-safe equality. The classification is a codegen'd CASE and the
+    per-class counts are one 4-row hash aggregation.
+    Output: (status, n_urls) sorted."""
+    o = (
+        old.select(F.col(url_col).alias("url"),
                    F.md5(F.col(text_col)).alias("od"))
-    n = new.select(F.col(url_col).alias("url"),
+        .groupBy("url")
+        .agg(F.min("od").alias("od"))
+        .withColumn("in_old", F.lit(1))
+    )
+    n = (
+        new.select(F.col(url_col).alias("url"),
                    F.md5(F.col(text_col)).alias("nd"))
+        .groupBy("url")
+        .agg(F.min("nd").alias("nd"))
+        .withColumn("in_new", F.lit(1))
+    )
     status = (
-        F.when(F.col("od").isNull(), "added")
-        .when(F.col("nd").isNull(), "gone")
-        .when(F.col("od") == F.col("nd"), "unchanged")
+        F.when(F.col("in_old").isNull(), "added")
+        .when(F.col("in_new").isNull(), "gone")
+        .when(F.col("od").eqNullSafe(F.col("nd")), "unchanged")
         .otherwise("changed")
     )
     return (

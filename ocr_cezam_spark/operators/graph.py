@@ -72,7 +72,7 @@ def _hosts(links: DataFrame, src_col: str, dst_col: str) -> DataFrame:
 def pagerank_converged(links: DataFrame, tol: float = 1e-9,
                        max_iters: int = 50, damping: float = DAMPING,
                        src_col: str = "src", dst_col: str = "dst",
-                       checkpoint_every: int = 5) -> DataFrame:
+                       checkpoint_every: int = 1) -> DataFrame:
     """Production-shape PageRank: dangling-mass redistribution plus an
     L1-convergence loop — the full model, vs the fixed-iteration
     ``pagerank`` above (kept unrolled because its DuckDB oracle twin is a
@@ -89,10 +89,16 @@ def pagerank_converged(links: DataFrame, tol: float = 1e-9,
     to the host list carrying the OLD rank so the L1 delta and the new
     ranks come out of the same frame. Driver state is scalars only: the
     dangling sum (single-row aggregate over the |hosts|-sized anti-join)
-    and the delta. ``localCheckpoint`` every ``checkpoint_every``
-    iterations truncates the growing lineage (the
-    dedup.connected_components pattern) — without it the plan doubles
-    per iteration and Catalyst analysis dominates past ~15 iterations.
+    and the delta. ``localCheckpoint`` truncates the growing lineage
+    (the dedup.connected_components pattern) — without it the plan
+    doubles per iteration and Catalyst analysis dominates past ~15
+    iterations. Default cadence is EVERY iteration: each iteration runs
+    two driver actions (dangling sum, delta) plus feeds the next, so
+    un-materialized lineage would re-execute the |edges|-sized join+agg
+    up to checkpoint_every extra times per window — materializing the
+    |hosts|-sized frame once per iteration is strictly cheaper
+    (review-pass fix; checkpoint_every > 1 only pays if the scalar
+    actions are fused out).
 
     Returns (host, rank) with raw double ranks (callers round; the
     convergence loop's iteration count is data-dependent, so a frozen

@@ -86,18 +86,23 @@ MOJIBAKE_MAP: list[tuple[str, str]] = [
 ]
 
 
+import re as _re
+
+_NON_ASCII_RUNS = _re.compile(r"[^\x00-\x7f]+")
+
+
 def _deep_fix_text(s: str, max_passes: int = 3) -> str:
     """ftfy-style span repair: maximal non-ASCII runs that round-trip
     cp1252/latin-1 -> UTF-8 are re-decoded; repeated until fixpoint (each
     pass peels ONE layer of mis-decoding, so double/triple-encoded text
     needs multiple passes — the case the constant chain cannot express).
     ASCII spans never change; a legitimate accented span fails the UTF-8
-    decode and passes through untouched."""
-    import re
+    decode and passes through untouched. Called once per ROW in the
+    mapInArrow batch loop — the pattern is module-level, nothing
+    compiles per call."""
+    runs = _NON_ASCII_RUNS
 
-    runs = re.compile(r"[^\x00-\x7f]+")
-
-    def fix_span(m: "re.Match[str]") -> str:
+    def fix_span(m) -> str:
         span = m.group(0)
         for enc in ("cp1252", "latin-1"):
             try:

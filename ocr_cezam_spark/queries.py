@@ -783,13 +783,13 @@ _register(
     "crawl_churn",
     lambda s, d: dedup.crawl_churn(*_churn_crawls(s, d)),
     """
-    WITH old AS (
+    WITH old_rows AS (
       SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR)
                || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
              md5(text) AS od
       FROM documents
     ),
-    new AS (
+    new_rows AS (
       SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR)
                || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
              md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
@@ -799,10 +799,14 @@ _register(
       SELECT 'https://new.example/p' || CAST(doc_id AS VARCHAR) AS url,
              md5(text) AS nd
       FROM documents WHERE doc_id % 9 = 0
-    )
-    SELECT CASE WHEN od IS NULL THEN 'added'
-                WHEN nd IS NULL THEN 'gone'
-                WHEN od = nd THEN 'unchanged'
+    ),
+    old AS (SELECT url, min(od) AS od, 1 AS in_old
+            FROM old_rows GROUP BY url),
+    new AS (SELECT url, min(nd) AS nd, 1 AS in_new
+            FROM new_rows GROUP BY url)
+    SELECT CASE WHEN in_old IS NULL THEN 'added'
+                WHEN in_new IS NULL THEN 'gone'
+                WHEN od IS NOT DISTINCT FROM nd THEN 'unchanged'
                 ELSE 'changed' END AS status,
            count(*) AS n_urls
     FROM old FULL OUTER JOIN new USING (url)
@@ -3267,7 +3271,10 @@ _WINDOW_TAIL = [
     # tail queries stay enforced by tests/test_oracle_gate.py at sf0.001
     # on every pytest run plus tools/check_oracles.py at sf0.01.
     "region_rollup",  # already floor-form since r4 (cad53d2) — unchanged
-    "union_by_arity", "code_semijoin_lead", "line_grouping",
+    # event_transitions and simhash_dedup_first carry NO rounded column —
+    # review pass corrected the first rotation draft, which had swapped
+    # them with the genuinely-converted union_by_arity/code_semijoin_lead
+    "event_transitions", "simhash_dedup_first", "line_grouping",
     "cube_counts", "distinct_users", "mrz_fixed_slice", "langid",
     "fingerprint", "hash_embedding", "subtoken_count", "byte_histogram",
     "multimodal_meta", "image_header_meta", "frame_sample",

@@ -495,6 +495,41 @@ def test_crawl_churn_classifies_all_four_states(spark):
     assert got == {"added": 1, "changed": 1, "gone": 1, "unchanged": 1}
 
 
+def test_crawl_churn_null_text_and_duplicate_fetches(spark):
+    """NULL extraction text must still mark a url PRESENT (null digest is
+    not absence), two NULL snapshots compare unchanged, and duplicate
+    fetches of a url within one snapshot must not multiply counts."""
+    old = spark.createDataFrame(
+        [("u1", None), ("u2", None), ("u3", "x"), ("u3", "x")],
+        "url string, text string")
+    new = spark.createDataFrame(
+        [("u1", None), ("u2", "recovered"), ("u3", "x")],
+        "url string, text string")
+    got = {r["status"]: r["n_urls"]
+           for r in dedup.crawl_churn(old, new).collect()}
+    # u1: null->null unchanged; u2: null->text changed (NOT added);
+    # u3: duplicate fetches collapse to one unchanged url
+    assert got == {"changed": 1, "unchanged": 2}
+
+
+def test_round_he_propagates_non_finite(spark):
+    """NaN/Inf must pass through round_he unchanged (Spark floor(double)
+    is LONG, which would silently map NaN to 0.0 — a plausible-looking
+    corrupt score — while DuckDB keeps NaN)."""
+    from ocr_cezam_spark.functions.numeric import round_he
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, float("inf")), (3, -float("inf")),
+         (4, None), (5, 1.23456)],
+        "i long, x double",
+    ).select("i", round_he("x", 2).alias("r"))
+    got = {r["i"]: r["r"] for r in df.collect()}
+    assert got[1] != got[1]  # NaN
+    assert got[2] == float("inf") and got[3] == -float("inf")
+    assert got[4] is None
+    assert got[5] == 1.23
+
+
 def test_cluster_best_docs_picks_highest_quality_member(spark):
     # docs 1/2 are near-duplicates; doc 1 (lower id) is repetitive (low
     # lexical diversity), doc 2 is the clean copy — quality must beat id

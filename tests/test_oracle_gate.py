@@ -20,14 +20,27 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO))
 
-SF_DIR = os.environ.get("OCR_CEZAM_GATE_SF_DIR", "/root/testdata/sf0.001")
+_ENV_DIR = os.environ.get("OCR_CEZAM_GATE_SF_DIR")
+SF_DIR = _ENV_DIR or "/root/testdata/sf0.001"
 
-# Skip (don't error) on machines without the driver-generated fixture —
-# a missing parquet directory is an environment gap, not a red gate.
+# Skip (don't error) ONLY when the DEFAULT fixture dir is absent and no
+# explicit override was given — a dev machine without the driver-generated
+# parquet. An explicitly-set OCR_CEZAM_GATE_SF_DIR that doesn't exist is a
+# configuration BUG and must fail loudly (a typo'd env var silently
+# skipping all 42 tail oracle checks would green the suite with the whole
+# cross-engine gate disabled).
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(SF_DIR),
-    reason=f"oracle-gate fixture dir {SF_DIR} absent",
+    _ENV_DIR is None and not os.path.isdir(SF_DIR),
+    reason=f"oracle-gate default fixture dir {SF_DIR} absent",
 )
+
+
+def test_gate_fixture_dir_exists():
+    """Fails (never skips) when an explicit gate dir is set but missing."""
+    assert os.path.isdir(SF_DIR), (
+        f"OCR_CEZAM_GATE_SF_DIR={SF_DIR} does not exist — the tail oracle "
+        "gate would be silently disabled"
+    )
 
 
 def _tail_names():
