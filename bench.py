@@ -69,6 +69,8 @@ HEADLINE = [
     "token_budget_select",
     "paragraph_dedup_keep_first",
     "latest_crawl_dedup",
+    "crawl_churn",
+    "target_mix_sample",
     "hnsw_ann_topk",
     "extract_text",
 ]
