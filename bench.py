@@ -73,6 +73,7 @@ HEADLINE = [
     "target_mix_sample",
     "hnsw_ann_topk",
     "extract_text",
+    "extract_links",
 ]
 
 

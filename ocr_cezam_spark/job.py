@@ -138,6 +138,7 @@ def run_job(
         ("cells", X.extracted_cells(out)),
         ("statuses", X.extracted_statuses(out)),
         ("codes", X.extracted_codes(out)),
+        ("links", X.extracted_links(out)),
         ("digests", digests),
         ("metrics", X.partition_metrics(out)),
         ("extracted", ext),

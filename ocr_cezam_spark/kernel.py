@@ -1119,6 +1119,45 @@ def pdf_text(data: bytes) -> str:
     return "\n".join(t for t in (_norm(l) for l in lines) if t)
 
 
+# Anchor targets: the crawl-frontier output (hrefs feed recrawl queues,
+# the host link graph for PageRank, and URL-canonicalization dedup
+# downstream). (?<![-\w]) guards the attribute start — data-href is a
+# template attribute, not a link (same rule as the robots meta regexes).
+_A_HREF_RX = re.compile(
+    r"""<a\b[^>]*?(?<![-\w])href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+    re.IGNORECASE | re.DOTALL,
+)
+_SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "about:")
+
+
+def extract_links(base_url: str, page: str) -> list[str]:
+    """Fetchable anchor targets in document order, entity-decoded and
+    resolved against the page url (RFC 3986 via urljoin): absolute
+    http(s) kept, protocol-relative and path-relative resolved,
+    fragment-only and non-fetchable schemes (javascript/mailto/tel/
+    data/about) skipped. Duplicates are kept — positions matter to
+    consumers; dedup is the downstream operator's job."""
+    from urllib.parse import urljoin
+
+    out: list[str] = []
+    for m in _A_HREF_RX.finditer(page):
+        raw = (m.group(2) or m.group(3) or m.group(4) or "").strip()
+        if "&" in raw:
+            raw = unescape(raw)
+        if not raw or raw.startswith("#"):
+            continue
+        low = raw.lower()
+        if low.startswith(_SKIP_SCHEMES):
+            continue
+        try:
+            resolved = urljoin(base_url, raw)
+        except ValueError:
+            continue
+        if resolved.startswith(("http://", "https://")):
+            out.append(resolved)
+    return out
+
+
 def extract(url: str, html: bytes, lang: str) -> dict:
     """Extract main text, fields, table cells, statuses from one page.
 
@@ -1136,6 +1175,7 @@ def extract(url: str, html: bytes, lang: str) -> dict:
             "cells": [],
             "statuses": [],
             "codes": [],
+            "links": [],
             "error": f"{type(exc).__name__}: {exc}"[:500],
         }
 
@@ -1243,7 +1283,8 @@ def _extract_inner(url: str, html: bytes, lang: str) -> dict:
     pdf_at = html.find(_PDF_MAGIC, 0, 1024 + len(_PDF_MAGIC) - 1)
     if pdf_at >= 0 and b"<" not in html[:pdf_at]:
         return _analyze(url, pdf_text(html[pdf_at:]), [], [])
-    root = _parse_tree(decode_html(html))
+    page = decode_html(html)
+    root = _parse_tree(page)
 
     # 1. Main-content container scoring (boilerplate strip + P4 analog).
     candidates: list = []
@@ -1289,6 +1330,10 @@ def _extract_inner(url: str, html: bytes, lang: str) -> dict:
                 cells.append((t_id, r_id, c_id, value))
 
     res = _analyze(url, text, table_rows, cells)
+    # Crawl-frontier output: every fetchable anchor target on the page
+    # (whole DOM, not just main content — nav links feed the frontier
+    # too), document-ordered and resolved against the page url.
+    res["links"] = extract_links(url, page)
     # Robots-meta directives (crawl-pipeline signal, not in the synthetic
     # corpus): pages declaring noindex/none must be droppable downstream;
     # surfaced as a field so the job's fields table carries it without a
@@ -1363,5 +1408,6 @@ def _analyze(url: str, text: str,
         "cells": cells,
         "statuses": statuses,
         "codes": codes,
+        "links": [],  # HTML path fills this after _analyze; PDF has none
         "error": None,
     }

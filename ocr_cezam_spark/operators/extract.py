@@ -75,6 +75,12 @@ EXTRACT_SCHEMA = pa.schema(
                 )
             ),
         ),
+        pa.field(
+            "links",
+            pa.list_(
+                pa.struct([("pos", pa.int32()), ("href", pa.string())])
+            ),
+        ),
     ]
 )
 
@@ -83,7 +89,8 @@ EXTRACT_DDL = (
     "part_id int, fields map<string,string>, "
     "cells array<struct<table_id:int,row_id:int,col_id:int,value:string>>, "
     "statuses array<struct<table_id:int,status:string,detail:string>>, "
-    "codes array<struct<table_id:int,code:string,pos:int,value:string>>"
+    "codes array<struct<table_id:int,code:string,pos:int,value:string>>, "
+    "links array<struct<pos:int,href:string>>"
 )
 
 
@@ -124,6 +131,12 @@ def _extract_batches(
                 [
                     {"table_id": t, "code": c, "pos": p, "value": v}
                     for (t, c, p, v) in res["codes"]
+                ]
+            )
+            out["links"].append(
+                [
+                    {"pos": i, "href": h}
+                    for i, h in enumerate(res["links"])
                 ]
             )
         yield pa.RecordBatch.from_pydict(out, schema=EXTRACT_SCHEMA)
@@ -169,6 +182,14 @@ def extracted_statuses(out: DataFrame) -> DataFrame:
 def extracted_codes(out: DataFrame) -> DataFrame:
     return out.select("url", F.explode("codes").alias("k")).select(
         "url", "k.table_id", "k.code", "k.pos", "k.value"
+    )
+
+
+def extracted_links(out: DataFrame) -> DataFrame:
+    """(url, pos, href): the crawl-frontier table — document-ordered
+    anchor targets per page, long format like the other projections."""
+    return out.select("url", F.explode("links").alias("l")).select(
+        "url", "l.pos", "l.href"
     )
 
 

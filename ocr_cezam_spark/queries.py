@@ -2052,6 +2052,19 @@ _register(
     """,
 )
 
+# Crawl-frontier table: document-ordered anchor targets per page
+# (entity-decoded, urljoin-resolved, non-fetchable schemes dropped),
+# distributed through the same Arrow pass and checked against the frozen
+# pure-Python kernel golden.
+_register(
+    "extract_links",
+    lambda s, d: X.extracted_links(_kernel_out(s)),
+    f"""
+    SELECT url, pos, href
+    FROM read_parquet('{GOLDEN_DIR}/extract_links_n{KERNEL_N}.parquet')
+    """,
+)
+
 _register(
     "solde_status",
     lambda s, d: X.extracted_statuses(_kernel_out(s)),
@@ -3291,6 +3304,9 @@ _WINDOW_TAIL = [
     # entered (r4-driver-green; their driver-query paths untouched in r5 —
     # fix_mojibake's driver query runs the unchanged default chain):
     "fix_mojibake", "solde_native", "pivot_wide_statements",
+    # rotated out when extract_links entered (r4-driver-green, no rounding,
+    # skew.py untouched in r5):
+    "domain_quota_sample",
 ]
 
 

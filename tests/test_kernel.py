@@ -361,6 +361,44 @@ def test_data_name_robots_attribute_is_not_a_directive():
     assert "robots" not in out["fields"]
 
 
+def test_extract_links_resolution_and_filtering():
+    page = (
+        '<html><body>'
+        '<a href="/rel/path">a</a>'
+        '<a href="sibling">b</a>'
+        '<a href="https://other.example/x">c</a>'
+        '<a href="//cdn.example/lib.js">d</a>'
+        '<a href="#frag">skip</a>'
+        '<a href="javascript:void(0)">skip</a>'
+        '<a href="mailto:x@y.z">skip</a>'
+        "<a href='/quoted?a=1&amp;b=2'>e</a>"
+        '<a href=bare>f</a>'
+        '<a data-href="/template">skip</a>'
+        '<a href="/dup">g</a><a href="/dup">g2</a>'
+        '</body></html>'
+    )
+    got = kernel.extract_links("https://host.example/dir/page.html", page)
+    assert got == [
+        "https://host.example/rel/path",
+        "https://host.example/dir/sibling",
+        "https://other.example/x",
+        "https://cdn.example/lib.js",
+        "https://host.example/quoted?a=1&b=2",
+        "https://host.example/dir/bare",
+        "https://host.example/dup",
+        "https://host.example/dup",  # duplicates kept, positions matter
+    ]
+
+
+def test_extract_surfaces_links_in_document_order():
+    page = ('<html><body><a href="/one">1</a><p>text</p>'
+            '<a href="/two">2</a></body></html>')
+    out = kernel.extract("https://h.example/p", page.encode(), "fr")
+    assert out["links"] == ["https://h.example/one", "https://h.example/two"]
+    # PDF payloads and error rows carry an empty frontier
+    assert kernel.extract("http://x/e", b"\x00\xff" * 10, "fr")["links"] == []
+
+
 def test_data_content_attribute_is_not_the_robots_content():
     # data-content precedes the real content attribute; the directive must
     # come from content=, never from data-content= (mirror of the

@@ -168,6 +168,26 @@ def test_new_operator_plans_stay_native(spark):
     assert "BroadcastHashJoin" in tp  # probs join back broadcast
 
 
+def test_crawl_ops_aggregate_without_windows(spark):
+    """latest_crawl_dedup and crawl_churn must stay pure hash
+    aggregations: a hot url's snapshots combine map-side (partial_max /
+    partial_min in the plan), and no Window operator appears — the
+    row_number-per-url shape both docstrings reject would funnel a hot
+    url through one sorting task."""
+    from ocr_cezam_spark.operators import dedup as D
+
+    pages = spark.createDataFrame(
+        [(f"u{i % 5}", i, i) for i in range(40)],
+        "url string, warc_ts long, doc_id long")
+    p1 = formatted_plan(D.latest_crawl_dedup(pages))
+    assert "Window" not in p1 and "partial_max" in p1
+    docs = spark.createDataFrame(
+        [(f"u{i}", f"t{i}") for i in range(20)], "url string, text string")
+    p2 = formatted_plan(D.crawl_churn(docs, docs))
+    assert "Window" not in p2 and "BatchEvalPython" not in p2
+    assert "partial_min" in p2  # per-snapshot url collapse combines map-side
+
+
 def test_bm25_multi_is_one_job_with_window_group_limit(spark):
     """Multi-query BM25 must score every query in ONE plan: the query
     table broadcasts, per-query top-k compiles to WindowGroupLimit

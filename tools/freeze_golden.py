@@ -33,12 +33,17 @@ def main() -> None:
     fields = {"url": [], "field": [], "value": []}
     cells = {"url": [], "table_id": [], "row_id": [], "col_id": [], "value": []}
     codes = {"url": [], "table_id": [], "code": [], "pos": [], "value": []}
+    links = {"url": [], "pos": [], "href": []}
     for i in range(N):
         p = make_page(i)
         r = extract(p["url"], p["html"], p["lang"])
         assert r["error"] is None, (i, r["error"])
         texts["url"].append(r["url"])
         texts["text"].append(r["text"])
+        for pos, href in enumerate(r["links"]):
+            links["url"].append(r["url"])
+            links["pos"].append(pos)
+            links["href"].append(href)
         for (t, s, d) in r["statuses"]:
             statuses["url"].append(r["url"])
             statuses["table_id"].append(t)
@@ -76,6 +81,7 @@ def main() -> None:
     write(fields, "extract_fields")
     write(cells, "extract_cells", ("table_id", "row_id", "col_id"))
     write(codes, "fiscal_codes", ("table_id", "pos"))
+    write(links, "extract_links", ("pos",))
 
     # PDF corpus goldens (the layout-parse path through the same kernel)
     p_texts = {"url": [], "text": []}
