@@ -1,0 +1,126 @@
+"""robots.txt parsing and longest-match URL filtering — the crawl-
+politeness gate that sits beside the robots-META signal the kernel
+already surfaces (kernel.robots_directives).
+
+Reference analog: P7's file-admission guard (releve_bancaire.py:35-42
+extension check) generalized to the web-crawl admission rule.
+
+Both stages are PURE native expressions — the per-host group state
+machine ("which User-agent group does this line belong to") is a lag +
+running-sum window over line positions, not a Python parser — so the
+whole chain codegens and has an exact DuckDB oracle twin.
+
+Semantics (Google robots.txt spec subset, documented deviations):
+- groups start at a User-agent line whose PREVIOUS non-blank line is not
+  itself a User-agent line (adjacent UA lines share one group);
+- a group applies to us when any of its UA lines is ``*`` (agent-token
+  matching beyond ``*`` is out of scope here);
+- Allow/Disallow values are path PREFIXES; the longest matching rule
+  wins, Allow winning length ties; no matching rule means allowed;
+- empty-value rules ("Disallow:" = allow everything) are dropped;
+- ``$``/``*`` wildcards and percent-decoding are NOT implemented —
+  prefix-only matching, the 1994 core spec (documented scope bound).
+
+Scale shape: rule extraction is one window pass + one aggregation over
+robots.txt LINES (tiny — robots files are KB); page filtering joins
+pages to their host's rules (rules broadcast when the robots table is
+small; per-host rule counts are ~tens, so the join fan-out is bounded)
+and reduces with one max-of-struct aggregation per page — no window
+over pages, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F  # noqa: N812
+
+
+def robots_rules(robots: DataFrame, host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """(host, path, allow) rules applying to User-agent ``*``."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "raw"),
+    ).select(
+        "host", "pos",
+        # strip comments, then whitespace
+        F.trim(F.regexp_replace("raw", "#.*", "")).alias("line"),
+    ).filter(F.col("line") != "")
+    parsed = lines.select(
+        "host", "pos",
+        F.lower(F.trim(F.substring_index("line", ":", 1))).alias("directive"),
+        F.trim(F.expr("substring(line, instr(line, ':') + 1)")).alias("value"),
+    ).filter(F.col("directive").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = (F.col("directive") == "user-agent").cast("int")
+    prev_ua = F.coalesce(F.lag(is_ua).over(w), F.lit(0))
+    grouped = parsed.withColumn(
+        "grp",
+        F.sum(F.when((is_ua == 1) & (prev_ua == 0), 1).otherwise(0)).over(w),
+    )
+    star = (
+        grouped.filter(F.col("directive") == "user-agent")
+        .groupBy("host", "grp")
+        .agg(F.max((F.col("value") == "*").cast("int")).alias("has_star"))
+        .filter(F.col("has_star") == 1)
+        .select("host", "grp")
+    )
+    return (
+        grouped.filter(F.col("directive").isin("allow", "disallow"))
+        .join(star, ["host", "grp"])
+        .filter(F.col("value") != "")
+        .select(
+            "host",
+            F.col("value").alias("path"),
+            (F.col("directive") == "allow").cast("int").alias("allow"),
+        )
+    )
+
+
+def _url_host(url_col) -> F.Column:
+    return F.regexp_extract(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+
+
+def _url_path(url_col) -> F.Column:
+    p = F.regexp_extract(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^#]*)?", 1)
+    return F.when(p == "", "/").otherwise(p)
+
+
+def robots_filter(pages: DataFrame, robots: DataFrame,
+                  url_col: str = "url", host_col: str = "host",
+                  txt_col: str = "robots_txt") -> DataFrame:
+    """(url, allowed) for every page: longest-prefix-match against the
+    page host's ``*`` rules, Allow winning ties, allowed by default.
+
+    One broadcast-ready equi-join on host plus a max-of-struct
+    aggregation per url — matched rules reduce to (longest, most
+    permissive) without any window over the page table."""
+    rules = robots_rules(robots, host_col, txt_col).select(
+        "host", F.col("path").alias("rpath"), "allow"
+    )
+    base = pages.select(
+        F.col(url_col).alias("url"),
+        _url_host(F.col(url_col)).alias("host"),
+        _url_path(F.col(url_col)).alias("page_path"),
+    )
+    scored = (
+        base.join(F.broadcast(rules), "host", "left")
+        .select(
+            "url",
+            F.when(
+                # unmatched join rows carry rpath NULL; startswith(NULL)
+                # is NULL, so the when() yields NULL — no match struct
+                F.col("page_path").startswith(F.col("rpath")),
+                F.struct(F.length("rpath").alias("l"),
+                         F.col("allow").alias("a")),
+            ).alias("m"),
+        )
+    )
+    return (
+        scored.groupBy("url")
+        .agg(F.max("m").alias("best"))
+        .select(
+            "url",
+            F.coalesce(F.col("best.a"), F.lit(1)).cast("int").alias("allowed"),
+        )
+    )

@@ -483,6 +483,62 @@ def test_paragraph_dedup_removes_injected_boilerplate(spark):
                    2: "", 3: "gamma a\ngamma b"}
 
 
+def test_robots_rules_and_longest_match_filter(spark):
+    from ocr_cezam_spark.operators import robots
+
+    txt = (
+        "# crawl policy\n"
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/ok\n"
+        "Disallow:\n"          # empty value: allow-everything rule, dropped
+        "\n"
+        "User-agent: badbot\n"
+        "User-agent: worsebot\n"  # adjacent UA lines share the group
+        "Disallow: /\n"
+    )
+    r = s_df = spark.createDataFrame(
+        [("h1.example", txt), ("h2.example", "User-agent: badbot\nDisallow: /\n")],
+        "host string, robots_txt string")
+    rules = sorted(map(tuple, robots.robots_rules(r).collect()))
+    # only the * group's non-empty rules survive; badbot's do not
+    assert rules == [("h1.example", "/private", 0),
+                     ("h1.example", "/private/ok", 1)]
+    pages = spark.createDataFrame([
+        ("https://h1.example/public/a",),
+        ("https://h1.example/private/x",),     # blocked
+        ("https://h1.example/private/ok/y",),  # longest match re-allows
+        ("https://h2.example/anything",),      # badbot-only file: allowed
+        ("https://h3.example/norobots",),      # no robots row: allowed
+        ("https://h1.example",),               # bare origin -> path '/'
+    ], "url string")
+    got = {r2["url"]: r2["allowed"]
+           for r2 in robots.robots_filter(pages, s_df).collect()}
+    assert got == {
+        "https://h1.example/public/a": 1,
+        "https://h1.example/private/x": 0,
+        "https://h1.example/private/ok/y": 1,
+        "https://h2.example/anything": 1,
+        "https://h3.example/norobots": 1,
+        "https://h1.example": 1,
+    }
+    # allow wins an exact length tie
+    tie = spark.createDataFrame(
+        [("t.example", "User-agent: *\nDisallow: /a\nAllow: /b\n")],
+        "host string, robots_txt string")
+    p2 = spark.createDataFrame(
+        [("https://t.example/a/x",), ("https://t.example/b/x",)],
+        "url string")
+    got2 = {r2["url"]: r2["allowed"]
+            for r2 in robots.robots_filter(p2, tie).collect()}
+    assert got2 == {"https://t.example/a/x": 0, "https://t.example/b/x": 1}
+    # plan: no Python UDF, rules side broadcast
+    plan = (robots.robots_filter(pages, s_df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_crawl_churn_classifies_all_four_states(spark):
     old = spark.createDataFrame(
         [("u1", "same"), ("u2", "before"), ("u3", "bye")],
