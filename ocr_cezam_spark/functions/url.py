@@ -44,6 +44,18 @@ def _upper_escapes(c: Column) -> Column:
     )
 
 
+def url_host(u: Column) -> Column:
+    """Lowercased host[:port] of an absolute URL: authority up to /?#,
+    userinfo stripped at the LAST '@' (RFC 3986: host may not contain
+    '@'). The ONE host extractor shared by robots filtering and any
+    host-keyed join — a second subtly-different regex is how mixed-case
+    or userinfo'd urls silently miss their rules row."""
+    authority = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+    )
+    return F.lower(F.regexp_extract(authority, r"^(?:.*@)?([^@]*)$", 1))
+
+
 def canonicalize_url(u: Column) -> Column:
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")

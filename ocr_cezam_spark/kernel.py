@@ -1127,23 +1127,60 @@ _A_HREF_RX = re.compile(
     r"""<a\b[^>]*?(?<![-\w])href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
     re.IGNORECASE | re.DOTALL,
 )
+# Regions a browser never renders as markup: comments, CDATA, raw-text
+# script/style bodies (the tokenizer's own alternatives) — an href inside
+# them is NOT a link and must not enter the frontier.
+_LINK_STRIP_RX = re.compile(
+    r"<!--.*?-->"
+    r"|<!\[CDATA\[.*?\]\]>"
+    r"|(?i:<(script|style)\b[^>]*(?<!/)>.*?</\1[^>]*>)",
+    re.DOTALL,
+)
 _SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "about:")
+
+from html.entities import html5 as _HTML5_ENTITIES  # noqa: E402
+
+# Attribute-value entity rule (HTML5 13.2.5.73): only references
+# TERMINATED by ';' decode in attributes — html.unescape applies the
+# text rule, which turns a query param like '&copy=2' into '©=2' and
+# corrupts the URL a browser would fetch verbatim.
+_ATTR_ENTITY_RX = re.compile(
+    r"&(#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6}|[a-zA-Z][a-zA-Z0-9]{1,31});"
+)
+
+
+def _unescape_attr(v: str) -> str:
+    def repl(m: "re.Match[str]") -> str:
+        body = m.group(1)
+        if body[0] == "#":
+            try:
+                cp = int(body[2:], 16) if body[1] in "xX" else int(body[1:])
+            except ValueError:
+                return m.group(0)
+            return chr(cp) if 0 < cp <= 0x10FFFF else m.group(0)
+        ent = _HTML5_ENTITIES.get(body + ";")
+        return ent if ent is not None else m.group(0)
+
+    return _ATTR_ENTITY_RX.sub(repl, v)
 
 
 def extract_links(base_url: str, page: str) -> list[str]:
-    """Fetchable anchor targets in document order, entity-decoded and
-    resolved against the page url (RFC 3986 via urljoin): absolute
-    http(s) kept, protocol-relative and path-relative resolved,
-    fragment-only and non-fetchable schemes (javascript/mailto/tel/
-    data/about) skipped. Duplicates are kept — positions matter to
-    consumers; dedup is the downstream operator's job."""
+    """Fetchable anchor targets in document order, entity-decoded (the
+    HTML5 ATTRIBUTE rule: only ';'-terminated references — '&amp;'
+    decodes, '&copy=2' stays literal) and resolved against the page url
+    (RFC 3986 via urljoin): absolute http(s) kept, protocol-relative and
+    path-relative resolved, fragment-only and non-fetchable schemes
+    (javascript/mailto/tel/data/about) skipped. Anchors inside comments,
+    CDATA and script/style bodies are never links. Duplicates are kept —
+    positions matter to consumers; dedup is the downstream operator's
+    job."""
     from urllib.parse import urljoin
 
     out: list[str] = []
-    for m in _A_HREF_RX.finditer(page):
+    for m in _A_HREF_RX.finditer(_LINK_STRIP_RX.sub("", page)):
         raw = (m.group(2) or m.group(3) or m.group(4) or "").strip()
         if "&" in raw:
-            raw = unescape(raw)
+            raw = _unescape_attr(raw)
         if not raw or raw.startswith("#"):
             continue
         low = raw.lower()

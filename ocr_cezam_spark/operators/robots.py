@@ -11,22 +11,32 @@ running-sum window over line positions, not a Python parser — so the
 whole chain codegens and has an exact DuckDB oracle twin.
 
 Semantics (Google robots.txt spec subset, documented deviations):
-- groups start at a User-agent line whose PREVIOUS non-blank line is not
-  itself a User-agent line (adjacent UA lines share one group);
+- CRLF and LF files parse identically (\\r is stripped before the line
+  split — a trailing \\r would otherwise corrupt every value);
+- groups start at a User-agent line whose PREVIOUS non-blank,
+  non-comment LINE is not itself a User-agent line (adjacent UA lines
+  share a group; comment-only lines are ignored entirely, so UA lines
+  separated by comments still share a group; other directives —
+  Crawl-delay, Sitemap — DO break UA adjacency, which is why the group
+  window runs over ALL parsed lines, not just ua/allow/disallow rows);
 - a group applies to us when any of its UA lines is ``*`` (agent-token
   matching beyond ``*`` is out of scope here);
 - Allow/Disallow values are path PREFIXES; the longest matching rule
   wins, Allow winning length ties; no matching rule means allowed;
 - empty-value rules ("Disallow:" = allow everything) are dropped;
+- hosts are matched case-insensitively with userinfo stripped (the
+  shared functions.url.url_host extractor — one definition, no drift);
 - ``$``/``*`` wildcards and percent-decoding are NOT implemented —
   prefix-only matching, the 1994 core spec (documented scope bound).
 
 Scale shape: rule extraction is one window pass + one aggregation over
 robots.txt LINES (tiny — robots files are KB); page filtering joins
-pages to their host's rules (rules broadcast when the robots table is
-small; per-host rule counts are ~tens, so the join fan-out is bounded)
-and reduces with one max-of-struct aggregation per page — no window
-over pages, no UDFs.
+pages to their host's rules and reduces with one max-of-struct
+aggregation per page — no window over pages, no UDFs. The rules join
+side is left to Catalyst/AQE to broadcast (at web scale the rules table
+is millions-of-hosts × tens of rules — forcing a broadcast hint there
+would OOM the driver; pass ``broadcast_rules=True`` only when the
+robots table is known-small).
 """
 
 from __future__ import annotations
@@ -34,23 +44,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
 
+from ..functions.url import url_host
+
 
 def robots_rules(robots: DataFrame, host_col: str = "host",
                  txt_col: str = "robots_txt") -> DataFrame:
-    """(host, path, allow) rules applying to User-agent ``*``."""
+    """(host, path, allow) rules applying to User-agent ``*``; host is
+    lowercased."""
     lines = robots.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "raw"),
+        F.lower(F.col(host_col)).alias("host"),
+        F.posexplode(
+            F.split(F.regexp_replace(F.col(txt_col), "\r", ""), "\n")
+        ).alias("pos", "raw"),
     ).select(
         "host", "pos",
         # strip comments, then whitespace
         F.trim(F.regexp_replace("raw", "#.*", "")).alias("line"),
     ).filter(F.col("line") != "")
+    # EVERY non-blank line enters the group window (a Crawl-delay between
+    # two User-agent lines must break their adjacency), directives we
+    # don't implement just never become rules
     parsed = lines.select(
         "host", "pos",
         F.lower(F.trim(F.substring_index("line", ":", 1))).alias("directive"),
         F.trim(F.expr("substring(line, instr(line, ':') + 1)")).alias("value"),
-    ).filter(F.col("directive").isin("user-agent", "allow", "disallow"))
+    )
     w = Window.partitionBy("host").orderBy("pos")
     is_ua = (F.col("directive") == "user-agent").cast("int")
     prev_ua = F.coalesce(F.lag(is_ua).over(w), F.lit(0))
@@ -77,10 +95,6 @@ def robots_rules(robots: DataFrame, host_col: str = "host",
     )
 
 
-def _url_host(url_col) -> F.Column:
-    return F.regexp_extract(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
-
-
 def _url_path(url_col) -> F.Column:
     p = F.regexp_extract(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^#]*)?", 1)
     return F.when(p == "", "/").otherwise(p)
@@ -88,23 +102,28 @@ def _url_path(url_col) -> F.Column:
 
 def robots_filter(pages: DataFrame, robots: DataFrame,
                   url_col: str = "url", host_col: str = "host",
-                  txt_col: str = "robots_txt") -> DataFrame:
+                  txt_col: str = "robots_txt",
+                  broadcast_rules: bool = False) -> DataFrame:
     """(url, allowed) for every page: longest-prefix-match against the
     page host's ``*`` rules, Allow winning ties, allowed by default.
 
-    One broadcast-ready equi-join on host plus a max-of-struct
+    One equi-join on the lowercased host plus a max-of-struct
     aggregation per url — matched rules reduce to (longest, most
-    permissive) without any window over the page table."""
+    permissive) without any window over the page table. The join
+    strategy is Catalyst's choice unless ``broadcast_rules=True``
+    (see module docstring for why forcing it is wrong at web scale)."""
     rules = robots_rules(robots, host_col, txt_col).select(
         "host", F.col("path").alias("rpath"), "allow"
     )
+    if broadcast_rules:
+        rules = F.broadcast(rules)
     base = pages.select(
         F.col(url_col).alias("url"),
-        _url_host(F.col(url_col)).alias("host"),
+        url_host(F.col(url_col)).alias("host"),
         _url_path(F.col(url_col)).alias("page_path"),
     )
     scored = (
-        base.join(F.broadcast(rules), "host", "left")
+        base.join(rules, "host", "left")
         .select(
             "url",
             F.when(

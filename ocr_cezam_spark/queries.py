@@ -751,11 +751,13 @@ _register(
       FROM range(50) t(k)
     ),
     lines AS (
-      SELECT host, pos,
+      SELECT lower(host) AS host, pos,
              trim(regexp_replace(raw, '#.*', '')) AS line
       FROM (SELECT host,
-                   unnest(string_split(txt, chr(10))) AS raw,
-                   unnest(range(len(string_split(txt, chr(10))))) AS pos
+                   unnest(string_split(replace(txt, chr(13), ''), chr(10)))
+                     AS raw,
+                   unnest(range(len(string_split(replace(txt, chr(13), ''),
+                                                 chr(10))))) AS pos
             FROM hosts)
       WHERE trim(regexp_replace(raw, '#.*', '')) <> ''
     ),
@@ -764,8 +766,6 @@ _register(
              lower(trim(split_part(line, ':', 1))) AS directive,
              trim(substring(line, instr(line, ':') + 1)) AS value
       FROM lines
-      WHERE lower(trim(split_part(line, ':', 1)))
-            IN ('user-agent', 'allow', 'disallow')
     ),
     flagged AS (
       SELECT host, pos, directive, value,
@@ -802,8 +802,10 @@ _register(
     ),
     base AS (
       SELECT url,
-             regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)
-               AS host,
+             lower(regexp_extract(
+               regexp_extract(url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+               '^(?:.*@)?([^@]*)$', 1)) AS host,
              CASE WHEN regexp_extract(
                     url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^#]*)?', 1)
                     = '' THEN '/'

@@ -390,6 +390,25 @@ def test_extract_links_resolution_and_filtering():
     ]
 
 
+def test_extract_links_skips_comments_scripts_and_keeps_literal_params():
+    page = (
+        '<html><body>'
+        '<!-- <a href="/old-nav">commented out</a> -->'
+        '<script>document.write(\'<a href="/tracked">x</a>\')</script>'
+        '<style>a { color: red } /* <a href="/styled">y</a> */</style>'
+        '<a href="/buy?item=1&copy=2">legit</a>'     # &copy not terminated
+        '<a href="/q?a=1&amp;b=2">amp</a>'           # &amp; IS terminated
+        '<a href="/n?x=&#47;slash">numeric</a>'
+        '</body></html>'
+    )
+    got = kernel.extract_links("https://h.example/p", page)
+    assert got == [
+        "https://h.example/buy?item=1&copy=2",  # browser-verbatim, not ©=2
+        "https://h.example/q?a=1&b=2",
+        "https://h.example/n?x=/slash",
+    ]
+
+
 def test_extract_surfaces_links_in_document_order():
     page = ('<html><body><a href="/one">1</a><p>text</p>'
             '<a href="/two">2</a></body></html>')

@@ -511,6 +511,7 @@ def test_robots_rules_and_longest_match_filter(spark):
         ("https://h2.example/anything",),      # badbot-only file: allowed
         ("https://h3.example/norobots",),      # no robots row: allowed
         ("https://h1.example",),               # bare origin -> path '/'
+        ("https://bot@h1.example/private/z",),  # userinfo stripped -> blocked
     ], "url string")
     got = {r2["url"]: r2["allowed"]
            for r2 in robots.robots_filter(pages, s_df).collect()}
@@ -521,6 +522,7 @@ def test_robots_rules_and_longest_match_filter(spark):
         "https://h2.example/anything": 1,
         "https://h3.example/norobots": 1,
         "https://h1.example": 1,
+        "https://bot@h1.example/private/z": 0,
     }
     # allow wins an exact length tie
     tie = spark.createDataFrame(
@@ -532,9 +534,37 @@ def test_robots_rules_and_longest_match_filter(spark):
     got2 = {r2["url"]: r2["allowed"]
             for r2 in robots.robots_filter(p2, tie).collect()}
     assert got2 == {"https://t.example/a/x": 0, "https://t.example/b/x": 1}
-    # plan: no Python UDF, rules side broadcast
-    plan = (robots.robots_filter(pages, s_df)._jdf.queryExecution()
-            .executedPlan().toString())
+    # CRLF files parse identically to LF (a trailing \r must not corrupt
+    # the star value or the rule paths)
+    crlf = spark.createDataFrame(
+        [("h1.example", txt.replace("\n", "\r\n"))],
+        "host string, robots_txt string")
+    assert sorted(map(tuple, robots.robots_rules(crlf).collect())) == \
+        [("h1.example", "/private", 0), ("h1.example", "/private/ok", 1)]
+    # a non-rule directive between two UA lines breaks their adjacency:
+    # migrationbot's Disallow must NOT apply to the * group
+    split_groups = spark.createDataFrame(
+        [("g.example",
+          "User-agent: *\nCrawl-delay: 10\n"
+          "User-agent: migrationbot\nDisallow: /\n")],
+        "host string, robots_txt string")
+    assert robots.robots_rules(split_groups).count() == 0
+    # but a comment between UA lines does NOT break the group
+    commented = spark.createDataFrame(
+        [("c.example",
+          "User-agent: googlebot\n# friendly crawlers\nUser-agent: *\n"
+          "Disallow: /x\n")],
+        "host string, robots_txt string")
+    assert sorted(map(tuple, robots.robots_rules(commented).collect())) == \
+        [("c.example", "/x", 0)]
+    # hosts match case-insensitively (url host lowercased on both sides)
+    mixed = spark.createDataFrame(
+        [("https://H1.Example/private/x",)], "url string")
+    got3 = robots.robots_filter(mixed, s_df).collect()
+    assert got3[0]["allowed"] == 0
+    # plan: no Python UDF; broadcast only when explicitly requested
+    plan = (robots.robots_filter(pages, s_df, broadcast_rules=True)
+            ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
 
