@@ -121,3 +121,29 @@ def test_pdf_extract_never_raises_on_garbage(blob):
     r = extract("u", b"%PDF-" + blob, "fra")
     s = extract("u", b"%PDF-" + blob, "fra")
     assert r == s and r["error"] is None
+
+
+link_fragments = st.lists(
+    st.sampled_from(
+        list("ab /<>=&;#?'\"") + [
+            "<a href=", "<a data-href=", "</a>", "\"/p?x=1&copy=2\"",
+            "'rel'", "#frag", "javascript:x", "https://h.example/x",
+            "//cdn.example/y", "&amp;", "<!--", "-->", "<script>",
+            "</script>", "mailto:a@b.c",
+        ]
+    ),
+    max_size=60,
+).map("".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(link_fragments)
+def test_extract_links_never_raises_and_only_http(frag):
+    """Arbitrary anchor-shaped soup: extract_links must never raise, must
+    be deterministic, and every emitted frontier url must be an absolute
+    http(s) url (the urljoin+scheme-filter contract)."""
+    a = kernel.extract_links("https://base.example/dir/page", frag)
+    b = kernel.extract_links("https://base.example/dir/page", frag)
+    assert a == b
+    for u in a:
+        assert u.startswith(("http://", "https://")), u
