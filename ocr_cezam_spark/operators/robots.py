@@ -21,13 +21,18 @@ Semantics (Google robots.txt spec subset, documented deviations):
   window runs over ALL parsed lines, not just ua/allow/disallow rows);
 - a group applies to us when any of its UA lines is ``*`` (agent-token
   matching beyond ``*`` is out of scope here);
-- Allow/Disallow values are path PREFIXES; the longest matching rule
-  wins, Allow winning length ties; no matching rule means allowed;
+- Allow/Disallow values are path patterns: plain values match as
+  PREFIXES; ``*`` matches any character run and a TRAILING ``$``
+  anchors the end (the Google spec wildcards) — compiled to per-rule
+  Java/RE2 regexes relationally (regex metachars escaped natively, no
+  Python), matched with a column-pattern ``regexp_like`` only for rules
+  that carry a wildcard (plain rules keep the cheap startswith path);
+- the longest matching rule's VALUE wins (spec's most-specific rule),
+  Allow winning length ties; no matching rule means allowed;
 - empty-value rules ("Disallow:" = allow everything) are dropped;
 - hosts are matched case-insensitively with userinfo stripped (the
   shared functions.url.url_host extractor — one definition, no drift);
-- ``$``/``*`` wildcards and percent-decoding are NOT implemented —
-  prefix-only matching, the 1994 core spec (documented scope bound).
+- percent-decoding is NOT implemented (documented scope bound).
 
 Scale shape: rule extraction is one window pass + one aggregation over
 robots.txt LINES (tiny — robots files are KB); page filtering joins
@@ -83,13 +88,29 @@ def robots_rules(robots: DataFrame, host_col: str = "host",
         .filter(F.col("has_star") == 1)
         .select("host", "grp")
     )
+    path = F.col("value")
+    # compile the robots pattern to a regex, natively: a trailing '$'
+    # anchors (detected on the RAW value so every other '$' is literal),
+    # regex metachars escape, '*' becomes '.*'
+    anchored = path.endswith("$")
+    core = F.when(
+        anchored, F.substring(path, 1, F.length(path) - 1)
+    ).otherwise(path)
+    esc = F.regexp_replace(core, r"([.+?(){}\[\]|^$\\])", r"\\$1")
+    body = F.regexp_replace(esc, r"\*", ".*")
+    pattern = F.concat(
+        F.lit("^"), body,
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
     return (
         grouped.filter(F.col("directive").isin("allow", "disallow"))
         .join(star, ["host", "grp"])
         .filter(F.col("value") != "")
         .select(
             "host",
-            F.col("value").alias("path"),
+            path.alias("path"),
+            pattern.alias("pattern"),
+            (path.contains("*") | anchored).cast("int").alias("has_wild"),
             (F.col("directive") == "allow").cast("int").alias("allow"),
         )
     )
@@ -113,7 +134,7 @@ def robots_filter(pages: DataFrame, robots: DataFrame,
     strategy is Catalyst's choice unless ``broadcast_rules=True``
     (see module docstring for why forcing it is wrong at web scale)."""
     rules = robots_rules(robots, host_col, txt_col).select(
-        "host", F.col("path").alias("rpath"), "allow"
+        "host", F.col("path").alias("rpath"), "pattern", "has_wild", "allow"
     )
     if broadcast_rules:
         rules = F.broadcast(rules)
@@ -122,14 +143,19 @@ def robots_filter(pages: DataFrame, robots: DataFrame,
         url_host(F.col(url_col)).alias("host"),
         _url_path(F.col(url_col)).alias("page_path"),
     )
+    # wildcard rules match by their compiled regex; plain rules keep the
+    # cheap startswith. Unmatched join rows carry NULL rule columns, so
+    # both predicates yield NULL — no match struct.
+    hit = F.when(
+        F.col("has_wild") == 1,
+        F.expr("regexp_like(page_path, pattern)"),
+    ).otherwise(F.col("page_path").startswith(F.col("rpath")))
     scored = (
         base.join(rules, "host", "left")
         .select(
             "url",
             F.when(
-                # unmatched join rows carry rpath NULL; startswith(NULL)
-                # is NULL, so the when() yields NULL — no match struct
-                F.col("page_path").startswith(F.col("rpath")),
+                hit,
                 F.struct(F.length("rpath").alias("l"),
                          F.col("allow").alias("a")),
             ).alias("m"),

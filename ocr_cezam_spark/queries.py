@@ -730,7 +730,8 @@ def _robots_filter_q(s: SparkSession, d: str) -> DataFrame:
         F.concat(
             F.lit("# crawl policy\nUser-agent: *\nDisallow: /p1\nAllow: /p1"),
             k,
-            F.lit("\nDisallow:\n\nUser-agent: badbot\nDisallow: /\n"),
+            F.lit("\nDisallow: /p*9$"
+                  "\nDisallow:\n\nUser-agent: badbot\nDisallow: /\n"),
         ).alias("robots_txt"),
     )
     return R.robots_filter(pages, hosts)
@@ -745,6 +746,7 @@ _register(
              '# crawl policy' || chr(10) || 'User-agent: *' || chr(10)
                || 'Disallow: /p1' || chr(10)
                || 'Allow: /p1' || CAST(k AS VARCHAR) || chr(10)
+               || 'Disallow: /p*9$' || chr(10)
                || 'Disallow:' || chr(10) || chr(10)
                || 'User-agent: badbot' || chr(10) || 'Disallow: /'
                || chr(10) AS txt
@@ -791,6 +793,17 @@ _register(
     ),
     rules AS (
       SELECT g.host, g.value AS rpath,
+             '^' || regexp_replace(
+               regexp_replace(
+                 CASE WHEN g.value LIKE '%$'
+                      THEN substring(g.value, 1, length(g.value) - 1)
+                      ELSE g.value END,
+                 '([.+?(){}\[\]|^$\\])', '\\\1', 'g'),
+               '\*', '.*', 'g')
+               || CASE WHEN g.value LIKE '%$' THEN '$' ELSE '' END
+               AS pattern,
+             CASE WHEN g.value LIKE '%*%' OR g.value LIKE '%$'
+                  THEN 1 ELSE 0 END AS has_wild,
              CASE WHEN g.directive = 'allow' THEN 1 ELSE 0 END AS allow
       FROM grouped g JOIN star USING (host, grp)
       WHERE g.directive IN ('allow', 'disallow') AND g.value <> ''
@@ -816,7 +829,9 @@ _register(
     ),
     scored AS (
       SELECT b.url,
-             CASE WHEN starts_with(b.page_path, r.rpath)
+             CASE WHEN (CASE WHEN r.has_wild = 1
+                             THEN regexp_matches(b.page_path, r.pattern)
+                             ELSE starts_with(b.page_path, r.rpath) END)
                   THEN {'l': length(r.rpath), 'a': r.allow} END AS m
       FROM base b LEFT JOIN rules r USING (host)
     )

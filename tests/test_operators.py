@@ -500,7 +500,8 @@ def test_robots_rules_and_longest_match_filter(spark):
     r = s_df = spark.createDataFrame(
         [("h1.example", txt), ("h2.example", "User-agent: badbot\nDisallow: /\n")],
         "host string, robots_txt string")
-    rules = sorted(map(tuple, robots.robots_rules(r).collect()))
+    rules = sorted(map(tuple, robots.robots_rules(r)
+                       .select("host", "path", "allow").collect()))
     # only the * group's non-empty rules survive; badbot's do not
     assert rules == [("h1.example", "/private", 0),
                      ("h1.example", "/private/ok", 1)]
@@ -539,7 +540,8 @@ def test_robots_rules_and_longest_match_filter(spark):
     crlf = spark.createDataFrame(
         [("h1.example", txt.replace("\n", "\r\n"))],
         "host string, robots_txt string")
-    assert sorted(map(tuple, robots.robots_rules(crlf).collect())) == \
+    assert sorted(map(tuple, robots.robots_rules(crlf)
+                      .select("host", "path", "allow").collect())) == \
         [("h1.example", "/private", 0), ("h1.example", "/private/ok", 1)]
     # a non-rule directive between two UA lines breaks their adjacency:
     # migrationbot's Disallow must NOT apply to the * group
@@ -555,13 +557,35 @@ def test_robots_rules_and_longest_match_filter(spark):
           "User-agent: googlebot\n# friendly crawlers\nUser-agent: *\n"
           "Disallow: /x\n")],
         "host string, robots_txt string")
-    assert sorted(map(tuple, robots.robots_rules(commented).collect())) == \
+    assert sorted(map(tuple, robots.robots_rules(commented)
+                      .select("host", "path", "allow").collect())) == \
         [("c.example", "/x", 0)]
     # hosts match case-insensitively (url host lowercased on both sides)
     mixed = spark.createDataFrame(
         [("https://H1.Example/private/x",)], "url string")
     got3 = robots.robots_filter(mixed, s_df).collect()
     assert got3[0]["allowed"] == 0
+    # Google-spec wildcards: '*' spans, trailing '$' anchors, mid-'$' is
+    # literal, and the longest rule VALUE still wins across kinds
+    wild = spark.createDataFrame(
+        [("w.example",
+          "User-agent: *\nDisallow: /*.pdf$\nAllow: /docs/*.pdf$\n"
+          "Disallow: /li$eral\n")],
+        "host string, robots_txt string")
+    wp = spark.createDataFrame([
+        ("https://w.example/report.pdf",),    # anchored wildcard: blocked
+        ("https://w.example/report.pdfx",),   # '$' anchor: NOT matched
+        ("https://w.example/docs/a.pdf",),    # longer Allow wins
+        ("https://w.example/li$eral",),       # mid-$ literal prefix rule
+    ], "url string")
+    gotw = {r2["url"]: r2["allowed"]
+            for r2 in robots.robots_filter(wp, wild).collect()}
+    assert gotw == {
+        "https://w.example/report.pdf": 0,
+        "https://w.example/report.pdfx": 1,
+        "https://w.example/docs/a.pdf": 1,
+        "https://w.example/li$eral": 0,
+    }
     # plan: no Python UDF; broadcast only when explicitly requested
     plan = (robots.robots_filter(pages, s_df, broadcast_rules=True)
             ._jdf.queryExecution().executedPlan().toString())
