@@ -102,10 +102,18 @@ def robots_rules(robots: DataFrame, host_col: str = "host",
         F.lit("^"), body,
         F.when(anchored, F.lit("$")).otherwise(F.lit("")),
     )
+    # ReDoS guard: each '*' becomes '.*' in a JAVA regex (backtracking,
+    # unlike the oracle's linear RE2), so an adversarial rule with dozens
+    # of stars could go exponential against a long page path on the
+    # executors. Rules beyond 10 wildcards are dropped (far beyond any
+    # legitimate robots pattern; the cap is mirrored in the DuckDB twin
+    # so the gate semantics stay identical).
+    n_stars = F.length(path) - F.length(F.replace(path, F.lit("*"), F.lit("")))
     return (
         grouped.filter(F.col("directive").isin("allow", "disallow"))
         .join(star, ["host", "grp"])
         .filter(F.col("value") != "")
+        .filter(n_stars <= 10)
         .select(
             "host",
             path.alias("path"),

@@ -807,6 +807,7 @@ _register(
              CASE WHEN g.directive = 'allow' THEN 1 ELSE 0 END AS allow
       FROM grouped g JOIN star USING (host, grp)
       WHERE g.directive IN ('allow', 'disallow') AND g.value <> ''
+            AND length(g.value) - length(replace(g.value, '*', '')) <= 10
     ),
     pages AS (
       SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR)

@@ -586,6 +586,14 @@ def test_robots_rules_and_longest_match_filter(spark):
         "https://w.example/docs/a.pdf": 1,
         "https://w.example/li$eral": 0,
     }
+    # ReDoS guard: a rule with an absurd wildcard count is dropped (its
+    # compiled Java regex could backtrack exponentially on executors)
+    bomb = spark.createDataFrame(
+        [("b.example",
+          "User-agent: *\nDisallow: /" + "a*" * 30 + "\nDisallow: /ok\n")],
+        "host string, robots_txt string")
+    kept = robots.robots_rules(bomb).select("path").collect()
+    assert [r["path"] for r in kept] == ["/ok"]
     # plan: no Python UDF; broadcast only when explicitly requested
     plan = (robots.robots_filter(pages, s_df, broadcast_rules=True)
             ._jdf.queryExecution().executedPlan().toString())
