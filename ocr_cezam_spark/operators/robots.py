@@ -52,10 +52,11 @@ from pyspark.sql import functions as F  # noqa: N812
 from ..functions.url import url_host
 
 
-def robots_rules(robots: DataFrame, host_col: str = "host",
-                 txt_col: str = "robots_txt") -> DataFrame:
-    """(host, path, allow) rules applying to User-agent ``*``; host is
-    lowercased."""
+def _star_groups(robots: DataFrame, host_col: str, txt_col: str):
+    """Shared parse front-end: (grouped lines, star-group keys). Every
+    non-blank line enters the group window (a Crawl-delay between two
+    User-agent lines must break their adjacency); directives a consumer
+    doesn't implement just never become its rows."""
     lines = robots.select(
         F.lower(F.col(host_col)).alias("host"),
         F.posexplode(
@@ -66,9 +67,6 @@ def robots_rules(robots: DataFrame, host_col: str = "host",
         # strip comments, then whitespace
         F.trim(F.regexp_replace("raw", "#.*", "")).alias("line"),
     ).filter(F.col("line") != "")
-    # EVERY non-blank line enters the group window (a Crawl-delay between
-    # two User-agent lines must break their adjacency), directives we
-    # don't implement just never become rules
     parsed = lines.select(
         "host", "pos",
         F.lower(F.trim(F.substring_index("line", ":", 1))).alias("directive"),
@@ -88,6 +86,14 @@ def robots_rules(robots: DataFrame, host_col: str = "host",
         .filter(F.col("has_star") == 1)
         .select("host", "grp")
     )
+    return grouped, star
+
+
+def robots_rules(robots: DataFrame, host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """(host, path, pattern, has_wild, allow) rules applying to
+    User-agent ``*``; host is lowercased."""
+    grouped, star = _star_groups(robots, host_col, txt_col)
     path = F.col("value")
     # compile the robots pattern to a regex, natively: a trailing '$'
     # anchors (detected on the RAW value so every other '$' is literal),
@@ -121,6 +127,59 @@ def robots_rules(robots: DataFrame, host_col: str = "host",
             (path.contains("*") | anchored).cast("int").alias("has_wild"),
             (F.col("directive") == "allow").cast("int").alias("allow"),
         )
+    )
+
+
+def crawl_delays(robots: DataFrame, host_col: str = "host",
+                 txt_col: str = "robots_txt",
+                 default_delay: float = 0.0) -> DataFrame:
+    """(host, delay_sec): the Crawl-delay applying to User-agent ``*``
+    per host — the politeness rate a frontier scheduler divides each
+    host's fetch budget by. Reuses the SAME group state machine as
+    robots_rules (one definition of "which group applies to us"); when a
+    star group declares several delays the LARGEST wins (most
+    conservative), hosts with none report ``default_delay``.
+    Non-numeric values are ignored (try_cast, not a parse error)."""
+    parsed, star = _star_groups(robots, host_col, txt_col)
+    declared = (
+        parsed.filter(F.col("directive") == "crawl-delay")
+        .join(star, ["host", "grp"])
+        .select("host", F.expr("try_cast(value AS DOUBLE)").alias("d"))
+        .filter(F.col("d").isNotNull() & (F.col("d") >= 0))
+        .groupBy("host")
+        .agg(F.max("d").alias("delay_sec"))
+    )
+    hosts = robots.select(F.lower(F.col(host_col)).alias("host")).distinct()
+    return hosts.join(declared, "host", "left").select(
+        "host",
+        F.coalesce("delay_sec", F.lit(float(default_delay))).alias("delay_sec"),
+    )
+
+
+def sitemap_urls(sitemaps: DataFrame, host_col: str = "host",
+                 xml_col: str = "sitemap_xml") -> DataFrame:
+    """(host, pos, loc): the <loc> targets of each host's sitemap.xml in
+    document order — the OTHER frontier feed beside extracted anchors
+    (extract_links) and recrawl state (latest_crawl_dedup). Handles
+    urlset and sitemapindex files alike (both wrap targets in <loc>),
+    trims whitespace inside the element, and decodes the five XML
+    entities (sitemap locs are XML-escaped by spec). Pure
+    regexp_extract_all + explode — no XML parser in the hot path, no
+    UDF, exact DuckDB twin."""
+    locs = F.expr(
+        rf"regexp_extract_all({xml_col}, '<loc>\\s*(.*?)\\s*</loc>', 1)"
+    )
+    raw = F.col("loc_raw")
+    decoded = raw
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):  # amp LAST by spec
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    return (
+        sitemaps.select(
+            F.lower(F.col(host_col)).alias("host"),
+            F.posexplode(locs).alias("pos", "loc_raw"),
+        )
+        .select("host", "pos", decoded.alias("loc"))
     )
 
 

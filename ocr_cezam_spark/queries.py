@@ -842,6 +842,173 @@ _register(
 )
 
 
+# Crawl-delay extraction: same group machinery as robots_filter over a
+# fixture where even hosts declare a numeric delay inside the star group,
+# every host carries a bogus huge delay in a badbot group (must be
+# ignored), and hosts divisible by 5 declare a NON-NUMERIC delay (must
+# fall back to the default, not error).
+def _crawl_delays_q(s: SparkSession, d: str) -> DataFrame:
+    from .operators import robots as R
+
+    k = F.col("id")
+    ks = k.cast("string")
+    delay_line = (
+        F.when(k % 5 == 0, F.lit("Crawl-delay: fast\n"))
+        .when(k % 2 == 0,
+              F.concat(F.lit("Crawl-delay: "), (k % 7).cast("string"),
+                       F.lit(".5\n")))
+        .otherwise(F.lit(""))
+    )
+    hosts = s.range(50).select(
+        F.concat(F.lit("h"), ks, F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\n"), delay_line,
+            F.lit("Disallow: /p1\nUser-agent: badbot\nCrawl-delay: 999\n"),
+        ).alias("robots_txt"),
+    )
+    return R.crawl_delays(hosts)
+
+
+_register(
+    "crawl_delays",
+    _crawl_delays_q,
+    """
+    WITH hosts AS (
+      SELECT 'h' || CAST(k AS VARCHAR) || '.example' AS host,
+             'User-agent: *' || chr(10)
+               || CASE WHEN k % 5 = 0 THEN 'Crawl-delay: fast' || chr(10)
+                       WHEN k % 2 = 0 THEN 'Crawl-delay: '
+                            || CAST(k % 7 AS VARCHAR) || '.5' || chr(10)
+                       ELSE '' END
+               || 'Disallow: /p1' || chr(10)
+               || 'User-agent: badbot' || chr(10)
+               || 'Crawl-delay: 999' || chr(10) AS txt
+      FROM range(50) t(k)
+    ),
+    lines AS (
+      SELECT lower(host) AS host, pos,
+             trim(regexp_replace(raw, '#.*', '')) AS line
+      FROM (SELECT host,
+                   unnest(string_split(replace(txt, chr(13), ''), chr(10)))
+                     AS raw,
+                   unnest(range(len(string_split(replace(txt, chr(13), ''),
+                                                 chr(10))))) AS pos
+            FROM hosts)
+      WHERE trim(regexp_replace(raw, '#.*', '')) <> ''
+    ),
+    parsed AS (
+      SELECT host, pos,
+             lower(trim(split_part(line, ':', 1))) AS directive,
+             trim(substring(line, instr(line, ':') + 1)) AS value
+      FROM lines
+    ),
+    flagged AS (
+      SELECT host, pos, directive, value,
+             CASE WHEN directive = 'user-agent' THEN 1 ELSE 0 END AS is_ua,
+             coalesce(lag(CASE WHEN directive = 'user-agent'
+                          THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY host ORDER BY pos), 0) AS prev_ua
+      FROM parsed
+    ),
+    grouped AS (
+      SELECT host, pos, directive, value,
+             sum(CASE WHEN is_ua = 1 AND prev_ua = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY host ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS grp
+      FROM flagged
+    ),
+    star AS (
+      SELECT host, grp FROM grouped
+      WHERE directive = 'user-agent'
+      GROUP BY host, grp
+      HAVING max(CASE WHEN value = '*' THEN 1 ELSE 0 END) = 1
+    ),
+    declared AS (
+      SELECT g.host, max(TRY_CAST(g.value AS DOUBLE)) AS delay_sec
+      FROM grouped g JOIN star USING (host, grp)
+      WHERE g.directive = 'crawl-delay'
+            AND TRY_CAST(g.value AS DOUBLE) >= 0
+      GROUP BY g.host
+    )
+    SELECT h.host, coalesce(d.delay_sec, 0.0) AS delay_sec
+    FROM (SELECT DISTINCT lower(host) AS host FROM hosts) h
+    LEFT JOIN declared d USING (host)
+    """,
+)
+
+
+# Sitemap <loc> extraction: per-host urlset XML with XML-escaped query
+# strings and padded whitespace inside the elements.
+def _sitemap_q(s: SparkSession, d: str) -> DataFrame:
+    from .operators import robots as R
+
+    doc_id = F.col("doc_id")
+    entry = F.concat(
+        F.lit("<url><loc> https://h"), (doc_id % 50).cast("string"),
+        F.lit(".example/p"), doc_id.cast("string"),
+        F.lit("?a=1&amp;b=2 </loc></url>"),
+    )
+    sm = (
+        _t(s, d, "documents")
+        .select((doc_id % 50).alias("hk"), doc_id, entry.alias("e"))
+        .groupBy("hk")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "e"))),
+                        lambda x: x["e"],
+                    ), ""),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml"),
+        )
+        .select(
+            F.concat(F.lit("h"), F.col("hk").cast("string"),
+                     F.lit(".example")).alias("host"),
+            "sitemap_xml",
+        )
+    )
+    return R.sitemap_urls(sm)
+
+
+_register(
+    "sitemap_urls",
+    _sitemap_q,
+    """
+    WITH entries AS (
+      SELECT doc_id % 50 AS hk, doc_id,
+             '<url><loc> https://h' || CAST(doc_id % 50 AS VARCHAR)
+               || '.example/p' || CAST(doc_id AS VARCHAR)
+               || '?a=1&amp;b=2 </loc></url>' AS e
+      FROM documents
+    ),
+    sm AS (
+      SELECT 'h' || CAST(hk AS VARCHAR) || '.example' AS host,
+             '<?xml version="1.0"?><urlset>'
+               || string_agg(e, '' ORDER BY doc_id) || '</urlset>' AS xml
+      FROM entries GROUP BY hk
+    ),
+    locs AS (
+      SELECT host, pos, loc_raw
+      FROM (SELECT host,
+                   unnest(regexp_extract_all(xml,
+                     '<loc>\s*(.*?)\s*</loc>', 1)) AS loc_raw,
+                   unnest(range(len(regexp_extract_all(xml,
+                     '<loc>\s*(.*?)\s*</loc>', 1)))) AS pos
+            FROM sm)
+    )
+    SELECT host, CAST(pos AS INT) AS pos,
+           replace(replace(replace(replace(replace(loc_raw,
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&apos;', chr(39)), '&amp;', '&') AS loc
+    FROM locs
+    """,
+)
+
+
 # Recrawl dedup fixture: three synthetic monthly crawls over the document
 # id space — crawl k re-fetches every doc_id divisible by k+2, so urls
 # appear in one, two or three crawls (all three classes present). Newer
@@ -3441,6 +3608,9 @@ _WINDOW_TAIL = [
     # rotated out when extract_links entered (r4-driver-green, no rounding,
     # skew.py untouched in r5):
     "domain_quota_sample",
+    # rotated out when crawl_delays / sitemap_urls entered (r4-driver-
+    # green; their operator functions untouched this round):
+    "near_dup_dedup_first", "simhash_hamming_pairs",
     # rotated out when robots_filter entered (rounding-converted, but its
     # min/max/median price values sit far from representable-midpoint
     # hazards and the sf0.001 tail gate re-checks it every pytest run):

@@ -601,6 +601,33 @@ def test_robots_rules_and_longest_match_filter(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_crawl_delays_and_sitemap_urls(spark):
+    from ocr_cezam_spark.operators import robots
+
+    r = spark.createDataFrame([
+        ("H1.example",
+         "User-agent: *\nCrawl-delay: 2.5\nCrawl-delay: 1\nDisallow: /x\n"
+         "User-agent: badbot\nCrawl-delay: 99\n"),
+        ("h2.example", "User-agent: *\nDisallow: /y\n"),     # no delay
+        ("h3.example", "User-agent: *\nCrawl-delay: oops\n"),  # non-numeric
+    ], "host string, robots_txt string")
+    got = {r2["host"]: r2["delay_sec"]
+           for r2 in robots.crawl_delays(r).collect()}
+    # largest star-group delay wins; badbot's 99 ignored; host lowercased
+    assert got == {"h1.example": 2.5, "h2.example": 0.0, "h3.example": 0.0}
+
+    xml = ('<?xml version="1.0"?><urlset>'
+           "<url><loc>  https://h.example/a?x=1&amp;y=2 </loc></url>"
+           "<url><loc>https://h.example/&lt;b&gt;</loc></url></urlset>")
+    sm = spark.createDataFrame([("H.example", xml)],
+                               "host string, sitemap_xml string")
+    rows = sorted(map(tuple, robots.sitemap_urls(sm).collect()))
+    assert rows == [
+        ("h.example", 0, "https://h.example/a?x=1&y=2"),
+        ("h.example", 1, "https://h.example/<b>"),
+    ]
+
+
 def test_crawl_churn_classifies_all_four_states(spark):
     old = spark.createDataFrame(
         [("u1", "same"), ("u2", "before"), ("u3", "bye")],
