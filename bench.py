@@ -71,6 +71,9 @@ HEADLINE = [
     "latest_crawl_dedup",
     "crawl_churn",
     "target_mix_sample",
+    "robots_filter",
+    "crawl_delays",
+    "sitemap_urls",
     "hnsw_ann_topk",
     "extract_text",
     "extract_links",
