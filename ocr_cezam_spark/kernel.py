@@ -1149,6 +1149,20 @@ _ATTR_ENTITY_RX = re.compile(
 )
 
 
+# HTML5 13.2.5.80 numeric-charref end state, same tables stdlib
+# html.unescape uses: NUL and C1 controls remap via windows-1252,
+# surrogates and >0x10FFFF become U+FFFD (chr() on a surrogate would
+# produce a lone surrogate that pyarrow's UTF-8 encoder rejects — one
+# hostile page would then kill the whole Arrow batch OUTSIDE extract()'s
+# per-row error guard), and noncharacters/controls are dropped.
+try:  # private but stable since 3.4; fall back to the spec-critical rules
+    from html import _invalid_charrefs as _BAD_CHARREFS  # type: ignore
+    from html import _invalid_codepoints as _DROP_CODEPOINTS  # type: ignore
+except ImportError:  # pragma: no cover
+    _BAD_CHARREFS = {0x00: "�"}
+    _DROP_CODEPOINTS = set()
+
+
 def _unescape_attr(v: str) -> str:
     def repl(m: "re.Match[str]") -> str:
         body = m.group(1)
@@ -1157,7 +1171,13 @@ def _unescape_attr(v: str) -> str:
                 cp = int(body[2:], 16) if body[1] in "xX" else int(body[1:])
             except ValueError:
                 return m.group(0)
-            return chr(cp) if 0 < cp <= 0x10FFFF else m.group(0)
+            if cp in _BAD_CHARREFS:
+                return _BAD_CHARREFS[cp]
+            if 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
+                return "�"
+            if cp in _DROP_CODEPOINTS:
+                return ""
+            return chr(cp)
         ent = _HTML5_ENTITIES.get(body + ";")
         return ent if ent is not None else m.group(0)
 

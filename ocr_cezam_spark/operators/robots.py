@@ -29,6 +29,9 @@ Semantics (Google robots.txt spec subset, documented deviations):
   that carry a wildcard (plain rules keep the cheap startswith path);
 - the longest matching rule's VALUE wins (spec's most-specific rule),
   Allow winning length ties; no matching rule means allowed;
+- rules with more than 10 wildcards FAIL CLOSED: Disallow degrades to
+  the plain prefix before its first '*', Allow is dropped (ReDoS cap —
+  see robots_rules);
 - empty-value rules ("Disallow:" = allow everything) are dropped;
 - hosts are matched case-insensitively with userinfo stripped (the
   shared functions.url.url_host extractor — one definition, no drift);
@@ -94,11 +97,25 @@ def robots_rules(robots: DataFrame, host_col: str = "host",
     """(host, path, pattern, has_wild, allow) rules applying to
     User-agent ``*``; host is lowercased."""
     grouped, star = _star_groups(robots, host_col, txt_col)
-    path = F.col("value")
+    raw = F.col("value")
+    # ReDoS guard: each '*' becomes '.*' in a JAVA regex (backtracking,
+    # unlike the oracle's linear RE2), so an adversarial rule with dozens
+    # of stars could go exponential against a long page path on the
+    # executors. Beyond 10 wildcards (far beyond any legitimate robots
+    # pattern) the gate FAILS CLOSED: an over-cap Disallow degrades to a
+    # plain PREFIX rule on the text before its first '*' (never
+    # crawl-admitting pages the site tried to block — an empty prefix
+    # disallows the whole host), while an over-cap Allow is dropped
+    # (dropping an Allow only ever narrows admission). The cap and both
+    # degradations are mirrored in the DuckDB twin.
+    n_stars = F.length(raw) - F.length(F.replace(raw, F.lit("*"), F.lit("")))
+    over = n_stars > 10
+    path = F.when(over, F.substring_index(raw, "*", 1)).otherwise(raw)
     # compile the robots pattern to a regex, natively: a trailing '$'
     # anchors (detected on the RAW value so every other '$' is literal),
-    # regex metachars escape, '*' becomes '.*'
-    anchored = path.endswith("$")
+    # regex metachars escape, '*' becomes '.*'. Degraded over-cap rules
+    # are plain prefixes (has_wild=0) — their pattern column is unused.
+    anchored = (~over) & path.endswith("$")
     core = F.when(
         anchored, F.substring(path, 1, F.length(path) - 1)
     ).otherwise(path)
@@ -108,23 +125,17 @@ def robots_rules(robots: DataFrame, host_col: str = "host",
         F.lit("^"), body,
         F.when(anchored, F.lit("$")).otherwise(F.lit("")),
     )
-    # ReDoS guard: each '*' becomes '.*' in a JAVA regex (backtracking,
-    # unlike the oracle's linear RE2), so an adversarial rule with dozens
-    # of stars could go exponential against a long page path on the
-    # executors. Rules beyond 10 wildcards are dropped (far beyond any
-    # legitimate robots pattern; the cap is mirrored in the DuckDB twin
-    # so the gate semantics stay identical).
-    n_stars = F.length(path) - F.length(F.replace(path, F.lit("*"), F.lit("")))
     return (
         grouped.filter(F.col("directive").isin("allow", "disallow"))
         .join(star, ["host", "grp"])
         .filter(F.col("value") != "")
-        .filter(n_stars <= 10)
+        .filter(~over | (F.col("directive") == "disallow"))
         .select(
             "host",
             path.alias("path"),
             pattern.alias("pattern"),
-            (path.contains("*") | anchored).cast("int").alias("has_wild"),
+            ((~over) & (path.contains("*") | anchored)).cast("int")
+            .alias("has_wild"),
             (F.col("directive") == "allow").cast("int").alias("allow"),
         )
     )

@@ -731,6 +731,9 @@ def _robots_filter_q(s: SparkSession, d: str) -> DataFrame:
             F.lit("# crawl policy\nUser-agent: *\nDisallow: /p1\nAllow: /p1"),
             k,
             F.lit("\nDisallow: /p*9$"
+                  "\nDisallow: /p.2*"
+                  "\nDisallow: /p7***********"
+                  "\nAllow: /p7***********"
                   "\nDisallow:\n\nUser-agent: badbot\nDisallow: /\n"),
         ).alias("robots_txt"),
     )
@@ -740,13 +743,22 @@ def _robots_filter_q(s: SparkSession, d: str) -> DataFrame:
 _register(
     "robots_filter",
     _robots_filter_q,
-    """
+    # RAW string: the metachar-escape step needs DuckDB to receive the
+    # class ([.+?(){}\[\]|^$\\]) and replacement \\\1 verbatim — in a
+    # non-raw literal Python collapses '\\])' (unterminated class; DuckDB
+    # regexp_replace silently returns its input on an invalid pattern)
+    # and turns '\1' into chr(1). The /p.2* fixture rule exercises the
+    # path cross-engine: unescaped '.' would disallow /p12, /p22, ...
+    r"""
     WITH hosts AS (
       SELECT 'h' || CAST(k AS VARCHAR) || '.example' AS host,
              '# crawl policy' || chr(10) || 'User-agent: *' || chr(10)
                || 'Disallow: /p1' || chr(10)
                || 'Allow: /p1' || CAST(k AS VARCHAR) || chr(10)
                || 'Disallow: /p*9$' || chr(10)
+               || 'Disallow: /p.2*' || chr(10)
+               || 'Disallow: /p7***********' || chr(10)
+               || 'Allow: /p7***********' || chr(10)
                || 'Disallow:' || chr(10) || chr(10)
                || 'User-agent: badbot' || chr(10) || 'Disallow: /'
                || chr(10) AS txt
@@ -791,23 +803,35 @@ _register(
       GROUP BY host, grp
       HAVING max(CASE WHEN value = '*' THEN 1 ELSE 0 END) = 1
     ),
-    rules AS (
-      SELECT g.host, g.value AS rpath,
-             '^' || regexp_replace(
-               regexp_replace(
-                 CASE WHEN g.value LIKE '%$'
-                      THEN substring(g.value, 1, length(g.value) - 1)
-                      ELSE g.value END,
-                 '([.+?(){}\[\]|^$\\])', '\\\1', 'g'),
-               '\*', '.*', 'g')
-               || CASE WHEN g.value LIKE '%$' THEN '$' ELSE '' END
-               AS pattern,
-             CASE WHEN g.value LIKE '%*%' OR g.value LIKE '%$'
-                  THEN 1 ELSE 0 END AS has_wild,
-             CASE WHEN g.directive = 'allow' THEN 1 ELSE 0 END AS allow
+    rule_rows AS (
+      SELECT g.host, g.value AS v, g.directive,
+             CASE WHEN length(g.value) - length(replace(g.value, '*', ''))
+                       > 10 THEN 1 ELSE 0 END AS over
       FROM grouped g JOIN star USING (host, grp)
       WHERE g.directive IN ('allow', 'disallow') AND g.value <> ''
-            AND length(g.value) - length(replace(g.value, '*', '')) <= 10
+    ),
+    rules AS (
+      -- ReDoS cap fails CLOSED, mirroring robots_rules: over-cap
+      -- Disallow degrades to the plain prefix before its first '*',
+      -- over-cap Allow drops; degraded rules are plain prefixes so
+      -- their pattern column is never evaluated.
+      SELECT host,
+             CASE WHEN over = 1 THEN split_part(v, '*', 1) ELSE v END
+               AS rpath,
+             '^' || regexp_replace(
+               regexp_replace(
+                 CASE WHEN v LIKE '%$'
+                      THEN substring(v, 1, length(v) - 1)
+                      ELSE v END,
+                 '([.+?(){}\[\]|^$\\])', '\\\1', 'g'),
+               '\*', '.*', 'g')
+               || CASE WHEN v LIKE '%$' THEN '$' ELSE '' END
+               AS pattern,
+             CASE WHEN over = 0 AND (v LIKE '%*%' OR v LIKE '%$')
+                  THEN 1 ELSE 0 END AS has_wild,
+             CASE WHEN directive = 'allow' THEN 1 ELSE 0 END AS allow
+      FROM rule_rows
+      WHERE over = 0 OR directive = 'disallow'
     ),
     pages AS (
       SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR)

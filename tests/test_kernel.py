@@ -409,6 +409,36 @@ def test_extract_links_skips_comments_scripts_and_keeps_literal_params():
     ]
 
 
+def test_extract_links_numeric_charref_end_state():
+    """HTML5 numeric-charref end state (13.2.5.80), matching stdlib
+    html.unescape: surrogates and >0x10FFFF become U+FFFD (chr() would
+    yield a lone surrogate that pyarrow's UTF-8 encoder rejects — one
+    hostile page would then kill the whole Arrow batch outside the
+    per-row error guard), NUL/C1 remap via windows-1252, noncharacters
+    drop."""
+    import html as _html
+
+    page = (
+        '<a href="/s?a=&#xD800;b">lo-surrogate</a>'
+        '<a href="/s?a=&#xDFFF;b">hi-surrogate</a>'
+        '<a href="/s?a=&#x110000;b">overflow</a>'
+        '<a href="/s?a=&#0;b">nul</a>'
+        '<a href="/s?a=&#x92;b">c1-control</a>'
+        '<a href="/s?a=&#xFDD0;b">nonchar</a>'
+    )
+    got = kernel.extract_links("https://h.example/p", page)
+    assert got == [
+        "https://h.example/s?a=�b",
+        "https://h.example/s?a=�b",
+        "https://h.example/s?a=�b",
+        "https://h.example/s?a=�b",
+        "https://h.example/s?a=" + _html.unescape("&#x92;") + "b",
+        "https://h.example/s?a=b",
+    ]
+    for u in got:
+        u.encode("utf-8")  # Arrow-safe: no lone surrogates survive
+
+
 def test_extract_surfaces_links_in_document_order():
     page = ('<html><body><a href="/one">1</a><p>text</p>'
             '<a href="/two">2</a></body></html>')

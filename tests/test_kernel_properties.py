@@ -4,6 +4,7 @@ ocr_cezam.py:67-83 re-expressed as error rows)."""
 
 from __future__ import annotations
 
+import pyarrow as pa
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -130,6 +131,7 @@ link_fragments = st.lists(
             "'rel'", "#frag", "javascript:x", "https://h.example/x",
             "//cdn.example/y", "&amp;", "<!--", "-->", "<script>",
             "</script>", "mailto:a@b.c",
+            "&#xD800;", "&#xDFFF;", "&#x110000;", "&#0;", "&#x92;",
         ]
     ),
     max_size=60,
@@ -147,3 +149,7 @@ def test_extract_links_never_raises_and_only_http(frag):
     assert a == b
     for u in a:
         assert u.startswith(("http://", "https://")), u
+        # UTF-8 encodable — a lone surrogate here would escape extract()'s
+        # per-row error guard and kill the whole Arrow batch downstream.
+        u.encode("utf-8")
+    pa.array(a, type=pa.string())

@@ -586,14 +586,32 @@ def test_robots_rules_and_longest_match_filter(spark):
         "https://w.example/docs/a.pdf": 1,
         "https://w.example/li$eral": 0,
     }
-    # ReDoS guard: a rule with an absurd wildcard count is dropped (its
-    # compiled Java regex could backtrack exponentially on executors)
+    # ReDoS guard fails CLOSED: an over-cap Disallow (its compiled Java
+    # regex could backtrack exponentially on executors) degrades to the
+    # plain prefix before its first '*' — the site's block still holds —
+    # while an over-cap Allow is dropped (dropping only narrows
+    # admission, never fails open).
     bomb = spark.createDataFrame(
         [("b.example",
-          "User-agent: *\nDisallow: /" + "a*" * 30 + "\nDisallow: /ok\n")],
+          "User-agent: *\nDisallow: /" + "a*" * 30 + "\nDisallow: /ok\n"
+          "Allow: /" + "a*" * 30 + "\n")],
         "host string, robots_txt string")
-    kept = robots.robots_rules(bomb).select("path").collect()
-    assert [r["path"] for r in kept] == ["/ok"]
+    kept = sorted((r["path"], r["has_wild"], r["allow"])
+                  for r in robots.robots_rules(bomb).collect())
+    assert kept == [("/a", 0, 0), ("/ok", 0, 0)]
+    bp = spark.createDataFrame(
+        [("https://b.example/abc",), ("https://b.example/zzz",)],
+        "url string")
+    gotb = {r2["url"]: r2["allowed"]
+            for r2 in robots.robots_filter(bp, bomb).collect()}
+    assert gotb == {"https://b.example/abc": 0, "https://b.example/zzz": 1}
+    # over-cap Disallow starting WITH a '*' has an empty prefix: the
+    # whole host fails closed
+    allstars = spark.createDataFrame(
+        [("s.example", "User-agent: *\nDisallow: " + "*" * 11 + "\n")],
+        "host string, robots_txt string")
+    sp = spark.createDataFrame([("https://s.example/any",)], "url string")
+    assert robots.robots_filter(sp, allstars).collect()[0]["allowed"] == 0
     # plan: no Python UDF; broadcast only when explicitly requested
     plan = (robots.robots_filter(pages, s_df, broadcast_rules=True)
             ._jdf.queryExecution().executedPlan().toString())
