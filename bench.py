@@ -3,7 +3,9 @@
 Two parts:
 1. Headline operator queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
    local[$SPARK_GRAFT_CPUS] — per-query wall seconds (noop sink, full plan
-   execution, no driver collect).
+   execution, no driver collect), MEDIAN of 3 cold reps per query (cache
+   cleared between reps) so one noisy-neighbor spike can't fake a
+   regression.
 2. Scaling evidence (BASELINE.json north_rule: >=0.8 efficiency from N to
    4N executors): the same extraction job at two parallelism levels in
    separate subprocesses (fresh JVM each), efficiency =
@@ -264,12 +266,24 @@ def run_queries() -> dict[str, float]:
         spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
         .groupBy("l_returnflag").count()
     )
+    # median-of-3 per query: single-shot timings on this shared box swing
+    # +-40% with background load, which made untouched queries "regress"
+    # between rounds. The cache is cleared before every rep so operators
+    # that persist an intermediate (token_budget_select's narrow
+    # projection) are measured COLD each time — the median is a full-cost
+    # number, not a cache-hit one.
+    import statistics
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
-        t0 = time.time()
-        _noop(fn(spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            _noop(fn(spark, SF_DIR))
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
     spark.stop()
     return timings
 
@@ -327,7 +341,7 @@ def write_report(result: dict) -> None:
         f"**Headline efficiency (clean pair): {sc['efficiency']}** "
         "(target >= 0.8).",
         "",
-        "## Headline query timings (sec)",
+        "## Headline query timings (sec, median of 3 cold reps each)",
         "",
         "| query | sec |",
         "|---|---|",

@@ -57,9 +57,26 @@ def token_budget_select(docs: DataFrame, budget: int,
     rows never enter the window sort. `offset <= budget` (not <) keeps
     the edge band whose first doc may still land exactly on the budget.
 
+    The narrow (id, n_tokens, quality, band) projection is persisted
+    (MEMORY_AND_DISK) before the band-totals pass: the totals collect and
+    the window pass would otherwise each re-read AND re-tokenize the full
+    corpus — tokenization dominates, so the double scan doubled the
+    operator's cost. ~32 bytes/doc of bounded intermediate state spills
+    to executor disk at scale; at production you'd write the projection
+    to a scratch table instead, which is the same shape. The band-pruning
+    filter is a literal map over `band`, so it still pushes below the
+    window's exchange — pruned bands are never shuffled, only read from
+    the materialized projection. (A single-job alternative — broadcast-
+    joining the offsets and sharing one repartition-by-band exchange via
+    ReuseExchange — was rejected: it defeats map-side partial aggregation
+    and shuffles 100% of rows, where this shape shuffles only the kept
+    bands.)
+
     Output: (id, n_tokens, quality, cum_tokens) for selected docs, where
     cum_tokens is the inclusive running total in global order.
     """
+    from pyspark import StorageLevel
+
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     base = docs.select(
         F.col(id_col),
@@ -69,7 +86,7 @@ def token_budget_select(docs: DataFrame, budget: int,
         "band",
         F.least(F.floor(F.col("quality") * n_buckets).cast("int"),
                 F.lit(n_buckets - 1)),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     per_band = {
         r["band"]: r["toks"]
         for r in base.groupBy("band").agg(F.sum("n_tokens").alias("toks"))
