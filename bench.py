@@ -74,6 +74,7 @@ HEADLINE = [
     "crawl_churn",
     "target_mix_sample",
     "robots_filter",
+    "robots_filter_agent",
     "crawl_delays",
     "sitemap_urls",
     "hnsw_ann_topk",

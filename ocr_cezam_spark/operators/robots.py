@@ -19,8 +19,10 @@ Semantics (Google robots.txt spec subset, documented deviations):
   separated by comments still share a group; other directives —
   Crawl-delay, Sitemap — DO break UA adjacency, which is why the group
   window runs over ALL parsed lines, not just ua/allow/disallow rows);
-- a group applies to us when any of its UA lines is ``*`` (agent-token
-  matching beyond ``*`` is out of scope here);
+- a group applies per the REP precedence rule: the group(s) whose UA
+  value is the LONGEST case-insensitive prefix of the configured agent
+  product token (trailing ``*`` ignored, length ties combine), with the
+  ``*`` group as fallback; ``agent=None`` selects only the ``*`` group;
 - Allow/Disallow values are path patterns: plain values match as
   PREFIXES; ``*`` matches any character run and a TRAILING ``$``
   anchors the end (the Google spec wildcards) — compiled to per-rule
@@ -35,7 +37,9 @@ Semantics (Google robots.txt spec subset, documented deviations):
 - empty-value rules ("Disallow:" = allow everything) are dropped;
 - hosts are matched case-insensitively with userinfo stripped (the
   shared functions.url.url_host extractor — one definition, no drift);
-- percent-decoding is NOT implemented (documented scope bound).
+- rule and page paths are percent-normalized before matching: escapes
+  of unreserved ASCII decode, other escapes uppercase their hex, and
+  %2F stays encoded (see pct_norm for why decoding stops there).
 
 Scale shape: rule extraction is one window pass + one aggregation over
 robots.txt LINES (tiny — robots files are KB); page filtering joins
@@ -55,11 +59,50 @@ from pyspark.sql import functions as F  # noqa: N812
 from ..functions.url import url_host
 
 
-def _star_groups(robots: DataFrame, host_col: str, txt_col: str):
-    """Shared parse front-end: (grouped lines, star-group keys). Every
-    non-blank line enters the group window (a Crawl-delay between two
-    User-agent lines must break their adjacency); directives a consumer
-    doesn't implement just never become its rows."""
+def pct_norm(col: F.Column) -> F.Column:
+    """RFC 3986-style percent normalization for robots path matching:
+    %XX escapes of UNRESERVED ASCII (ALPHA / DIGIT / - . _ ~) decode to
+    the character, every other valid escape uppercases its hex digits
+    (%2f == %2F), invalid escapes stay literal. Decoding is restricted to
+    the unreserved set on purpose — decoding %2F would collapse path
+    structure and decoding %2A/%24 would conjure wildcard/anchor
+    metacharacters into rule patterns. Pure HOF over a '%' split (no
+    UDF); the DuckDB twin re-implements the identical chain."""
+    def hex2(p: F.Column) -> F.Column:
+        return F.substring(p, 1, 2)
+
+    def dec(p: F.Column, i: F.Column) -> F.Column:
+        valid = hex2(p).rlike("^[0-9A-Fa-f]{2}$")
+        c = F.conv(hex2(p), 16, 10).cast("int")
+        decodable = (
+            c.between(48, 57) | c.between(65, 90) | c.between(97, 122)
+            | c.isin(45, 46, 95, 126)
+        )
+        rest = F.substring(p, 3, 2147483647)
+        return (
+            F.when(i == 0, p)
+            .when(valid & decodable, F.concat(F.char(c), rest))
+            .when(valid, F.concat(F.lit("%"), F.upper(hex2(p)), rest))
+            .otherwise(F.concat(F.lit("%"), p))
+        )
+
+    return F.array_join(F.transform(F.split(col, "%"), dec), "")
+
+
+def _applicable_groups(robots: DataFrame, host_col: str, txt_col: str,
+                       agent: str | None = None):
+    """Shared parse front-end: (grouped lines, applicable-group keys).
+    Every non-blank line enters the group window (a Crawl-delay between
+    two User-agent lines must break their adjacency); directives a
+    consumer doesn't implement just never become its rows.
+
+    Group selection follows the REP precedence rule: with ``agent`` set
+    (a lowercase product token, e.g. ``"cezambot-news"``), the group(s)
+    whose User-agent value is the LONGEST case-insensitive prefix of the
+    token apply (trailing ``*`` on the value is ignored, groups tying on
+    length combine per RFC 9309); the ``*`` group applies only when no
+    specific value matches. With ``agent=None`` only the ``*`` group
+    applies (the anonymous-crawler view)."""
     lines = robots.select(
         F.lower(F.col(host_col)).alias("host"),
         F.posexplode(
@@ -82,21 +125,50 @@ def _star_groups(robots: DataFrame, host_col: str, txt_col: str):
         "grp",
         F.sum(F.when((is_ua == 1) & (prev_ua == 0), 1).otherwise(0)).over(w),
     )
+    ua = grouped.filter(F.col("directive") == "user-agent")
     star = (
-        grouped.filter(F.col("directive") == "user-agent")
-        .groupBy("host", "grp")
+        ua.groupBy("host", "grp")
         .agg(F.max((F.col("value") == "*").cast("int")).alias("has_star"))
         .filter(F.col("has_star") == 1)
         .select("host", "grp")
     )
-    return grouped, star
+    if agent is None:
+        return grouped, star
+    # longest-agent-match wins: value (lowercased, trailing '*' stripped)
+    # must be a prefix of the configured product token. All aggregations
+    # key on host — bounded by hosts x UA-lines, tiny beside the corpus.
+    tok = agent.lower()
+    v_clean = F.regexp_replace(F.lower(F.col("value")), r"\*+$", "")
+    matched = (
+        ua.select("host", "grp", v_clean.alias("v"))
+        .filter((F.col("v") != "") & F.lit(tok).startswith(F.col("v")))
+    )
+    best = matched.groupBy("host").agg(F.max(F.length("v")).alias("blen"))
+    specific = (
+        matched.join(best, "host")
+        .filter(F.length("v") == F.col("blen"))
+        .select("host", "grp")
+        .distinct()
+    )
+    star_fallback = star.join(
+        specific.select("host").distinct(), "host", "left_anti"
+    )
+    return grouped, specific.unionByName(star_fallback)
+
+
+def _star_groups(robots: DataFrame, host_col: str, txt_col: str):
+    return _applicable_groups(robots, host_col, txt_col, agent=None)
 
 
 def robots_rules(robots: DataFrame, host_col: str = "host",
-                 txt_col: str = "robots_txt") -> DataFrame:
-    """(host, path, pattern, has_wild, allow) rules applying to
-    User-agent ``*``; host is lowercased."""
-    grouped, star = _star_groups(robots, host_col, txt_col)
+                 txt_col: str = "robots_txt",
+                 agent: str | None = None) -> DataFrame:
+    """(host, path, pattern, has_wild, allow) rules applying to the
+    configured agent token (longest-agent-match groups; ``None`` = the
+    ``*`` group only); host is lowercased, paths percent-normalized
+    (pct_norm) before compilation so %2E-style escapes match their
+    literal spelling."""
+    grouped, star = _applicable_groups(robots, host_col, txt_col, agent)
     raw = F.col("value")
     # ReDoS guard: each '*' becomes '.*' in a JAVA regex (backtracking,
     # unlike the oracle's linear RE2), so an adversarial rule with dozens
@@ -110,7 +182,10 @@ def robots_rules(robots: DataFrame, host_col: str = "host",
     # degradations are mirrored in the DuckDB twin.
     n_stars = F.length(raw) - F.length(F.replace(raw, F.lit("*"), F.lit("")))
     over = n_stars > 10
-    path = F.when(over, F.substring_index(raw, "*", 1)).otherwise(raw)
+    # percent-normalize AFTER over-cap truncation (decode cannot create a
+    # '*' or '$', so wildcard/anchor detection is escape-stable)
+    path = pct_norm(F.when(over, F.substring_index(raw, "*", 1))
+                    .otherwise(raw))
     # compile the robots pattern to a regex, natively: a trailing '$'
     # anchors (detected on the RAW value so every other '$' is literal),
     # regex metachars escape, '*' becomes '.*'. Degraded over-cap rules
@@ -143,15 +218,17 @@ def robots_rules(robots: DataFrame, host_col: str = "host",
 
 def crawl_delays(robots: DataFrame, host_col: str = "host",
                  txt_col: str = "robots_txt",
-                 default_delay: float = 0.0) -> DataFrame:
-    """(host, delay_sec): the Crawl-delay applying to User-agent ``*``
-    per host — the politeness rate a frontier scheduler divides each
-    host's fetch budget by. Reuses the SAME group state machine as
-    robots_rules (one definition of "which group applies to us"); when a
-    star group declares several delays the LARGEST wins (most
-    conservative), hosts with none report ``default_delay``.
-    Non-numeric values are ignored (try_cast, not a parse error)."""
-    parsed, star = _star_groups(robots, host_col, txt_col)
+                 default_delay: float = 0.0,
+                 agent: str | None = None) -> DataFrame:
+    """(host, delay_sec): the Crawl-delay applying to the configured
+    agent (``None`` = the ``*`` group) per host — the politeness rate a
+    frontier scheduler divides each host's fetch budget by. Reuses the
+    SAME group state machine as robots_rules (one definition of "which
+    group applies to us"); when the applicable group declares several
+    delays the LARGEST wins (most conservative), hosts with none report
+    ``default_delay``. Non-numeric values are ignored (try_cast, not a
+    parse error)."""
+    parsed, star = _applicable_groups(robots, host_col, txt_col, agent)
     declared = (
         parsed.filter(F.col("directive") == "crawl-delay")
         .join(star, ["host", "grp"])
@@ -202,16 +279,21 @@ def _url_path(url_col) -> F.Column:
 def robots_filter(pages: DataFrame, robots: DataFrame,
                   url_col: str = "url", host_col: str = "host",
                   txt_col: str = "robots_txt",
-                  broadcast_rules: bool = False) -> DataFrame:
+                  broadcast_rules: bool = False,
+                  agent: str | None = None) -> DataFrame:
     """(url, allowed) for every page: longest-prefix-match against the
-    page host's ``*`` rules, Allow winning ties, allowed by default.
+    page host's applicable rules (the configured agent's longest-match
+    group, ``None`` = the ``*`` group), Allow winning ties, allowed by
+    default. Page paths and rule paths are both percent-normalized
+    (pct_norm) so escaped and literal spellings of the same unreserved
+    character match.
 
     One equi-join on the lowercased host plus a max-of-struct
     aggregation per url — matched rules reduce to (longest, most
     permissive) without any window over the page table. The join
     strategy is Catalyst's choice unless ``broadcast_rules=True``
     (see module docstring for why forcing it is wrong at web scale)."""
-    rules = robots_rules(robots, host_col, txt_col).select(
+    rules = robots_rules(robots, host_col, txt_col, agent=agent).select(
         "host", F.col("path").alias("rpath"), "pattern", "has_wild", "allow"
     )
     if broadcast_rules:
@@ -219,7 +301,7 @@ def robots_filter(pages: DataFrame, robots: DataFrame,
     base = pages.select(
         F.col(url_col).alias("url"),
         url_host(F.col(url_col)).alias("host"),
-        _url_path(F.col(url_col)).alias("page_path"),
+        pct_norm(_url_path(F.col(url_col))).alias("page_path"),
     )
     # wildcard rules match by their compiled regex; plain rules keep the
     # cheap startswith. Unmatched join rows carry NULL rule columns, so

@@ -740,30 +740,74 @@ def _robots_filter_q(s: SparkSession, d: str) -> DataFrame:
     return R.robots_filter(pages, hosts)
 
 
-_register(
-    "robots_filter",
-    _robots_filter_q,
-    # RAW string: the metachar-escape step needs DuckDB to receive the
-    # class ([.+?(){}\[\]|^$\\]) and replacement \\\1 verbatim — in a
-    # non-raw literal Python collapses '\\])' (unterminated class; DuckDB
-    # regexp_replace silently returns its input on an invalid pattern)
-    # and turns '\1' into chr(1). The /p.2* fixture rule exercises the
-    # path cross-engine: unescaped '.' would disallow /p12, /p22, ...
-    r"""
-    WITH hosts AS (
-      SELECT 'h' || CAST(k AS VARCHAR) || '.example' AS host,
-             '# crawl policy' || chr(10) || 'User-agent: *' || chr(10)
-               || 'Disallow: /p1' || chr(10)
-               || 'Allow: /p1' || CAST(k AS VARCHAR) || chr(10)
-               || 'Disallow: /p*9$' || chr(10)
-               || 'Disallow: /p.2*' || chr(10)
-               || 'Disallow: /p7***********' || chr(10)
-               || 'Allow: /p7***********' || chr(10)
-               || 'Disallow:' || chr(10) || chr(10)
-               || 'User-agent: badbot' || chr(10) || 'Disallow: /'
-               || chr(10) AS txt
-      FROM range(50) t(k)
+def _duck_pct(arg: str) -> str:
+    """DuckDB twin of operators.robots.pct_norm: decode %XX escapes of
+    unreserved ASCII, uppercase other valid escapes, keep invalid ones
+    literal. Emitted as an expression string so both robots oracles
+    share ONE definition."""
+    code = "CAST(concat('0x', substring(x, 1, 2)) AS INT)"
+    is_hex = "regexp_matches(substring(x, 1, 2), '^[0-9A-Fa-f]{2}$')"
+    return (
+        "array_to_string(list_transform(string_split(" + arg + ", '%'), "
+        "(x, i) -> CASE WHEN i = 1 THEN x "
+        "WHEN " + is_hex + " AND (" + code + " BETWEEN 48 AND 57 OR "
+        + code + " BETWEEN 65 AND 90 OR " + code + " BETWEEN 97 AND 122 OR "
+        + code + " IN (45, 46, 95, 126)) "
+        "THEN chr(" + code + ") || substring(x, 3) "
+        "WHEN " + is_hex + " "
+        "THEN '%' || upper(substring(x, 1, 2)) || substring(x, 3) "
+        "ELSE '%' || x END), '')"
+    )
+
+
+def _robots_oracle_sql(hosts_cte: str, pages_cte: str,
+                       agent: "str | None") -> str:
+    """One DuckDB re-implementation of the robots_filter chain — line
+    explode, comment strip, UA group window, group selection (star or
+    longest-agent-match), percent normalization, over-cap fail-closed
+    degradation, rule compile, longest-prefix max-of-struct — shared by
+    the robots_filter and robots_filter_agent oracles so the twin can
+    never drift between them. Pieces with regex backslashes are raw
+    strings: DuckDB must receive the metachar class
+    ([.+?(){}\\[\\]|^$\\\\]) and replacement \\\\\\1 verbatim (a non-raw
+    literal collapses the class — unterminated, which DuckDB
+    regexp_replace silently ignores — and turns \\1 into chr(1))."""
+    if agent is None:
+        selected = "SELECT host, grp FROM star"
+    else:
+        selected = (
+            "SELECT DISTINCT m.host, m.grp FROM matched m "
+            "JOIN best b ON m.host = b.host AND m.vlen = b.blen "
+            "UNION "
+            "SELECT s.host, s.grp FROM star s "
+            "WHERE s.host NOT IN (SELECT host FROM matched)"
+        )
+    agent_ctes = "" if agent is None else (
+        r"""
+    ua AS (
+      SELECT host, grp,
+             lower(regexp_replace(value, '\*+$', '')) AS v
+      FROM grouped WHERE directive = 'user-agent'
     ),
+    matched AS (
+      SELECT DISTINCT host, grp, length(v) AS vlen FROM ua
+      WHERE v <> '' AND starts_with('"""
+        + agent.lower() + r"""', v)
+    ),
+    best AS (SELECT host, max(vlen) AS blen FROM matched GROUP BY host),"""
+    )
+    compile_sql = (
+        r"""'^' || regexp_replace(
+               regexp_replace(
+                 CASE WHEN dv LIKE '%$'
+                      THEN substring(dv, 1, length(dv) - 1)
+                      ELSE dv END,
+                 '([.+?(){}\[\]|^$\\])', '\\\1', 'g'),
+               '\*', '.*', 'g')
+               || CASE WHEN dv LIKE '%$' THEN '$' ELSE '' END"""
+    )
+    return f"""
+    WITH hosts AS ({hosts_cte}),
     lines AS (
       SELECT lower(host) AS host, pos,
              trim(regexp_replace(raw, '#.*', '')) AS line
@@ -802,54 +846,46 @@ _register(
       WHERE directive = 'user-agent'
       GROUP BY host, grp
       HAVING max(CASE WHEN value = '*' THEN 1 ELSE 0 END) = 1
-    ),
+    ),{agent_ctes}
+    selected AS ({selected}),
     rule_rows AS (
       SELECT g.host, g.value AS v, g.directive,
              CASE WHEN length(g.value) - length(replace(g.value, '*', ''))
                        > 10 THEN 1 ELSE 0 END AS over
-      FROM grouped g JOIN star USING (host, grp)
+      FROM grouped g JOIN selected USING (host, grp)
       WHERE g.directive IN ('allow', 'disallow') AND g.value <> ''
     ),
-    rules AS (
+    rule_vals AS (
       -- ReDoS cap fails CLOSED, mirroring robots_rules: over-cap
       -- Disallow degrades to the plain prefix before its first '*',
-      -- over-cap Allow drops; degraded rules are plain prefixes so
-      -- their pattern column is never evaluated.
-      SELECT host,
-             CASE WHEN over = 1 THEN split_part(v, '*', 1) ELSE v END
-               AS rpath,
-             '^' || regexp_replace(
-               regexp_replace(
-                 CASE WHEN v LIKE '%$'
-                      THEN substring(v, 1, length(v) - 1)
-                      ELSE v END,
-                 '([.+?(){}\[\]|^$\\])', '\\\1', 'g'),
-               '\*', '.*', 'g')
-               || CASE WHEN v LIKE '%$' THEN '$' ELSE '' END
-               AS pattern,
-             CASE WHEN over = 0 AND (v LIKE '%*%' OR v LIKE '%$')
-                  THEN 1 ELSE 0 END AS has_wild,
-             CASE WHEN directive = 'allow' THEN 1 ELSE 0 END AS allow
+      -- over-cap Allow drops; dv is the percent-normalized value
+      SELECT host, directive, over,
+             {_duck_pct("CASE WHEN over = 1 THEN split_part(v, '*', 1) "
+                        "ELSE v END")} AS dv
       FROM rule_rows
       WHERE over = 0 OR directive = 'disallow'
     ),
-    pages AS (
-      SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR)
-               || '.example/p' || CAST(doc_id AS VARCHAR) AS url
-      FROM documents
+    rules AS (
+      SELECT host, dv AS rpath,
+             {compile_sql} AS pattern,
+             CASE WHEN over = 0 AND (dv LIKE '%*%' OR dv LIKE '%$')
+                  THEN 1 ELSE 0 END AS has_wild,
+             CASE WHEN directive = 'allow' THEN 1 ELSE 0 END AS allow
+      FROM rule_vals
     ),
+    pages AS ({pages_cte}),
     base AS (
       SELECT url,
              lower(regexp_extract(
                regexp_extract(url,
                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
                '^(?:.*@)?([^@]*)$', 1)) AS host,
-             CASE WHEN regexp_extract(
-                    url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^#]*)?', 1)
-                    = '' THEN '/'
-                  ELSE regexp_extract(
-                    url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^#]*)?', 1)
-             END AS page_path
+             {_duck_pct(
+                 "CASE WHEN regexp_extract(url, "
+                 "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^#]*)?', 1) = '' "
+                 "THEN '/' ELSE regexp_extract(url, "
+                 "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^#]*)?', 1) END"
+             )} AS page_path
       FROM pages
     ),
     scored AS (
@@ -857,12 +893,112 @@ _register(
              CASE WHEN (CASE WHEN r.has_wild = 1
                              THEN regexp_matches(b.page_path, r.pattern)
                              ELSE starts_with(b.page_path, r.rpath) END)
-                  THEN {'l': length(r.rpath), 'a': r.allow} END AS m
+                  THEN {{'l': length(r.rpath), 'a': r.allow}} END AS m
       FROM base b LEFT JOIN rules r USING (host)
     )
     SELECT url, CAST(coalesce((max(m)).a, 1) AS INT) AS allowed
     FROM scored GROUP BY url
-    """,
+    """
+
+
+_ROBOTS_HOSTS_CTE = r"""
+      SELECT 'h' || CAST(k AS VARCHAR) || '.example' AS host,
+             '# crawl policy' || chr(10) || 'User-agent: *' || chr(10)
+               || 'Disallow: /p1' || chr(10)
+               || 'Allow: /p1' || CAST(k AS VARCHAR) || chr(10)
+               || 'Disallow: /p*9$' || chr(10)
+               || 'Disallow: /p.2*' || chr(10)
+               || 'Disallow: /p7***********' || chr(10)
+               || 'Allow: /p7***********' || chr(10)
+               || 'Disallow:' || chr(10) || chr(10)
+               || 'User-agent: badbot' || chr(10) || 'Disallow: /'
+               || chr(10) AS txt
+      FROM range(50) t(k)
+"""
+
+_ROBOTS_PAGES_CTE = r"""
+      SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR)
+               || '.example/p' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+"""
+
+_register(
+    "robots_filter",
+    _robots_filter_q,
+    _robots_oracle_sql(_ROBOTS_HOSTS_CTE, _ROBOTS_PAGES_CTE, agent=None),
+)
+
+
+# Agent-token group selection (REP longest-match precedence) over a
+# fixture where even hosts publish cezambot/cezambot-news groups (the
+# longer token must win for agent 'cezambot-news'; its Disallow uses a
+# %34 escape that must decode to '4') and odd hosts only publish a
+# block-everything star group (the fallback). A third of the page urls
+# percent-encode a path digit, so the page-side normalization is
+# exercised cross-engine too.
+def _robots_filter_agent_q(s: SparkSession, d: str) -> DataFrame:
+    from .operators import robots as R
+
+    doc_id = F.col("doc_id")
+    ds = doc_id.cast("string")
+    path = F.when(
+        doc_id % 3 == 0,
+        F.concat(F.lit("/p%3"), F.substring(ds, 1, 1),
+                 F.expr("substring(cast(doc_id as string), 2)")),
+    ).otherwise(F.concat(F.lit("/p"), ds))
+    pages = _t(s, d, "documents").select(
+        F.concat(F.lit("https://h"), (doc_id % 50).cast("string"),
+                 F.lit(".example"), path).alias("url")
+    )
+    k = F.col("id")
+    agent_groups = F.when(
+        k % 2 == 0,
+        F.lit("User-agent: cezambot\nDisallow: /p1\n\n"
+              "User-agent: CezamBot-News*\nAllow: /p1\n"
+              "Disallow: /p%34\n\n"),
+    ).otherwise(F.lit(""))
+    hosts = s.range(50).select(
+        F.concat(F.lit("h"), k.cast("string"), F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /\n\n"),
+            agent_groups,
+            F.lit("User-agent: badbot\nDisallow: /\n"),
+        ).alias("robots_txt"),
+    )
+    return R.robots_filter(pages, hosts, agent="cezambot-news")
+
+
+_ROBOTS_AGENT_HOSTS_CTE = r"""
+      SELECT 'h' || CAST(k AS VARCHAR) || '.example' AS host,
+             'User-agent: *' || chr(10) || 'Disallow: /'
+               || chr(10) || chr(10)
+               || CASE WHEN k % 2 = 0 THEN
+                    'User-agent: cezambot' || chr(10)
+                    || 'Disallow: /p1' || chr(10) || chr(10)
+                    || 'User-agent: CezamBot-News*' || chr(10)
+                    || 'Allow: /p1' || chr(10)
+                    || 'Disallow: /p%34' || chr(10) || chr(10)
+                  ELSE '' END
+               || 'User-agent: badbot' || chr(10) || 'Disallow: /'
+               || chr(10) AS txt
+      FROM range(50) t(k)
+"""
+
+_ROBOTS_AGENT_PAGES_CTE = r"""
+      SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.example'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '/p%3'
+                            || substring(CAST(doc_id AS VARCHAR), 1, 1)
+                            || substring(CAST(doc_id AS VARCHAR), 2)
+                       ELSE '/p' || CAST(doc_id AS VARCHAR) END AS url
+      FROM documents
+"""
+
+_register(
+    "robots_filter_agent",
+    _robots_filter_agent_q,
+    _robots_oracle_sql(_ROBOTS_AGENT_HOSTS_CTE, _ROBOTS_AGENT_PAGES_CTE,
+                       agent="cezambot-news"),
 )
 
 
@@ -3639,6 +3775,9 @@ _WINDOW_TAIL = [
     # min/max/median price values sit far from representable-midpoint
     # hazards and the sf0.001 tail gate re-checks it every pytest run):
     "percentile_stats",
+    # r6 rotation: rotated out as robots_filter_agent entered the window
+    # (r5-driver-green, scoring chain untouched this round):
+    "unigram_logprob",
 ]
 
 

@@ -619,6 +619,94 @@ def test_robots_rules_and_longest_match_filter(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_robots_agent_group_precedence(spark):
+    from ocr_cezam_spark.operators import robots
+
+    txt = (
+        "User-agent: *\nDisallow: /\n"                    # star: block all
+        "User-agent: cezambot\nDisallow: /a\n"            # prefix, len 8
+        "User-agent: CezamBot-News*\nDisallow: /b\n"      # longest, len 13
+        "User-agent: badbot\nDisallow: /c\n"
+    )
+    r = spark.createDataFrame([("h.example", txt)],
+                              "host string, robots_txt string")
+    pages = spark.createDataFrame([
+        ("https://h.example/a/x",), ("https://h.example/b/x",),
+        ("https://h.example/c/x",), ("https://h.example/free",),
+    ], "url string")
+
+    def key(u):
+        return u.split(".example/", 1)[1].split("/", 1)[0]
+
+    def run(agent):
+        return {key(row["url"]): row["allowed"]
+                for row in robots.robots_filter(pages, r, agent=agent)
+                .collect()}
+
+    # longest matching UA value wins: only the cezambot-news group
+    # applies (case-insensitive, trailing '*' on the value ignored)
+    assert run("cezambot-news") == {"a": 1, "b": 0, "c": 1, "free": 1}
+    # shorter token: only the cezambot group
+    assert run("cezambot") == {"a": 0, "b": 1, "c": 1, "free": 1}
+    # unknown agent falls back to the * group (blocks everything)
+    assert run("otherbot") == {"a": 0, "b": 0, "c": 0, "free": 0}
+    # agent=None keeps the anonymous * view
+    assert run(None) == {"a": 0, "b": 0, "c": 0, "free": 0}
+    # length ties COMBINE (RFC 9309): two groups both named cezambot
+    tie_txt = ("User-agent: cezambot\nDisallow: /a\n\n"
+               "User-agent: CEZAMBOT\nDisallow: /b\n")
+    tie = spark.createDataFrame([("h.example", tie_txt)],
+                                "host string, robots_txt string")
+    got = {key(row["url"]): row["allowed"]
+           for row in robots.robots_filter(pages, tie, agent="cezambot")
+           .collect()}
+    assert got == {"a": 0, "b": 0, "c": 1, "free": 1}
+    # CRLF files: agent groups parse identically
+    crlf = spark.createDataFrame([("h.example", txt.replace("\n", "\r\n"))],
+                                 "host string, robots_txt string")
+    got2 = {key(row["url"]): row["allowed"]
+            for row in robots.robots_filter(pages, crlf,
+                                            agent="cezambot-news").collect()}
+    assert got2 == {"a": 1, "b": 0, "c": 1, "free": 1}
+    # crawl_delays honors the agent group too
+    d_txt = ("User-agent: *\nCrawl-delay: 1\n"
+             "User-agent: cezambot\nCrawl-delay: 7\n")
+    dr = spark.createDataFrame([("h.example", d_txt)],
+                               "host string, robots_txt string")
+    assert robots.crawl_delays(dr, agent="cezambot") \
+        .collect()[0]["delay_sec"] == 7.0
+    assert robots.crawl_delays(dr).collect()[0]["delay_sec"] == 1.0
+
+
+def test_robots_percent_normalization(spark):
+    from ocr_cezam_spark.operators import robots
+
+    # %2E decodes to '.' on BOTH sides; %2F stays encoded (path
+    # structure); %2A never becomes a wildcard
+    txt = ("User-agent: *\n"
+           "Disallow: /dot%2Ecom\n"     # rule escaped, page literal
+           "Disallow: /lit.x\n"         # rule literal, page escaped
+           "Disallow: /star%2A\n"       # literal '*', NOT a wildcard
+           "Disallow: /enc%2Fslash\n")  # %2F: matches only encoded form
+    r = spark.createDataFrame([("h.example", txt)],
+                              "host string, robots_txt string")
+    pages = spark.createDataFrame([
+        ("https://h.example/dot.com/a", 0),
+        ("https://h.example/lit%2Ex/a", 0),
+        # reserved chars match only their encoded spelling (documented
+        # bound: pct_norm decodes unreserved only, never encodes)
+        ("https://h.example/star*z", 1),
+        ("https://h.example/star%2az", 0),   # hex case-normalized match
+        ("https://h.example/starQz", 1),     # wildcard would match this
+        ("https://h.example/enc%2fslash", 0),  # hex case-normalized
+        ("https://h.example/enc/slash", 1),    # literal '/' ≠ %2F
+    ], "url string, want int")
+    got = {row["url"]: row["allowed"]
+           for row in robots.robots_filter(pages, r).collect()}
+    want = {row["url"]: row["want"] for row in pages.collect()}
+    assert got == want
+
+
 def test_crawl_delays_and_sitemap_urls(spark):
     from ocr_cezam_spark.operators import robots
 
