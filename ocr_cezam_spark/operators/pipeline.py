@@ -54,3 +54,85 @@ def clean_corpus(docs: DataFrame, id_col: str = "doc_id",
         F.col("passes") == 1
     ).select(id_col, "mean_word_len", "alpha_word_frac")
     return tq.join(gq, id_col)
+
+
+def frontier_next(links: DataFrame, crawled: DataFrame, robots: DataFrame,
+                  href_col: str = "href",
+                  agent: str | None = None,
+                  default_delay: float = 1.0,
+                  pr_iters: int = 3,
+                  top_k_per_host: int | None = None) -> DataFrame:
+    """The crawl-side composition showpiece: from this crawl's extracted
+    anchors to the next fetch batch, as ONE declarative chain —
+
+      extracted links -> canonicalize -> drop urls whose newest snapshot
+      we already hold (latest_crawl_dedup) -> robots admission for the
+      configured agent (allowed only) -> per-host ranking, PageRank-
+      weighted and crawl-delay-aware.
+
+    Reference analog: the admission-guard shape of releve_bancaire.py:35-42
+    (check the artifact is admissible BEFORE spending work on it)
+    generalized to the crawl loop: politeness (robots), novelty (recrawl
+    dedup) and worth (host rank) are all decided before a fetch is
+    scheduled.
+
+    Output: (url, host, host_rank, delay_sec, fetch_pos, priority) —
+    fetch_pos is the url's deterministic position within its host queue
+    (row_number by url), priority = host_rank / (delay_sec + 1) rounded
+    to 8 dp (a slow-host candidate is worth less per unit of crawl
+    budget). ``top_k_per_host`` caps each host's batch; pass it in
+    production — the rank filter sits directly on the row_number so
+    Spark's WindowGroupLimit computes partial per-host top-k BEFORE the
+    shuffle, which is what keeps a million-candidate hot host from
+    funneling through one sort task.
+
+    Scale shape: candidate dedup and the anti-join shuffle on the url
+    key; robots/delay joins shuffle on host (rules side deliberately NOT
+    hint-broadcast — millions of hosts; Catalyst/AQE picks); PageRank
+    over the HOST graph (|hosts| << |urls|) reuses graph.pagerank's
+    shape. One driver scalar (the host count inside pagerank); no
+    collects over url-sized data."""
+    from ..functions.url import canonicalize_url, url_host
+    from ..functions.numeric import round_he
+    from .dedup import latest_crawl_dedup
+    from .graph import pagerank
+    from .robots import crawl_delays, robots_filter
+    from pyspark.sql import Window
+
+    candidates = links.select(
+        canonicalize_url(F.col(href_col)).alias("url")
+    ).distinct()
+    holdings = latest_crawl_dedup(crawled).select(
+        canonicalize_url(F.col("url")).alias("url")
+    )
+    fresh = candidates.join(holdings, "url", "left_anti")
+    admitted = (
+        robots_filter(fresh, robots, agent=agent)
+        .filter(F.col("allowed") == 1)
+        .select("url")
+    )
+    host_graph = links.select(
+        url_host(F.col("url")).alias("src"),
+        url_host(F.col(href_col)).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    ranks = pagerank(host_graph, iters=pr_iters)
+    delays = crawl_delays(robots, default_delay=default_delay, agent=agent)
+    w = Window.partitionBy("host").orderBy("url")
+    out = (
+        admitted.withColumn("host", url_host(F.col("url")))
+        .join(ranks, "host", "left")
+        .join(delays, "host", "left")
+        .select(
+            "url", "host",
+            F.coalesce("rank", F.lit(0.0)).alias("host_rank"),
+            F.coalesce("delay_sec", F.lit(float(default_delay)))
+            .alias("delay_sec"),
+        )
+        .withColumn("fetch_pos", F.row_number().over(w))
+    )
+    if top_k_per_host is not None:
+        out = out.filter(F.col("fetch_pos") <= top_k_per_host)
+    return out.withColumn(
+        "priority",
+        round_he(F.col("host_rank") / (F.col("delay_sec") + 1.0), 8),
+    )

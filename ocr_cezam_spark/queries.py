@@ -2526,6 +2526,157 @@ _register(
     """,
 )
 
+
+_PR_ITERS = 3
+_PR_DEFAULT_LINKS = """
+      SELECT src, dst FROM (
+        SELECT source AS src,
+               unnest(['src' || CAST((doc_id * 7) % 20 AS VARCHAR),
+                       'src' || CAST((doc_id * 13) % 20 AS VARCHAR)]) AS dst
+        FROM documents
+      ) WHERE src <> dst
+    """
+
+
+def _pagerank_ctes(links_body: str, iters: int = _PR_ITERS) -> str:
+    """Unrolled-PageRank CTE chain (links, hosts, nn, deg, r0..rN) over a
+    caller-supplied links CTE body; the caller embeds it in a WITH and
+    reads rounded ranks from pr_final. Shared by the host_pagerank and
+    frontier_next oracles so the iteration arithmetic can't drift."""
+    sql = f"""
+    links AS ({links_body}),
+    hosts AS (SELECT DISTINCT src AS host FROM links
+              UNION SELECT DISTINCT dst AS host FROM links),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM hosts),
+    deg AS (SELECT src, count(*) AS outd FROM links GROUP BY src),
+    r0 AS (SELECT host, 1.0 / nn.n AS rank FROM hosts CROSS JOIN nn)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+    c{k} AS (SELECT l.dst AS host, sum(r.rank / d.outd) AS s
+             FROM links l JOIN r{k - 1} r ON l.src = r.host
+             JOIN deg d ON l.src = d.src
+             GROUP BY l.dst),
+    r{k} AS (SELECT h.host, 0.15 / nn.n + 0.85 * coalesce(c.s, 0) AS rank
+             FROM hosts h CROSS JOIN nn
+             LEFT JOIN c{k} c ON h.host = c.host)"""
+    sql += f""",
+    pr_final AS (SELECT host, floor((rank) * 1e8 + 0.5) / 1e8 AS rank
+                 FROM r{iters})"""
+    return sql
+
+
+
+# The crawl-loop composition: extracted links -> canonicalize -> drop
+# already-held urls (latest_crawl_dedup over a two-snapshot synthetic
+# store covering an md5-selected half of the candidates) -> robots
+# admission (md5-selected hosts publish 'Disallow: /s' plus a 0-2s
+# crawl-delay) -> per-host PageRank-weighted, delay-aware top-3. The
+# oracle starts from the frozen golden links (the kernel pass is
+# golden-checked by extract_links) and restates every downstream stage
+# from first principles — the robots effect as a plain prefix test (the
+# full parser chain is cross-checked by robots_filter/_agent), PageRank
+# via the shared unrolled-CTE builder. Golden hrefs are verified clean
+# (lowercase, portless, no query/fragment), so canonicalization is the
+# identity on this input; the messy-input behavior is cross-checked by
+# url_canonicalize.
+def _frontier_next_q(s: SparkSession, d: str) -> DataFrame:
+    from .functions.url import url_host
+    from .operators import pipeline as P
+
+    links = X.extracted_links(_kernel_out(s))
+    url_sel = F.conv(F.substring(F.md5("url"), 1, 2), 16, 10).cast("int")
+    already = (
+        links.select(F.col("href").alias("url")).distinct()
+        .filter(url_sel % 4 < 2)
+    )
+    crawled = already.select(
+        "url", F.explode(F.array(F.lit(1), F.lit(2))).alias("snap")
+    ).select(
+        "url",
+        F.col("snap").cast("long").alias("doc_id"),
+        F.col("snap").cast("long").alias("warc_ts"),
+    )
+    hosts_all = links.select(url_host(F.col("href")).alias("host")).distinct()
+    host_sel = F.conv(F.substring(F.md5("host"), 1, 2), 16, 10).cast("int")
+    dly = (F.conv(F.substring(F.md5(F.col("host")), 3, 1), 16, 10)
+           .cast("int") % 3).cast("string")
+    robots = hosts_all.filter(host_sel % 2 == 0).select(
+        "host",
+        F.concat(F.lit("User-agent: *\nDisallow: /s\nCrawl-delay: "),
+                 dly, F.lit("\n")).alias("robots_txt"),
+    )
+    return P.frontier_next(links, crawled, robots, top_k_per_host=3)
+
+
+_FRONTIER_HOST = (
+    "lower(regexp_extract(regexp_extract({u}, "
+    "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), "
+    "'^(?:.*@)?([^@]*)$', 1))"
+)
+
+_FRONTIER_PR_LINKS = f"""
+      SELECT src, dst FROM (
+        SELECT {_FRONTIER_HOST.format(u='url')} AS src,
+               {_FRONTIER_HOST.format(u='href')} AS dst
+        FROM glinks
+      ) WHERE src <> dst
+    """
+
+_register(
+    "frontier_next",
+    _frontier_next_q,
+    f"""
+    WITH glinks AS (
+      SELECT url, href
+      FROM read_parquet('{GOLDEN_DIR}/extract_links_n{KERNEL_N}.parquet')
+    ),
+    cand AS (SELECT DISTINCT href AS url FROM glinks),
+    fresh AS (
+      SELECT url FROM cand
+      WHERE CAST(concat('0x', substring(md5(url), 1, 2)) AS INT) % 4 >= 2
+    ),
+    withhost AS (
+      SELECT url, {_FRONTIER_HOST.format(u='url')} AS host,
+             CASE WHEN regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^#]*)?', 1) = ''
+                  THEN '/' ELSE regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^#]*)?', 1)
+             END AS path
+      FROM fresh
+    ),
+    allhosts AS (
+      SELECT DISTINCT {_FRONTIER_HOST.format(u='href')} AS host FROM glinks
+    ),
+    rhosts AS (
+      SELECT host,
+             CAST(CAST(concat('0x', substring(md5(host), 3, 1)) AS INT) % 3
+                  AS DOUBLE) AS delay_sec
+      FROM allhosts
+      WHERE CAST(concat('0x', substring(md5(host), 1, 2)) AS INT) % 2 = 0
+    ),
+    admitted AS (
+      SELECT w.url, w.host FROM withhost w
+      LEFT JOIN rhosts r ON w.host = r.host
+      WHERE r.host IS NULL OR NOT starts_with(w.path, '/s')
+    ),
+    {_pagerank_ctes(_FRONTIER_PR_LINKS).lstrip()},
+    scored AS (
+      SELECT a.url, a.host,
+             coalesce(p.rank, 0.0) AS host_rank,
+             coalesce(r.delay_sec, 1.0) AS delay_sec,
+             CAST(row_number() OVER (PARTITION BY a.host ORDER BY a.url)
+                  AS INT) AS fetch_pos
+      FROM admitted a
+      LEFT JOIN pr_final p ON a.host = p.host
+      LEFT JOIN rhosts r ON a.host = r.host
+    )
+    SELECT url, host, host_rank, delay_sec, fetch_pos,
+           floor((host_rank / (delay_sec + 1.0)) * 1e8 + 0.5) / 1e8
+             AS priority
+    FROM scored WHERE fetch_pos <= 3
+    """,
+)
+
 _register(
     "solde_status",
     lambda s, d: X.extracted_statuses(_kernel_out(s)),
@@ -3544,7 +3695,6 @@ _register(
 # ===========================================================================
 from .operators import graph  # noqa: E402
 
-_PR_ITERS = 3
 
 
 def _pagerank_query(s: SparkSession, d: str) -> DataFrame:
@@ -3564,33 +3714,8 @@ def _pagerank_query(s: SparkSession, d: str) -> DataFrame:
 
 
 def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
-    sql = """
-    WITH links AS (
-      SELECT src, dst FROM (
-        SELECT source AS src,
-               unnest(['src' || CAST((doc_id * 7) % 20 AS VARCHAR),
-                       'src' || CAST((doc_id * 13) % 20 AS VARCHAR)]) AS dst
-        FROM documents
-      ) WHERE src <> dst
-    ),
-    hosts AS (SELECT DISTINCT src AS host FROM links
-              UNION SELECT DISTINCT dst AS host FROM links),
-    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM hosts),
-    deg AS (SELECT src, count(*) AS outd FROM links GROUP BY src),
-    r0 AS (SELECT host, 1.0 / nn.n AS rank FROM hosts CROSS JOIN nn)"""
-    for k in range(1, iters + 1):
-        sql += f""",
-    c{k} AS (SELECT l.dst AS host, sum(r.rank / d.outd) AS s
-             FROM links l JOIN r{k - 1} r ON l.src = r.host
-             JOIN deg d ON l.src = d.src
-             GROUP BY l.dst),
-    r{k} AS (SELECT h.host, 0.15 / nn.n + 0.85 * coalesce(c.s, 0) AS rank
-             FROM hosts h CROSS JOIN nn
-             LEFT JOIN c{k} c ON h.host = c.host)"""
-    sql += f"""
-    SELECT host, floor((rank) * 1e8 + 0.5) / 1e8 AS rank FROM r{iters}
-    """
-    return sql
+    return ("\n    WITH " + _pagerank_ctes(_PR_DEFAULT_LINKS, iters).lstrip()
+            + "\n    SELECT host, rank FROM pr_final\n    ")
 
 
 _register("host_pagerank", _pagerank_query, _pagerank_oracle())
@@ -3775,9 +3900,10 @@ _WINDOW_TAIL = [
     # min/max/median price values sit far from representable-midpoint
     # hazards and the sf0.001 tail gate re-checks it every pytest run):
     "percentile_stats",
-    # r6 rotation: rotated out as robots_filter_agent entered the window
-    # (r5-driver-green, scoring chain untouched this round):
-    "unigram_logprob",
+    # r6 rotation: rotated out as robots_filter_agent and frontier_next
+    # entered the window (both r5-driver-green, their chains untouched
+    # this round):
+    "unigram_logprob", "source_skew_stats",
 ]
 
 

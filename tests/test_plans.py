@@ -215,3 +215,52 @@ def test_bm25_multi_is_one_job_with_window_group_limit(spark):
     # weighted duplicate terms summed: query 2's 'end' weight is 0.5
     rows = {(r["query_id"], r["rank"]): r for r in df.collect()}
     assert all(r["n_matched"] >= 1 for r in rows.values())
+
+
+def test_frontier_next_plan_and_semantics(spark):
+    """frontier_next: no cartesian/nested-loop join anywhere, no forced
+    broadcast hint on the robots rules side (Catalyst may still CHOOSE a
+    broadcast — the assert is on the hint, i.e. the logical plan), no
+    Python UDF, and the top_k_per_host filter rides the window as a
+    WindowGroupLimit (partial per-host top-k before the shuffle)."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ocr_cezam_spark.operators.pipeline import frontier_next
+
+    links = spark.createDataFrame(
+        [("https://a.example/p", 0, "https://b.example/x"),
+         ("https://a.example/p", 1, "https://b.example/secret"),
+         ("https://a.example/p", 2, "https://c.example/y"),
+         ("https://b.example/x", 0, "https://a.example/old"),
+         ("https://b.example/x", 1, "https://c.example/z")],
+        "url string, pos int, href string")
+    crawled = spark.createDataFrame(
+        [("https://a.example/old", 1, 10), ("https://a.example/old", 2, 20)],
+        "url string, doc_id long, warc_ts long")
+    robots = spark.createDataFrame(
+        [("b.example", "User-agent: *\nDisallow: /secret\nCrawl-delay: 4\n")],
+        "host string, robots_txt string")
+    out = frontier_next(links, crawled, robots, top_k_per_host=2)
+    rows = {r["url"]: r for r in out.collect()}
+    # already-held url dropped; robots-disallowed url dropped
+    assert "https://a.example/old" not in rows
+    assert "https://b.example/secret" not in rows
+    assert set(rows) == {"https://b.example/x", "https://c.example/y",
+                         "https://c.example/z"}
+    b = rows["https://b.example/x"]
+    assert b["delay_sec"] == 4.0 and b["fetch_pos"] == 1
+    # priority = rank / (delay+1): b.example's slow host scores below an
+    # equally-ranked fast host would — check the arithmetic directly
+    assert abs(b["priority"] - b["host_rank"] / 5.0) <= 5e-9  # 8 dp round
+    c = rows["https://c.example/y"]
+    assert c["delay_sec"] == 1.0  # default_delay for robots-less hosts
+    assert {rows[u]["fetch_pos"] for u in
+            ("https://c.example/y", "https://c.example/z")} == {1, 2}
+    qe = out._jdf.queryExecution()
+    phys = qe.executedPlan().toString()
+    opt = qe.optimizedPlan().toString()
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+    assert "BatchEvalPython" not in phys
+    assert "ResolvedHint" not in opt  # rules side not force-broadcast
+    assert "WindowGroupLimit" in phys
