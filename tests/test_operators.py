@@ -308,13 +308,69 @@ def test_hnsw_build_scales_without_bxb_matrix():
     soft, hard = resource.getrlimit(resource.RLIMIT_AS)
     resource.setrlimit(resource.RLIMIT_AS, (6 * 1024**3, hard))
     try:
-        nbrs = _build_graph(unit, ids, deg, ef_build=8)
+        layers, levels, entry = _build_graph(unit, ids, deg, ef_build=8)
     finally:
         resource.setrlimit(resource.RLIMIT_AS, (soft, hard))
+    nbrs = layers[0]
     assert len(nbrs) == b
-    assert max(len(n) for n in nbrs) <= deg
+    assert max(len(n) for n in nbrs) <= 2 * deg  # M_max0 = 2M
     # connected enough to navigate: every non-seed node has neighbors
     assert all(len(n) >= 1 for n in nbrs[1:])
+    # hierarchy shape: upper-layer population decays ~deg^-l, the entry
+    # sits on the top occupied layer, and the degree cap holds per layer
+    assert len(layers) >= 2  # 50k nodes at deg=4: top layer >= 1 w.h.p.
+    assert levels[entry] == len(layers) - 1
+    for l in range(1, len(layers)):
+        assert len(layers[l]) < len(nbrs) / (deg ** l) * 3 + 10
+        assert all(len(n) <= deg for n in layers[l].values())
+
+
+def test_hnsw_hierarchy_beats_flat_on_large_bucket():
+    """The multi-layer hierarchy must pay fewer distance evaluations
+    than the r5 single-layer NSW ablation (``flat=True``) on a large
+    bucket — the skip-list descent lands the layer-0 beam near the
+    target, so the beam admits fewer wrong-direction candidates — while
+    matching or beating its recall. Distance evaluations (``sims``) are
+    the cost model: every graph hop is one or more of them, and they
+    are what O(log b) vs O(poly b) navigation actually buys."""
+    import numpy as np
+
+    from ocr_cezam_spark.operators.hnsw import _bucket_search
+
+    rng = np.random.default_rng(3)
+    b, dim, k = 20_000, 8, 10
+    vecs = [list(x) for x in rng.standard_normal((b, dim))]
+    ids = list(range(b))
+    probes = [list(rng.standard_normal(dim)) for _ in range(20)]
+    pids = [10**9 + i for i in range(20)]
+    s_h: dict = {}
+    r_h = _bucket_search(ids, vecs, pids, probes, 8, 16, stats=s_h)
+    s_f: dict = {}
+    r_f = _bucket_search(ids, vecs, pids, probes, 8, 16, stats=s_f,
+                         flat=True)
+    assert s_h["sims"] < s_f["sims"]
+    assert s_h["sims"] < b  # sublinear: nowhere near a full scan
+
+    unit = np.array(vecs)
+    unit = unit / np.linalg.norm(unit, axis=1)[:, None]
+
+    def recall(res):
+        got: dict = {}
+        for p, n, s in zip(*res):
+            got.setdefault(p, []).append((s, n))
+        tot = 0.0
+        for pid, pv in zip(pids, probes):
+            q = np.asarray(pv)
+            q = q / np.linalg.norm(q)
+            exact = set(np.argsort(-(unit @ q))[:k])
+            mine = {n for _s, n in sorted(got.get(pid, []),
+                                          reverse=True)[:k]}
+            tot += len(mine & exact) / k
+        return tot / len(pids)
+
+    rec_h, rec_f = recall(r_h), recall(r_f)
+    assert rec_h >= 0.8
+    assert rec_h >= rec_f - 0.05
 
 
 def test_hnsw_build_deterministic_under_row_permutation():
