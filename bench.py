@@ -80,6 +80,8 @@ HEADLINE = [
     "hnsw_ann_topk",
     "extract_text",
     "extract_links",
+    "frontier_next",
+    "gopher_line_quality",
 ]
 
 

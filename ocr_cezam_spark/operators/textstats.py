@@ -249,6 +249,72 @@ def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def gopher_line_quality(docs: DataFrame, id_col: str = "url",
+                        text_col: str = "text") -> DataFrame:
+    """The FULL Gopher document filter (Rae et al. 2021) — the line-model
+    gates gopher_quality cannot express over the flat documents table,
+    computed over line-structured text (the kernel's extracted output,
+    whose block model emits real newlines):
+
+    - < 90% of lines may start with a bullet point ([-*] followed by a
+      space, or a typographic bullet U+2022/U+2023/U+25AA);
+    - < 30% of lines may end with an ellipsis ('...' or U+2026);
+    - the '#'-symbol-to-word and ellipsis-to-word ratios must each stay
+      <= 0.1;
+    plus the word-level gates shared with gopher_quality (mean word
+    length in [3, 10], >= 80% alphabetic words). `passes` is the AND of
+    all of them — word gates and line gates together.
+
+    Like gopher_quality this is pure codegen'd array/string expressions:
+    lines via split(chr(10)) filtered with lambda predicates, symbol
+    counts via length-after-replace arithmetic — no explode, no UDF, no
+    shuffle beyond the scan, so it runs at scan speed on 100 TB. Words
+    split on ' ' (the engine-wide _words convention) so every fraction
+    has an exact DuckDB twin."""
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda l: l.rlike(r"^\s*([•‣▪]|[-*]\s)")))
+    n_ellipsis_line = F.size(F.filter(
+        lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    words = _words(text_col)
+    n_words = F.size(words)
+    total_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    t = F.col(text_col)
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#")))).cast("double")
+    n_ellipsis_sym = (
+        (F.length(t) - F.length(F.replace(t, F.lit("...")))) / 3
+        + (F.length(t) - F.length(F.replace(t, F.lit("…"))))
+    ).cast("double")
+    bullet_frac = round_he(n_bullet / n_lines, 4)
+    ellipsis_frac = round_he(n_ellipsis_line / n_lines, 4)
+    hash_ratio = round_he(n_hash / n_words, 4)
+    ellipsis_ratio = round_he(n_ellipsis_sym / n_words, 4)
+    mean_len = round_he(total_chars / n_words, 4)
+    alpha_frac = round_he(n_alpha / n_words, 4)
+    passes = (
+        (bullet_frac < 0.9)
+        & (ellipsis_frac < 0.3)
+        & (hash_ratio <= 0.1)
+        & (ellipsis_ratio <= 0.1)
+        & mean_len.between(3.0, 10.0)
+        & (alpha_frac >= 0.8)
+    ).cast("int")
+    return docs.select(
+        F.col(id_col),
+        n_lines.cast("int").alias("n_lines"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        hash_ratio.alias("hash_word_ratio"),
+        ellipsis_ratio.alias("ellipsis_word_ratio"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        passes.alias("passes"),
+    )
+
+
 def sequence_pack(docs: DataFrame, budget: int = 512, n_shards: int = 8,
                   id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:

@@ -2473,6 +2473,83 @@ _register(
 )
 
 
+# Full Gopher filter (word + line gates) over the kernel's line-model
+# output. The synthetic corpus emits no bullet/ellipsis/hash characters,
+# so an md5-keyed deterministic augmentation (the _gq_docs pattern)
+# appends bullet-list / ellipsis / hash tails to selected docs, mirrored
+# verbatim in the oracle — every gate branch is exercised cross-engine.
+_GLQ_BULLET_TAIL = ("\n• alpha beta\n• gamma delta\n- epsilon zeta"
+                    "\n* eta theta\n‣ iota kappa\n▪ lambda mu")
+_GLQ_ELLIPSIS_TAIL = "\nto be continued...\nor was it…\nmore soon ..."
+_GLQ_HASH_TAIL = "\n# heading one\n## sub # tags #here#"
+
+
+def _gopher_line_q(s: SparkSession, d: str) -> DataFrame:
+    text = X.extracted_text(_kernel_out(s))
+    sel = F.conv(F.substring(F.md5("url"), 1, 2), 16, 10).cast("int") % 5
+    docs = text.select(
+        "url",
+        F.when(sel == 0, F.concat("text", F.lit(_GLQ_BULLET_TAIL)))
+        .when(sel == 1, F.concat("text", F.lit(_GLQ_ELLIPSIS_TAIL)))
+        .when(sel == 2, F.concat("text", F.lit(_GLQ_HASH_TAIL)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return textstats.gopher_line_quality(docs)
+
+
+_register(
+    "gopher_line_quality",
+    _gopher_line_q,
+    rf"""
+    WITH t AS (
+      SELECT url,
+             CASE CAST(concat('0x', substring(md5(url), 1, 2)) AS INT) % 5
+               WHEN 0 THEN text || '{_GLQ_BULLET_TAIL}'
+               WHEN 1 THEN text || '{_GLQ_ELLIPSIS_TAIL}'
+               WHEN 2 THEN text || '{_GLQ_HASH_TAIL}'
+               ELSE text END AS text
+      FROM read_parquet('{GOLDEN_DIR}/extract_text_n{KERNEL_N}.parquet')
+    ), base AS (
+      SELECT url,
+             string_split(text, chr(10)) AS ls,
+             string_split(text, ' ') AS ws,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  AS DOUBLE) AS n_hash,
+             CAST((length(text) - length(replace(text, '...', ''))) / 3
+                  + length(text) - length(replace(text, '…', ''))
+                  AS DOUBLE) AS n_ell
+      FROM t
+    ), s AS (
+      SELECT url,
+             CAST(len(ls) AS INT) AS n_lines,
+             floor(CAST(len(list_filter(ls, l -> regexp_matches(l,
+                 '^\s*([•‣▪]|[-*]\s)'))) AS DOUBLE)
+                 / len(ls) * 1e4 + 0.5) / 1e4 AS bullet_line_frac,
+             floor(CAST(len(list_filter(ls, l -> regexp_matches(l,
+                 '(\.\.\.|…)\s*$'))) AS DOUBLE)
+                 / len(ls) * 1e4 + 0.5) / 1e4 AS ellipsis_line_frac,
+             floor(n_hash / len(ws) * 1e4 + 0.5) / 1e4 AS hash_word_ratio,
+             floor(n_ell / len(ws) * 1e4 + 0.5) / 1e4 AS ellipsis_word_ratio,
+             floor(CAST(list_sum(list_transform(ws, x -> length(x)))
+                        AS DOUBLE) / len(ws) * 1e4 + 0.5) / 1e4
+               AS mean_word_len,
+             floor(CAST(len(list_filter(ws, x -> regexp_matches(x,
+                 '[a-zA-Z]'))) AS DOUBLE) / len(ws) * 1e4 + 0.5) / 1e4
+               AS alpha_word_frac
+      FROM base
+    )
+    SELECT url, n_lines, bullet_line_frac, ellipsis_line_frac,
+           hash_word_ratio, ellipsis_word_ratio, mean_word_len,
+           alpha_word_frac,
+           CAST(bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+                AND hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND alpha_word_frac >= 0.8 AS INT) AS passes
+    FROM s
+    """,
+)
+
+
 PDF_N = 200  # pdf corpus size (tools/freeze_golden.py N_PDF)
 
 
@@ -3900,10 +3977,11 @@ _WINDOW_TAIL = [
     # min/max/median price values sit far from representable-midpoint
     # hazards and the sf0.001 tail gate re-checks it every pytest run):
     "percentile_stats",
-    # r6 rotation: rotated out as robots_filter_agent and frontier_next
-    # entered the window (both r5-driver-green, their chains untouched
-    # this round):
-    "unigram_logprob", "source_skew_stats",
+    # r6 rotation: rotated out as robots_filter_agent, frontier_next and
+    # gopher_line_quality entered the window (all r5-driver-green, their
+    # chains untouched this round — repetition_stats' operator function
+    # is untouched by the gopher_line_quality addition to textstats.py):
+    "unigram_logprob", "source_skew_stats", "repetition_stats",
 ]
 
 

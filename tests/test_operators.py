@@ -175,6 +175,32 @@ def test_token_quality_flags(spark):
     assert got == {1: 1, 2: 0}
 
 
+def test_gopher_line_quality_gates(spark):
+    """Each line-model gate flips passes to 0 on its own: a bullet-list
+    doc (>=90% bullet lines), an ellipsis-heavy doc (>=30% of lines end
+    '...' or U+2026), a hash-dense doc (#-to-word ratio > 0.1), and a
+    clean multi-line doc that passes every gate."""
+    clean = "\n".join(["the quick brown fox jumps over the dog"] * 5)
+    bullets = "\n".join(["• item number %d here" % i for i in range(10)])
+    ellipsis = "\n".join(["this line trails off..."] * 4
+                         + ["a normal line of words here"] * 4)
+    hashes = "some words " + "# " * 10
+    df = spark.createDataFrame(
+        [("clean", clean), ("bul", bullets), ("ell", ellipsis),
+         ("hash", hashes)],
+        "url string, text string",
+    )
+    rows = {r["url"]: r for r in
+            textstats.gopher_line_quality(df).collect()}
+    assert rows["clean"]["passes"] == 1
+    assert rows["bul"]["bullet_line_frac"] == 1.0
+    assert rows["bul"]["passes"] == 0
+    assert rows["ell"]["ellipsis_line_frac"] == 0.5
+    assert rows["ell"]["passes"] == 0
+    assert rows["hash"]["hash_word_ratio"] > 0.1
+    assert rows["hash"]["passes"] == 0
+
+
 def test_multimodal_decode_meta(spark):
     df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
     row = multimodal.decode_metadata(multimodal.attach_payload(df)).collect()[0]
