@@ -1293,15 +1293,19 @@ _CHARSET_ALIASES = {
 }
 
 
-def decode_html(raw: bytes) -> str:
-    """Bytes -> str for the DOM path. Deterministic: the same byte payload
-    always yields the same text, whichever executor decodes it."""
+def decode_html(raw) -> str:
+    """Bytes-like -> str for the DOM path. Deterministic: the same byte
+    payload always yields the same text, whichever executor decodes it.
+
+    Accepts any buffer object (bytes, memoryview, pyarrow.Buffer) and
+    decodes via str(buf, codec, errors) so a zero-copy Arrow view
+    converts straight to str with no intermediate bytes copy."""
     if raw[:3] == b"\xef\xbb\xbf":
-        return raw[3:].decode("utf-8", errors="replace")
+        return str(raw[3:], "utf-8", "replace")
     if raw[:2] == b"\xff\xfe":
-        return raw[2:].decode("utf-16-le", errors="replace")
+        return str(raw[2:], "utf-16-le", "replace")
     if raw[:2] == b"\xfe\xff":
-        return raw[2:].decode("utf-16-be", errors="replace")
+        return str(raw[2:], "utf-16-be", "replace")
     m = _META_CHARSET_RX.search(raw, 0, 1024)
     if m:
         codec = _CHARSET_ALIASES.get(
@@ -1313,8 +1317,8 @@ def decode_html(raw: bytes) -> str:
             # must be treated as UTF-8 — honoring it garbles the page
             if codec.startswith("utf-16"):
                 codec = "utf-8"
-            return raw.decode(codec, errors="replace")
-    return raw.decode("utf-8", errors="replace")
+            return str(raw, codec, "replace")
+    return str(raw, "utf-8", "replace")
 
 
 def _parse_tree(text: str) -> _Node:
@@ -1337,10 +1341,15 @@ def _extract_inner(url: str, html: bytes, lang: str) -> dict:
     # are legal) — but a '<' before it means markup: an HTML page that
     # merely MENTIONS '%PDF-' in its first 1KB must stay on the DOM path,
     # not lose its whole text to a failed content-stream parse.
-    pdf_at = html.find(_PDF_MAGIC, 0, 1024 + len(_PDF_MAGIC) - 1)
-    if pdf_at >= 0 and b"<" not in html[:pdf_at]:
-        return _analyze(url, pdf_text(html[pdf_at:]), [], [])
-    page = decode_html(html)
+    # Normalize to a zero-copy view: the Arrow path hands pa.Buffer
+    # (operators/extract.py skips the to_pylist bytes materialization),
+    # tests/WARC hand bytes — memoryview() is zero-copy over both.
+    hv = html if isinstance(html, memoryview) else memoryview(html)
+    head = bytes(hv[:1024 + len(_PDF_MAGIC) - 1])  # bounded 1KB copy
+    pdf_at = head.find(_PDF_MAGIC)
+    if pdf_at >= 0 and b"<" not in head[:pdf_at]:
+        return _analyze(url, pdf_text(bytes(hv[pdf_at:])), [], [])
+    page = decode_html(hv)
     root = _parse_tree(page)
 
     # 1. Main-content container scoring (boilerplate strip + P4 analog).
@@ -1396,7 +1405,7 @@ def _extract_inner(url: str, html: bytes, lang: str) -> dict:
     # surfaced as a field so the job's fields table carries it without a
     # schema change. Scanned on the raw bytes — the directive sits in
     # <head>, which the content scorer deliberately ignores.
-    if robots_directives(html) & {"noindex", "none"}:
+    if robots_directives(hv) & {"noindex", "none"}:
         res["fields"]["robots"] = "noindex"
     return res
 

@@ -101,15 +101,23 @@ def _extract_batches(
     part_id = ctx.partitionId() if ctx is not None else -1
     for batch in batches:
         urls = batch.column("url").to_pylist()
-        htmls = batch.column("html").to_pylist()
+        # Zero-copy payload views: to_pylist() would materialize every
+        # html payload as a Python bytes object (one full copy of the
+        # batch's bytes) before the kernel's decode copies them AGAIN
+        # into str. as_buffer() hands the kernel a view into the Arrow
+        # data buffer instead, so the only payload-sized copy left on
+        # the hot path is the unavoidable bytes->str decode — this is
+        # the memory-bus lever for the saturated local[32] pair.
+        htmls = [v.as_buffer() if v.is_valid else None
+                 for v in batch.column("html")]
         langs = batch.column("lang").to_pylist()
         out: dict[str, list] = {name: [] for name in EXTRACT_SCHEMA.names}
         for url, html, lang in zip(urls, htmls, langs):
-            res = extract(url, html or b"", lang)
+            res = extract(url, html if html is not None else b"", lang)
             out["url"].append(url)
             out["lang"].append(lang)
             out["text"].append(res["text"])
-            out["n_bytes"].append(len(html) if html else 0)
+            out["n_bytes"].append(len(html) if html is not None else 0)
             out["error"].append(res["error"])
             out["part_id"].append(part_id)
             # Arrow map type wants list[tuple]; fixed key order for

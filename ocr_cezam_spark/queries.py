@@ -1137,7 +1137,7 @@ def _sitemap_q(s: SparkSession, d: str) -> DataFrame:
 _register(
     "sitemap_urls",
     _sitemap_q,
-    """
+    r"""
     WITH entries AS (
       SELECT doc_id % 50 AS hk, doc_id,
              '<url><loc> https://h' || CAST(doc_id % 50 AS VARCHAR)
