@@ -82,6 +82,14 @@ HEADLINE = [
     "extract_links",
     "frontier_next",
     "gopher_line_quality",
+    "hll_cardinality",
+    "cm_heavy_hitters",
+    "semantic_dedup",
+    "perplexity_buckets",
+    "quality_ensemble",
+    "intra_doc_line_dedup",
+    "fetch_schedule",
+    "link_target_stats",
 ]
 
 

@@ -937,3 +937,25 @@ def window_dedup_stats(docs: DataFrame, window: int = 30, stride: int = 15,
             .alias("dup_frac"),
         )
     )
+
+
+def intra_doc_line_dedup(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Within-document line dedup (the C4 rule that precedes cross-doc
+    paragraph dedup): keep the FIRST occurrence of each distinct line,
+    preserve document order, report how many lines were dropped.
+
+    Purely per-row array expressions — split / array_distinct (Spark's
+    array_distinct is order-preserving: first occurrence survives) /
+    array_join — so the operator is map-only: no explode, no shuffle,
+    no state. That is the 100 TB shape: intra-doc rules never need to
+    see two rows. Cross-doc dedup (paragraph_dedup, window_dedup) is
+    where shuffles are earned.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.array_distinct(lines)
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("text"),
+        (F.size(lines) - F.size(kept)).alias("n_lines_removed"),
+    )

@@ -152,3 +152,38 @@ def pagerank_converged(links: DataFrame, tol: float = 1e-9,
         if delta < tol:
             break
     return ranks
+
+
+def link_target_stats(links: DataFrame, url_col: str = "url",
+                      href_col: str = "href") -> DataFrame:
+    """In-link statistics per link TARGET — the url-level ranking signal
+    a crawl prioritizer reads next to host PageRank: total in-links,
+    distinct linking pages, distinct linking hosts, and the earliest
+    position at which any page links to the target (nav links come
+    first in document order; a min pos near 0 marks a navigational
+    target).
+
+    ONE hash aggregation keyed on the target url: count and min fold
+    map-side; the two distinct-counts make it a partial-dedup agg Spark
+    plans as two-stage hash aggregation — still a single shuffle on the
+    target key. No windows, no joins; at web scale this runs right
+    after extract_links on the same partitioning.
+    """
+    from ..functions.url import url_host
+
+    return (
+        links.select(
+            F.col(href_col).alias("target"),
+            F.col(url_col).alias("src"),
+            url_host(F.col(url_col)).alias("src_host"),
+            F.col("pos"),
+        )
+        .groupBy("target")
+        .agg(
+            F.count("*").alias("n_inlinks"),
+            F.countDistinct("src").alias("n_src_pages"),
+            F.countDistinct("src_host").alias("n_src_hosts"),
+            F.min("pos").alias("first_pos"),
+        )
+        .orderBy(F.desc("n_inlinks"), "target")
+    )

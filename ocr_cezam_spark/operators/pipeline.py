@@ -136,3 +136,33 @@ def frontier_next(links: DataFrame, crawled: DataFrame, robots: DataFrame,
         "priority",
         round_he(F.col("host_rank") / (F.col("delay_sec") + 1.0), 8),
     )
+
+
+def fetch_schedule(frontier: DataFrame, n_workers: int = 4) -> DataFrame:
+    """Turn a ranked frontier batch (frontier_next's output) into a
+    wall-clock fetch plan: every url gets a fetcher WORKER and a start
+    OFFSET inside that worker's timeline.
+
+    Hosts pin to workers by deterministic hash — politeness is a
+    PER-HOST serial constraint, so all of a host's fetches must live on
+    one worker for its crawl-delay spacing to mean anything; within a
+    host the offset is (fetch_pos-1) * delay_sec. Map-only over the
+    frontier (the window work was already paid in frontier_next): at
+    100 TB the schedule is a projection, not a new shuffle. Worker
+    count is the only knob; host->worker skew is bounded by the hash
+    (a single mega-host still serializes on its delay — that is the
+    politeness contract, not a defect).
+    """
+    from ..functions.numeric import round_he
+    from .sketch import _h32
+
+    worker = (_h32(F.col("host"), "w:") % n_workers).cast("int")
+    off = round_he(
+        (F.col("fetch_pos") - 1).cast("double") * F.col("delay_sec"), 4
+    )
+    return frontier.select(
+        "url", "host",
+        worker.alias("worker"),
+        "fetch_pos",
+        off.alias("fetch_offset_s"),
+    ).orderBy("url")

@@ -442,3 +442,60 @@ def ivf_bucket_stats(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
+                   n_centroids: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space, then within each cluster drop every vector that
+    has a near-identical neighbor, keeping one exemplar per duplicate
+    group.
+
+    Exemplar rule, made deterministic: a vector is DROPPED iff a
+    LOWER-id vector in the same cluster has cosine >= threshold with it
+    (the paper keeps a random/centroid-distance exemplar; id-rank is the
+    order-stable equivalent — quality-based survivor selection is
+    cluster_best_docs' job). `dropped_by` records the lowest such id,
+    NULL for keepers.
+
+    Scale shape (the SemDeDup insight is exactly what makes this
+    100 TB-safe): the cluster assignment BOUNDS the quadratic — pairwise
+    cosine runs per-bucket via one equi-join on centroid_id, never
+    globally; cost is sum(bucket^2)/2, not n^2/2. Vectors and norms are
+    attached once each side of the join; no nested loop (same plan
+    discipline as embedding_near_dup_pairs). Single-probe assignment:
+    dedup within the cluster is the published semantics — boundary
+    pairs straddling clusters are near-dup detection's job (nprobe=2
+    there), not dedup's.
+    """
+    base = emb.select(
+        F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
+    ).withColumn("_vv", _dot(F.col("v"), F.col("v")))
+    cents = seed_centroids(emb, n_centroids, id_col, vec_col)
+    best = _nearest(F.col("v"), cents, F.col("_vv"))
+    assigned = base.select(
+        "vid", "v", F.sqrt(F.col("_vv")).alias("norm"),
+        best["cid"].alias("centroid_id"),
+    )
+    right = assigned.select(
+        F.col("vid").alias("b"), F.col("v").alias("vb"),
+        F.col("norm").alias("nb"), "centroid_id",
+    )
+    sim = _dot(F.col("v"), F.col("vb")) / (F.col("norm") * F.col("nb"))
+    dropped = (
+        assigned.join(right, "centroid_id")
+        .filter(F.col("vid") < F.col("b"))
+        .filter(sim >= threshold)
+        .groupBy("b")
+        .agg(F.min("vid").alias("dropped_by"))
+    )
+    return (
+        assigned.join(dropped, assigned.vid == dropped.b, "left")
+        .select(
+            "vid", "centroid_id",
+            F.col("dropped_by").isNull().alias("kept"),
+            "dropped_by",
+        )
+        .orderBy("vid")
+    )

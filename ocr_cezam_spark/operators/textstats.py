@@ -4,7 +4,7 @@ the DuckDB oracle."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
 
 from ocr_cezam_spark.functions.numeric import round_he
@@ -457,3 +457,87 @@ def bigram_pmi(docs: DataFrame, min_count: int = 5,
             ).alias("pmi"),
         )
     )
+
+
+def perplexity_buckets(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", group_col: str = "source",
+                       n_buckets: int = 3) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank documents within each group
+    (CCNet: language; here: source) by their LM score and label the best
+    third head, then middle, then tail — downstream pipelines keep head+
+    middle or reweight by bucket.
+
+    The score is unigram_logprob's self-trained unigram mean logprob
+    (higher = more natural); buckets come from integer rank arithmetic
+    (rank * n_buckets vs group size), not percentile floats, so the
+    boundary can't straddle an engine rounding difference. Deterministic
+    ties: (logprob desc, id asc).
+
+    Scale shape: unigram_logprob's two shuffles, then ONE window over
+    (group) — the window partitions by group, so hot groups bound a
+    single task only if one source dominates; CCNet's real grouping
+    (language) has the same property and the fix is the same: sub-shard
+    the window key by a hash salt and merge ranks, which the tested
+    design point does not need.
+    """
+    lp = unigram_logprob(docs, id_col, text_col)
+    scored = lp.join(docs.select(id_col, group_col), id_col)
+    part = Window.partitionBy(group_col)
+    w = part.orderBy(F.desc("logprob"), F.col(id_col))
+    rn = F.row_number().over(w)
+    cnt = F.count("*").over(part)
+    bucket = (
+        F.when(rn * n_buckets <= cnt, "head")
+        .when(rn * n_buckets <= 2 * cnt, "middle")
+        .otherwise("tail")
+    )
+    return scored.select(
+        id_col, group_col, "n_tokens", "logprob", bucket.alias("bucket")
+    ).orderBy(id_col)
+
+
+def quality_ensemble(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     keep_threshold: float = 0.5) -> DataFrame:
+    """One keep/drop decision from the whole quality stack: Gopher's
+    hard gates veto outright; the soft score blends the word-level
+    quality ratios with the LM logprob, each component already bounded
+    to [0,1] by construction.
+
+    score = 0.4*alpha_word_frac + 0.3*min(1, 4*stopword_ratio)
+    + 0.3*lp_unit, where lp_unit linearly rescales mean logprob from
+    [-12, -4] (clamped) — natural text sits around -6..-8 under a
+    self-trained unigram model, spam and wrong-tokenization tails
+    below -10. The hard gates (Gopher passes AND token quality_ok)
+    veto regardless of score. Weights are stated constants, not
+    trained: the operator's value is the COMPOSITION shape (three
+    independent scorers, one join each on the id key, all map-side
+    before their aggs) — swap any component for a real classifier
+    without changing the plan. Every blended input is already rounded
+    by its source operator, so both engines blend identical doubles.
+    """
+    tq = token_quality(docs, id_col, text_col).select(
+        id_col, "stopword_ratio", "quality_ok"
+    )
+    gq = gopher_quality(docs, id_col, text_col).select(
+        id_col, "alpha_word_frac", "passes"
+    )
+    lp = unigram_logprob(docs, id_col, text_col).select(id_col, "logprob")
+    lp_unit = F.greatest(
+        F.lit(0.0),
+        F.least(F.lit(1.0), (F.col("logprob") + 12.0) / 8.0),
+    )
+    stop_unit = F.least(F.lit(1.0), F.col("stopword_ratio") * 4.0)
+    score = round_he(
+        0.4 * F.col("alpha_word_frac") + 0.3 * stop_unit + 0.3 * lp_unit, 4
+    )
+    gates = (F.col("passes") == 1) & (F.col("quality_ok") == 1)
+    out = tq.join(gq, id_col).join(lp, id_col).select(
+        F.col(id_col),
+        gates.alias("gates_ok"),
+        score.alias("score"),
+    )
+    keep = F.col("gates_ok") & (F.col("score") >= keep_threshold)
+    return out.select(
+        id_col, "gates_ok", "score", keep.alias("keep")
+    ).orderBy(id_col)

@@ -3929,6 +3929,366 @@ _register(
 )
 
 
+# ===========================================================================
+# Probabilistic sketches (operators/sketch.py) — deterministic md5-seeded
+# HyperLogLog and Count-Min, register-for-register reproduced in DuckDB.
+# ===========================================================================
+
+from .operators import sketch  # noqa: E402
+
+# Shared hash idiom: 32-bit value from the md5 hex prefix, identical text
+# hashed on both engines.
+_H32 = "CAST(concat('0x', substring(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _hll_branch_sql(key_expr: str, grp_expr: str) -> str:
+    """One HLL fold in DuckDB, mirroring sketch.hll_cardinality: p=10,
+    bucket = h>>22, rho = 1 + leading zeros of the 22 rest bits (integer
+    /string ops only), linear-count small-range correction. The alpha
+    constant is injected from the SAME Python float the Spark side uses,
+    so the two engines divide identical doubles."""
+    from .operators import sketch as SK
+
+    h = _H32.format(expr=key_expr)
+    return f"""
+    SELECT grp, n_exact, floor(e * 1e4 + 0.5) / 1e4 AS hll_est, n_regs
+    FROM (
+      SELECT grp, n_regs,
+             CASE WHEN raw <= 2560.0 AND zeros > 0
+                  THEN 1024.0 * ln(1024.0 / zeros)
+                  ELSE raw END AS e
+      FROM (
+        SELECT grp, n_regs, 1024.0 - n_regs AS zeros,
+               {SK._HLL_ALPHA * SK._HLL_M * SK._HLL_M!r}
+                 / (sum_pows + (1024.0 - n_regs)) AS raw
+        FROM (
+          SELECT grp, count(*) AS n_regs,
+                 sum(power(2.0, -m_j)) AS sum_pows
+          FROM (
+            SELECT grp, h // 4194304 AS bucket,
+                   max(CASE WHEN h % 4194304 = 0 THEN 23
+                            ELSE instr(lpad(bin(h % 4194304), 22, '0'),
+                                       '1') END) AS m_j
+            FROM (SELECT {grp_expr} AS grp, {h} AS h FROM events)
+            GROUP BY grp, h // 4194304
+          ) GROUP BY grp
+        )
+      )
+    ) JOIN (
+      SELECT {grp_expr} AS grp, count(DISTINCT {key_expr}) AS n_exact
+      FROM events GROUP BY 1
+    ) USING (grp)
+    """
+
+
+def _hll_q(s: SparkSession, d: str) -> DataFrame:
+    ev = _t(s, d, "events")
+    by_type = sketch.hll_cardinality(ev, "user_id", "event_type")
+    all_ids = sketch.hll_cardinality(
+        ev.withColumn("g", F.lit("~event_id")), "event_id", "g"
+    )
+    return by_type.unionByName(all_ids).orderBy("grp")
+
+
+# Two cardinality regimes in one query: per-event-type user_id counts sit
+# in HLL's small range (the linear-counting correction fires), while the
+# ~event_id branch exceeds 2.5*m at sf0.01 and takes the raw-estimator
+# path — both branches cross-checked register-for-register.
+_register(
+    "hll_cardinality",
+    _hll_q,
+    f"""
+    SELECT * FROM (
+      {_hll_branch_sql("CAST(user_id AS VARCHAR)", "event_type")}
+      UNION ALL
+      {_hll_branch_sql("CAST(event_id AS VARCHAR)", "'~event_id'")}
+    ) ORDER BY grp
+    """,
+)
+
+
+def _cm_keyed(s: SparkSession, d: str) -> DataFrame:
+    """Skewed key stream at the QUERY layer (the events table is uniform
+    by construction): every 7th user collapses into one of 3 hot keys, so
+    heavy hitters exist to find; the operator never synthesizes rows."""
+    ev = _t(s, d, "events")
+    key = F.when(
+        F.col("user_id") % 7 == 0,
+        F.concat(F.lit("h"), (F.col("user_id") % 3).cast("string")),
+    ).otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+    return ev.select(key.alias("key"))
+
+
+_CM_KEY_SQL = ("CASE WHEN user_id % 7 = 0 THEN 'h' || CAST(user_id % 3 AS VARCHAR) "
+               "ELSE 'u' || CAST(user_id AS VARCHAR) END")
+
+_register(
+    "cm_heavy_hitters",
+    lambda s, d: sketch.cm_heavy_hitters(_cm_keyed(s, d), "key", 0.02),
+    f"""
+    WITH keyed AS (SELECT {_CM_KEY_SQL} AS key FROM events),
+    dims AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    sk AS (
+      SELECT i, {_H32.format(expr="'cm' || CAST(i AS VARCHAR) || ':' || key")} % 64 AS bucket,
+             count(*) AS cnt
+      FROM keyed, dims GROUP BY 1, 2
+    ),
+    truec AS (SELECT key, count(*) AS true_cnt FROM keyed GROUP BY 1),
+    probes AS (
+      SELECT key, true_cnt, i,
+             {_H32.format(expr="'cm' || CAST(i AS VARCHAR) || ':' || key")} % 64 AS bucket
+      FROM truec, dims
+    ),
+    est AS (
+      SELECT key, true_cnt, min(cnt) AS cm_est
+      FROM probes JOIN sk USING (i, bucket) GROUP BY 1, 2
+    ),
+    total AS (SELECT count(*) AS total FROM keyed)
+    SELECT key, true_cnt, cm_est FROM est, total
+    WHERE cm_est >= floor(total * 0.02)
+    ORDER BY cm_est DESC, key
+    """,
+)
+
+
+# SemDeDup over the cloned-embedding fixture: single-probe cluster
+# assignment (rn=1 — the published within-cluster semantics; boundary
+# pairs belong to near-dup detection, nprobe=2 there), drop-if-lower-id-
+# neighbor rule, raw-threshold compare on the identical sequential-fold
+# cosine both engines compute.
+_register(
+    "semantic_dedup",
+    lambda s, d: simsearch.semantic_dedup(
+        _cloned_embeddings(s, d), threshold=0.99
+    ),
+    """
+    WITH orig AS (
+      SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+    ), allv AS (
+      SELECT vid, v FROM orig
+      UNION ALL
+      SELECT vid + 10000, list_concat([v[1] * 1.01], v[2:]) FROM orig
+    ), cents AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+      FROM embeddings WHERE vec_id < 8
+    ), dist AS (
+      SELECT b.vid, b.v, c.cid,
+             list_dot_product(v, v) - 2 * list_dot_product(v, c)
+               + list_dot_product(c, c) AS dd
+      FROM allv b, cents c
+    ), assigned AS (
+      SELECT vid, v, sqrt(list_dot_product(v, v)) AS norm,
+             cid AS centroid_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY vid
+                                         ORDER BY dd ASC, cid ASC) AS rn
+            FROM dist)
+      WHERE rn = 1
+    ), dropped AS (
+      SELECT r.vid AS b, min(l.vid) AS dropped_by
+      FROM assigned l JOIN assigned r
+        ON l.centroid_id = r.centroid_id AND l.vid < r.vid
+      WHERE list_dot_product(l.v, r.v) / (l.norm * r.norm) >= 0.99
+      GROUP BY r.vid
+    )
+    SELECT a.vid, a.centroid_id, d.dropped_by IS NULL AS kept, d.dropped_by
+    FROM assigned a LEFT JOIN dropped d ON a.vid = d.b
+    ORDER BY a.vid
+    """,
+)
+
+
+# Shared unigram-logprob CTE block (the lp table both the buckets and the
+# ensemble oracles score with) — one definition so the LM math can't
+# drift between twins.
+_LP_CTES = """
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      WHERE term <> '' GROUP BY doc_id, term
+    ),
+    uni AS (SELECT term, sum(tf) AS freq FROM tf GROUP BY term),
+    tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM uni),
+    lp AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             floor((sum(tf * ln(freq / total)) / sum(tf)) * 1e4 + 0.5) / 1e4
+               AS logprob
+      FROM tf JOIN uni USING (term) CROSS JOIN tot
+      GROUP BY doc_id
+    )
+"""
+
+# CCNet-style head/middle/tail perplexity bucketing per source: integer
+# rank arithmetic (rn*3 vs group size) — no percentile floats to straddle
+# an engine rounding boundary; ties (logprob desc, doc_id asc).
+_register(
+    "perplexity_buckets",
+    lambda s, d: textstats.perplexity_buckets(_t(s, d, "documents")),
+    f"""
+    WITH {_LP_CTES},
+    scored AS (
+      SELECT d.doc_id, d.source, lp.n_tokens, lp.logprob
+      FROM lp JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY logprob DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS cnt
+      FROM scored
+    )
+    SELECT doc_id, source, n_tokens, logprob,
+           CASE WHEN rn * 3 <= cnt THEN 'head'
+                WHEN rn * 3 <= 2 * cnt THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked ORDER BY doc_id
+    """,
+)
+
+# The whole quality stack folded to one keep/drop: Gopher + token gates
+# veto, the blended score (alpha frac, stopword saturation, LM logprob
+# rescale) thresholds at 0.5. Every blended input is rounded by its
+# source operator, so both engines blend identical doubles.
+_register(
+    "quality_ensemble",
+    lambda s, d: textstats.quality_ensemble(_t(s, d, "documents")),
+    f"""
+    WITH {_LP_CTES},
+    base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS n_chars
+      FROM documents
+    ),
+    tq AS (
+      SELECT doc_id,
+             floor((CAST(len(list_filter(ws, w -> w IN
+                 ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                 / len(ws)) * 1e3 + 0.5) / 1e3 AS stopword_ratio,
+             CAST(len(ws) >= 10 AND awl >= 2.0 AND awl <= 12.0 AS INT)
+               AS quality_ok
+      FROM (SELECT doc_id, ws,
+                   floor(((n_chars - (len(ws) - 1)) / len(ws)) * 1e3 + 0.5)
+                     / 1e3 AS awl
+            FROM base)
+    ),
+    gq AS (
+      SELECT doc_id, alpha_word_frac,
+             CAST(mean_word_len BETWEEN 3.0 AND 10.0
+                  AND alpha_word_frac >= 0.8
+                  AND digit_word_frac < 0.3 AS INT) AS passes
+      FROM (
+        SELECT doc_id,
+               floor((CAST(list_sum(list_transform(ws, x -> length(x)))
+                    AS DOUBLE) / len(ws)) * 1e4 + 0.5) / 1e4 AS mean_word_len,
+               floor((CAST(len(list_filter(ws, x -> regexp_matches(x,
+                    '[a-zA-Z]'))) AS DOUBLE) / len(ws)) * 1e4 + 0.5) / 1e4
+                 AS alpha_word_frac,
+               floor((CAST(len(list_filter(ws, x -> regexp_matches(x,
+                    '^[0-9]+$'))) AS DOUBLE) / len(ws)) * 1e4 + 0.5) / 1e4
+                 AS digit_word_frac
+        FROM base
+      )
+    ),
+    blended AS (
+      SELECT tq.doc_id,
+             (gq.passes = 1 AND tq.quality_ok = 1) AS gates_ok,
+             floor((0.4 * gq.alpha_word_frac
+                    + 0.3 * least(1.0, tq.stopword_ratio * 4.0)
+                    + 0.3 * greatest(0.0, least(1.0, (lp.logprob + 12.0)
+                                                       / 8.0)))
+                   * 1e4 + 0.5) / 1e4 AS score
+      FROM tq JOIN gq USING (doc_id) JOIN lp USING (doc_id)
+    )
+    SELECT doc_id, gates_ok, score, gates_ok AND score >= 0.5 AS keep
+    FROM blended ORDER BY doc_id
+    """,
+)
+
+
+def _line_dup_docs(s: SparkSession, d: str) -> DataFrame:
+    """Multi-line fixture at the query layer (documents.text carries no
+    newlines): two repeated lines per doc — the leading slice again at
+    position 3 and a boilerplate line at positions 2 and 5."""
+    return _t(s, d, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 40),
+            F.lit("Subscribe now."),
+            F.substring("text", 1, 40),
+            F.substring("text", 41, 40),
+            F.lit("Subscribe now."),
+        ).alias("text"),
+    )
+
+
+_register(
+    "intra_doc_line_dedup",
+    lambda s, d: dedup.intra_doc_line_dedup(_line_dup_docs(s, d)),
+    """
+    WITH fixt AS (
+      SELECT doc_id,
+             concat_ws(chr(10), substring(text, 1, 40), 'Subscribe now.',
+                       substring(text, 1, 40), substring(text, 41, 40),
+                       'Subscribe now.') AS text
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      FROM fixt
+    ),
+    occ AS (
+      SELECT doc_id, line, pos,
+             row_number() OVER (PARTITION BY doc_id, line
+                                ORDER BY pos) AS occ
+      FROM ex
+    )
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY pos)
+             FILTER (WHERE occ = 1) AS text,
+           CAST(count(*) - count(*) FILTER (WHERE occ = 1) AS INT)
+             AS n_lines_removed
+    FROM occ GROUP BY doc_id
+    """,
+)
+
+
+# Politeness fetch plan on top of the frontier: the oracle WRAPS the
+# registered frontier_next oracle verbatim (one source of truth for the
+# whole admission chain), adding only the worker hash and the offset
+# product.
+_register(
+    "fetch_schedule",
+    lambda s, d: pipeline.fetch_schedule(_frontier_next_q(s, d)),
+    f"""
+    WITH fr AS ({{frontier}})
+    SELECT url, host,
+           CAST({_H32.format(expr="'w:' || host")} % 4 AS INT) AS worker,
+           fetch_pos,
+           floor(((fetch_pos - 1) * delay_sec) * 1e4 + 0.5) / 1e4
+             AS fetch_offset_s
+    FROM fr ORDER BY url
+    """.format(frontier=ORACLES["frontier_next"]),
+)
+
+# Per-target in-link stats over the golden link table (the kernel pass is
+# golden-checked by extract_links; this is the downstream ranking signal).
+_register(
+    "link_target_stats",
+    lambda s, d: graph.link_target_stats(X.extracted_links(_kernel_out(s))),
+    f"""
+    SELECT href AS target,
+           count(*) AS n_inlinks,
+           count(DISTINCT url) AS n_src_pages,
+           count(DISTINCT {_FRONTIER_HOST.format(u='url')}) AS n_src_hosts,
+           min(pos) AS first_pos
+    FROM read_parquet('{GOLDEN_DIR}/extract_links_n{KERNEL_N}.parquet')
+    GROUP BY href
+    ORDER BY n_inlinks DESC, target
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering. The driver's artifact records the
 # FIRST 50 registry entries, so entries that most need a driver-green row
@@ -3982,6 +4342,17 @@ _WINDOW_TAIL = [
     # chains untouched this round — repetition_stats' operator function
     # is untouched by the gopher_line_quality addition to textstats.py):
     "unigram_logprob", "source_skew_stats", "repetition_stats",
+    # r6 rotation, second batch: rotated out as the sketch/semantic-dedup
+    # /quality-composition/schedule queries entered (hll_cardinality,
+    # cm_heavy_hitters, semantic_dedup, perplexity_buckets,
+    # quality_ensemble, intra_doc_line_dedup, fetch_schedule,
+    # link_target_stats). All eight below are r5-driver-green pure
+    # relational queries whose module (operators/relational.py) has zero
+    # diff this round; the kernel-backed queries stay IN the window
+    # because the zero-copy Arrow-buffer change touched their path:
+    "pricing_summary", "top_revenue_customers", "running_balance",
+    "sessionize", "statement_reconciliation", "code_semijoin_lead",
+    "value_bucket_join", "union_by_arity",
 ]
 
 

@@ -1070,3 +1070,173 @@ def test_seed_centroids_with_offset_id_space(spark):
     assert [cid for cid, _ in cents] == [1000, 1001, 1002, 1003]
     trained = simsearch.train_centroids(emb, n_centroids=4)
     assert len(trained) == 4
+
+
+# ---------------------------------------------------------------------------
+# Sketches (operators/sketch.py)
+# ---------------------------------------------------------------------------
+
+def test_hll_estimate_within_hll_error(spark):
+    from ocr_cezam_spark.operators import sketch
+
+    # 8000 distinct keys, one group: exercises the raw-estimator path
+    # (above the 2.5*m linear-count range). Theoretical HLL stderr at
+    # m=1024 is ~1.04/sqrt(1024) = 3.25%; assert within 3 sigma.
+    df = spark.range(8000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    row = sketch.hll_cardinality(df, "k", "g").collect()[0]
+    assert row["n_exact"] == 8000
+    assert abs(row["hll_est"] - 8000) / 8000 < 0.10
+    assert row["n_regs"] <= 1024
+
+
+def test_hll_small_range_linear_counting(spark):
+    from ocr_cezam_spark.operators import sketch
+
+    # 50 distinct keys: the small-range correction must fire and land
+    # very close (linear counting is near-exact when registers are
+    # mostly empty).
+    df = spark.range(50).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    row = sketch.hll_cardinality(df, "k", "g").collect()[0]
+    assert abs(row["hll_est"] - 50) < 5
+
+
+def test_hll_duplicates_do_not_inflate(spark):
+    from ocr_cezam_spark.operators import sketch
+
+    # same 100 keys repeated 50x: estimate tracks DISTINCT, not rows
+    df = spark.range(5000).select(
+        F.lit("g").alias("g"), (F.col("id") % 100).cast("string").alias("k")
+    )
+    row = sketch.hll_cardinality(df, "k", "g").collect()[0]
+    assert row["n_exact"] == 100
+    assert abs(row["hll_est"] - 100) < 10
+
+
+def test_cm_estimate_never_underestimates(spark):
+    from ocr_cezam_spark.operators import sketch
+
+    # Skewed stream: key 'h' 500x, 200 singletons. CM guarantees
+    # est >= true for every key; the sketch table is bounded at d*w.
+    df = spark.range(700).select(
+        F.when(F.col("id") < 500, "h")
+        .otherwise(F.concat(F.lit("u"), F.col("id"))).alias("k")
+    )
+    hh = sketch.cm_heavy_hitters(df, "k", threshold_frac=0.5).collect()
+    assert [r["key"] for r in hh] == ["h"]
+    assert hh[0]["true_cnt"] == 500 and hh[0]["cm_est"] >= 500
+    assert sketch.cm_sketch(df, "k").count() <= 4 * 64
+    # full point-query sweep: no key's estimate may undercount
+    all_est = sketch.cm_heavy_hitters(df, "k", threshold_frac=0.0).collect()
+    assert all(r["cm_est"] >= r["true_cnt"] for r in all_est)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (operators/simsearch.py)
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedup_keeps_min_id_exemplar(spark):
+    # three identical vectors + one orthogonal: the min id survives,
+    # both copies record dropped_by = the exemplar's id
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (5, [1.0, 0.0]),
+            (7, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vid"]: r for r in
+           simsearch.semantic_dedup(df, threshold=0.99,
+                                    n_centroids=2).collect()}
+    assert out[0]["kept"] and out[0]["dropped_by"] is None
+    assert not out[1]["kept"] and out[1]["dropped_by"] == 0
+    assert not out[5]["kept"] and out[5]["dropped_by"] == 0
+    assert out[7]["kept"]
+
+
+def test_semantic_dedup_threshold_boundary(spark):
+    # cos(v0, v1) ~ 0.894 < 0.95: nothing drops at the default threshold
+    rows = [(0, [1.0, 0.0]), (1, [2.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = simsearch.semantic_dedup(df, threshold=0.95, n_centroids=1)
+    assert all(r["kept"] for r in out.collect())
+
+
+# ---------------------------------------------------------------------------
+# Intra-doc line dedup / quality composition (textstats, dedup)
+# ---------------------------------------------------------------------------
+
+def test_intra_doc_line_dedup_keeps_first_in_order(spark):
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb"), (2, "x\ny")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.intra_doc_line_dedup(df).collect()}
+    assert out[1]["text"] == "a\nb\nc" and out[1]["n_lines_removed"] == 2
+    assert out[2]["text"] == "x\ny" and out[2]["n_lines_removed"] == 0
+
+
+def test_perplexity_buckets_partition_sizes(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok%d" % (i * 7 % 5)] * 3 + ["common"] * i), "s")
+         for i in range(1, 10)],
+        "doc_id long, text string, source string",
+    )
+    out = textstats.perplexity_buckets(docs).collect()
+    counts = {}
+    for r in out:
+        counts[r["bucket"]] = counts.get(r["bucket"], 0) + 1
+    # 9 docs -> exactly 3 per bucket by the rn*3 <= cnt rule
+    assert counts == {"head": 3, "middle": 3, "tail": 3}
+
+
+def test_quality_ensemble_keep_implies_gates_and_score(spark):
+    good = "the cat sat of the mat and then went to sleep in a box again"
+    bad = "zz zz zz zz zz zz zz zz zz zz 111 222 333 444 555 666 777 888"
+    docs = spark.createDataFrame(
+        [(1, good), (2, bad)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textstats.quality_ensemble(docs).collect()}
+    for r in out.values():
+        assert 0.0 <= r["score"] <= 1.0
+        if r["keep"]:
+            assert r["gates_ok"] and r["score"] >= 0.5
+    assert out[2]["keep"] is False
+
+
+def test_fetch_schedule_politeness_spacing(spark):
+    from ocr_cezam_spark.operators import pipeline as P
+
+    fr = spark.createDataFrame(
+        [("http://a.x/1", "a.x", 0.5, 2.0, 1, 0.1),
+         ("http://a.x/2", "a.x", 0.5, 2.0, 2, 0.1),
+         ("http://a.x/3", "a.x", 0.5, 2.0, 3, 0.1),
+         ("http://b.y/1", "b.y", 0.2, 1.0, 1, 0.1)],
+        "url string, host string, host_rank double, delay_sec double,"
+        " fetch_pos int, priority double",
+    )
+    out = P.fetch_schedule(fr, n_workers=4).collect()
+    by_host = {}
+    for r in out:
+        assert 0 <= r["worker"] < 4
+        by_host.setdefault(r["host"], []).append(r)
+    a = sorted(by_host["a.x"], key=lambda r: r["fetch_pos"])
+    assert [r["fetch_offset_s"] for r in a] == [0.0, 2.0, 4.0]
+    # one worker per host: politeness spacing is meaningful
+    assert len({r["worker"] for r in by_host["a.x"]}) == 1
+
+
+def test_link_target_stats_bounds(spark):
+    from ocr_cezam_spark.operators import graph as G
+
+    links = spark.createDataFrame(
+        [("http://a.x/p", 0, "http://t.z/"),
+         ("http://a.x/p", 1, "http://t.z/"),
+         ("http://b.y/q", 0, "http://t.z/"),
+         ("http://b.y/q", 1, "http://u.w/")],
+        "url string, pos int, href string",
+    )
+    out = {r["target"]: r for r in G.link_target_stats(links).collect()}
+    t = out["http://t.z/"]
+    assert t["n_inlinks"] == 3 and t["n_src_pages"] == 2
+    assert t["n_src_hosts"] == 2 and t["first_pos"] == 0
+    assert out["http://u.w/"]["n_inlinks"] == 1
