@@ -90,6 +90,7 @@ HEADLINE = [
     "intra_doc_line_dedup",
     "fetch_schedule",
     "link_target_stats",
+    "anchor_text_topk",
 ]
 
 

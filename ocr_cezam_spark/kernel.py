@@ -1184,20 +1184,42 @@ def _unescape_attr(v: str) -> str:
     return _ATTR_ENTITY_RX.sub(repl, v)
 
 
-def extract_links(base_url: str, page: str) -> list[str]:
-    """Fetchable anchor targets in document order, entity-decoded (the
-    HTML5 ATTRIBUTE rule: only ';'-terminated references — '&amp;'
-    decodes, '&copy=2' stays literal) and resolved against the page url
-    (RFC 3986 via urljoin): absolute http(s) kept, protocol-relative and
-    path-relative resolved, fragment-only and non-fetchable schemes
-    (javascript/mailto/tel/data/about) skipped. Anchors inside comments,
-    CDATA and script/style bodies are never links. Duplicates are kept —
-    positions matter to consumers; dedup is the downstream operator's
-    job."""
+# Anchor BODY boundary: an <a> element ends at its close tag OR at the
+# next <a open tag — HTML5 forbids nested anchors, so a browser's tree
+# builder implicitly closes the current one there (13.2.6.4.7 "in body",
+# the <a>-in-<a> rule). '</a' must be followed by whitespace or '>' so
+# '</aside>' never terminates an anchor.
+_A_END_RX = re.compile(r"</a[\s>]|<a\b", re.IGNORECASE)
+_ANY_TAG_RX = re.compile(r"<[^>]*>")
+_WS_RUN_RX = re.compile(r"\s+")
+ANCHOR_TEXT_MAX = 200
+
+
+def extract_links(base_url: str, page: str) -> list[tuple[str, str]]:
+    """Fetchable anchor targets WITH their anchor text, in document
+    order. Hrefs are entity-decoded under the HTML5 ATTRIBUTE rule (only
+    ';'-terminated references — '&amp;' decodes, '&copy=2' stays
+    literal) and resolved against the page url (RFC 3986 via urljoin):
+    absolute http(s) kept, protocol-relative and path-relative resolved,
+    fragment-only and non-fetchable schemes (javascript/mailto/tel/data/
+    about) skipped. Anchors inside comments, CDATA and script/style
+    bodies are never links. Duplicates are kept — positions matter to
+    consumers; dedup is the downstream operator's job.
+
+    Anchor TEXT is what a browser would render inside the element:
+    the body up to the close tag (or the next <a>, which implicitly
+    closes — anchors cannot nest), inner markup stripped, entities
+    decoded under the TEXT rule (html.unescape: legacy non-';' named
+    refs decode here, unlike in attribute values; stdlib maps numeric
+    surrogates/overflow to U+FFFD so the output stays Arrow-safe),
+    whitespace collapsed, capped at ANCHOR_TEXT_MAX chars. Anchor text
+    is the classic target-ranking / retrieval signal (WAT-style link
+    metadata carries it for exactly that reason)."""
     from urllib.parse import urljoin
 
-    out: list[str] = []
-    for m in _A_HREF_RX.finditer(_LINK_STRIP_RX.sub("", page)):
+    stripped = _LINK_STRIP_RX.sub("", page)
+    out: list[tuple[str, str]] = []
+    for m in _A_HREF_RX.finditer(stripped):
         raw = (m.group(2) or m.group(3) or m.group(4) or "").strip()
         if "&" in raw:
             raw = _unescape_attr(raw)
@@ -1210,8 +1232,19 @@ def extract_links(base_url: str, page: str) -> list[str]:
             resolved = urljoin(base_url, raw)
         except ValueError:
             continue
-        if resolved.startswith(("http://", "https://")):
-            out.append(resolved)
+        if not resolved.startswith(("http://", "https://")):
+            continue
+        text = ""
+        tag_end = stripped.find(">", m.end())
+        if tag_end != -1:
+            nxt = _A_END_RX.search(stripped, tag_end + 1)
+            body = stripped[tag_end + 1:nxt.start() if nxt else None]
+            # strip tags BEFORE unescaping: entity-encoded markup
+            # ('&lt;b&gt;') is text a browser renders, not a tag
+            text = _WS_RUN_RX.sub(
+                " ", unescape(_ANY_TAG_RX.sub(" ", body))
+            ).strip()[:ANCHOR_TEXT_MAX]
+        out.append((resolved, text))
     return out
 
 

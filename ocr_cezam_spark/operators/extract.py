@@ -78,7 +78,8 @@ EXTRACT_SCHEMA = pa.schema(
         pa.field(
             "links",
             pa.list_(
-                pa.struct([("pos", pa.int32()), ("href", pa.string())])
+                pa.struct([("pos", pa.int32()), ("href", pa.string()),
+                           ("anchor", pa.string())])
             ),
         ),
     ]
@@ -90,7 +91,7 @@ EXTRACT_DDL = (
     "cells array<struct<table_id:int,row_id:int,col_id:int,value:string>>, "
     "statuses array<struct<table_id:int,status:string,detail:string>>, "
     "codes array<struct<table_id:int,code:string,pos:int,value:string>>, "
-    "links array<struct<pos:int,href:string>>"
+    "links array<struct<pos:int,href:string,anchor:string>>"
 )
 
 
@@ -143,8 +144,8 @@ def _extract_batches(
             )
             out["links"].append(
                 [
-                    {"pos": i, "href": h}
-                    for i, h in enumerate(res["links"])
+                    {"pos": i, "href": h, "anchor": t}
+                    for i, (h, t) in enumerate(res["links"])
                 ]
             )
         yield pa.RecordBatch.from_pydict(out, schema=EXTRACT_SCHEMA)
@@ -194,10 +195,11 @@ def extracted_codes(out: DataFrame) -> DataFrame:
 
 
 def extracted_links(out: DataFrame) -> DataFrame:
-    """(url, pos, href): the crawl-frontier table — document-ordered
-    anchor targets per page, long format like the other projections."""
+    """(url, pos, href, anchor): the crawl-frontier table — document-
+    ordered anchor targets per page with their anchor text, long format
+    like the other projections."""
     return out.select("url", F.explode("links").alias("l")).select(
-        "url", "l.pos", "l.href"
+        "url", "l.pos", "l.href", "l.anchor"
     )
 
 

@@ -187,3 +187,52 @@ def link_target_stats(links: DataFrame, url_col: str = "url",
         )
         .orderBy(F.desc("n_inlinks"), "target")
     )
+
+
+def anchor_text_topk(links: DataFrame, href_col: str = "href",
+                     anchor_col: str = "anchor") -> DataFrame:
+    """The dominant anchor text per link target — what the web "calls"
+    a page, the classic retrieval/ranking signal WAT-style link metadata
+    exists to carry (anchor text of in-links describes the TARGET better
+    than the target's own text describes itself).
+
+    Two hash aggregations, no window: count per (target, anchor), then
+    min-of-struct((-n, anchor)) per target — highest count wins, ties to
+    the lexicographically smallest anchor, the same negation trick as
+    cluster_best_docs so a mega-target (millions of in-links) reduces
+    map-side instead of funneling one sort task. Empty anchors (image
+    links, icon links) are excluded from the vote but counted in
+    n_inlinks.
+    """
+    votes = (
+        links.filter(F.col(anchor_col) != "")
+        .groupBy(F.col(href_col).alias("target"),
+                 F.col(anchor_col).alias("anchor"))
+        .agg(F.count("*").alias("n"))
+    )
+    top = (
+        votes.groupBy("target")
+        .agg(
+            F.min(F.struct((-F.col("n")).alias("neg_n"),
+                           F.col("anchor").alias("anchor"))).alias("w"),
+            F.count("*").alias("n_anchors"),
+        )
+        .select(
+            "target",
+            F.col("w.anchor").alias("top_anchor"),
+            (-F.col("w.neg_n")).alias("top_anchor_n"),
+            "n_anchors",
+        )
+    )
+    inlinks = links.groupBy(F.col(href_col).alias("target")).agg(
+        F.count("*").alias("n_inlinks")
+    )
+    return (
+        inlinks.join(top, "target", "left")
+        .select(
+            "target", "n_inlinks",
+            "top_anchor", "top_anchor_n",
+            F.coalesce("n_anchors", F.lit(0)).alias("n_anchors"),
+        )
+        .orderBy(F.desc("n_inlinks"), "target")
+    )

@@ -2598,7 +2598,7 @@ _register(
     "extract_links",
     lambda s, d: X.extracted_links(_kernel_out(s)),
     f"""
-    SELECT url, pos, href
+    SELECT url, pos, href, anchor
     FROM read_parquet('{GOLDEN_DIR}/extract_links_n{KERNEL_N}.parquet')
     """,
 )
@@ -4271,6 +4271,38 @@ _register(
     """.format(frontier=ORACLES["frontier_next"]),
 )
 
+# Dominant anchor text per target over the golden link table — the
+# retrieval signal in-link text carries; min-of-struct((-n, anchor))
+# semantics restated as a window in the twin.
+_register(
+    "anchor_text_topk",
+    lambda s, d: graph.anchor_text_topk(X.extracted_links(_kernel_out(s))),
+    f"""
+    WITH glinks AS (
+      SELECT href, anchor
+      FROM read_parquet('{GOLDEN_DIR}/extract_links_n{KERNEL_N}.parquet')
+    ),
+    votes AS (
+      SELECT href AS target, anchor, count(*) AS n
+      FROM glinks WHERE anchor <> '' GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT target, anchor AS top_anchor, n AS top_anchor_n, n_anchors
+      FROM (SELECT *, row_number() OVER (PARTITION BY target
+                                         ORDER BY n DESC, anchor ASC) AS rn,
+                   count(*) OVER (PARTITION BY target) AS n_anchors
+            FROM votes)
+      WHERE rn = 1
+    ),
+    inl AS (SELECT href AS target, count(*) AS n_inlinks
+            FROM glinks GROUP BY 1)
+    SELECT i.target, i.n_inlinks, t.top_anchor, t.top_anchor_n,
+           coalesce(t.n_anchors, 0) AS n_anchors
+    FROM inl i LEFT JOIN top t USING (target)
+    ORDER BY i.n_inlinks DESC, i.target
+    """,
+)
+
 # Per-target in-link stats over the golden link table (the kernel pass is
 # golden-checked by extract_links; this is the downstream ranking signal).
 _register(
@@ -4353,6 +4385,9 @@ _WINDOW_TAIL = [
     "pricing_summary", "top_revenue_customers", "running_balance",
     "sessionize", "statement_reconciliation", "code_semijoin_lead",
     "value_bucket_join", "union_by_arity",
+    # rotated out when anchor_text_topk entered (r5-driver-green;
+    # functions/text.py has zero diff this round):
+    "digit_decimal_parse",
 ]
 
 

@@ -378,7 +378,7 @@ def test_extract_links_resolution_and_filtering():
         '</body></html>'
     )
     got = kernel.extract_links("https://host.example/dir/page.html", page)
-    assert got == [
+    assert [h for h, _ in got] == [
         "https://host.example/rel/path",
         "https://host.example/dir/sibling",
         "https://other.example/x",
@@ -388,6 +388,7 @@ def test_extract_links_resolution_and_filtering():
         "https://host.example/dup",
         "https://host.example/dup",  # duplicates kept, positions matter
     ]
+    assert [t for _, t in got] == ["a", "b", "c", "d", "e", "f", "g", "g2"]
 
 
 def test_extract_links_skips_comments_scripts_and_keeps_literal_params():
@@ -402,11 +403,12 @@ def test_extract_links_skips_comments_scripts_and_keeps_literal_params():
         '</body></html>'
     )
     got = kernel.extract_links("https://h.example/p", page)
-    assert got == [
+    assert [h for h, _ in got] == [
         "https://h.example/buy?item=1&copy=2",  # browser-verbatim, not ©=2
         "https://h.example/q?a=1&b=2",
         "https://h.example/n?x=/slash",
     ]
+    assert [t for _, t in got] == ["legit", "amp", "numeric"]
 
 
 def test_extract_links_numeric_charref_end_state():
@@ -427,7 +429,7 @@ def test_extract_links_numeric_charref_end_state():
         '<a href="/s?a=&#xFDD0;b">nonchar</a>'
     )
     got = kernel.extract_links("https://h.example/p", page)
-    assert got == [
+    assert [h for h, _ in got] == [
         "https://h.example/s?a=�b",
         "https://h.example/s?a=�b",
         "https://h.example/s?a=�b",
@@ -435,15 +437,17 @@ def test_extract_links_numeric_charref_end_state():
         "https://h.example/s?a=" + _html.unescape("&#x92;") + "b",
         "https://h.example/s?a=b",
     ]
-    for u in got:
+    for u, t in got:
         u.encode("utf-8")  # Arrow-safe: no lone surrogates survive
+        t.encode("utf-8")
 
 
 def test_extract_surfaces_links_in_document_order():
     page = ('<html><body><a href="/one">1</a><p>text</p>'
             '<a href="/two">2</a></body></html>')
     out = kernel.extract("https://h.example/p", page.encode(), "fr")
-    assert out["links"] == ["https://h.example/one", "https://h.example/two"]
+    assert out["links"] == [("https://h.example/one", "1"),
+                            ("https://h.example/two", "2")]
     # PDF payloads and error rows carry an empty frontier
     assert kernel.extract("http://x/e", b"\x00\xff" * 10, "fr")["links"] == []
 
@@ -475,3 +479,27 @@ def test_robots_tag_straddling_head_budget_still_matches():
              b"</head><body><p>hi</p></body></html>")
     assert len(pad2) >= 4096
     assert kernel.robots_directives(page2) == set()
+
+
+def test_extract_links_anchor_text_rules():
+    """Anchor text: inner markup stripped, TEXT entity rule (legacy
+    non-';' named refs decode — unlike hrefs), whitespace collapsed,
+    implicit close at the next <a> (anchors cannot nest), </aside> does
+    not terminate, 200-char cap."""
+    page = (
+        '<a href="/a"><b>Bold</b> &amp; <i>ital</i></a>'
+        '<a href="/b">first <a href="/c">second</a>'       # implicit close
+        '<a href="/d">x &copy 2024</a>'                    # text rule: © decodes
+        '<a href="/e">inside <aside>an aside</aside> tail</a>'
+        '<a href="/f">  spaced \t\n out  </a>'
+        '<a href="/g">' + "y" * 500 + "</a>"
+    )
+    got = kernel.extract_links("https://h.example/p", page)
+    texts = {h.rsplit("/", 1)[1]: t for h, t in got}
+    assert texts["a"] == "Bold & ital"
+    assert texts["b"] == "first"          # closed by the next <a>
+    assert texts["c"] == "second"
+    assert texts["d"] == "x © 2024"  # legacy &copy decodes in TEXT
+    assert texts["e"] == "inside an aside tail"
+    assert texts["f"] == "spaced out"
+    assert texts["g"] == "y" * kernel.ANCHOR_TEXT_MAX

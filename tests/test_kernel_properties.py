@@ -147,9 +147,12 @@ def test_extract_links_never_raises_and_only_http(frag):
     a = kernel.extract_links("https://base.example/dir/page", frag)
     b = kernel.extract_links("https://base.example/dir/page", frag)
     assert a == b
-    for u in a:
+    for u, t in a:
         assert u.startswith(("http://", "https://")), u
         # UTF-8 encodable — a lone surrogate here would escape extract()'s
         # per-row error guard and kill the whole Arrow batch downstream.
         u.encode("utf-8")
-    pa.array(a, type=pa.string())
+        t.encode("utf-8")
+        assert len(t) <= kernel.ANCHOR_TEXT_MAX
+    pa.array([u for u, _ in a], type=pa.string())
+    pa.array([t for _, t in a], type=pa.string())

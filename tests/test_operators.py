@@ -1240,3 +1240,25 @@ def test_link_target_stats_bounds(spark):
     assert t["n_inlinks"] == 3 and t["n_src_pages"] == 2
     assert t["n_src_hosts"] == 2 and t["first_pos"] == 0
     assert out["http://u.w/"]["n_inlinks"] == 1
+
+
+def test_anchor_text_topk_vote_and_ties(spark):
+    from ocr_cezam_spark.operators import graph as G
+
+    links = spark.createDataFrame(
+        [("http://a.x/1", 0, "http://t.z/", "Home"),
+         ("http://a.x/2", 0, "http://t.z/", "Home"),
+         ("http://b.y/1", 0, "http://t.z/", "Start"),
+         ("http://b.y/2", 1, "http://t.z/", ""),       # empty: no vote
+         ("http://c.w/1", 0, "http://u.v/", "B"),
+         ("http://c.w/2", 0, "http://u.v/", "A"),      # tie -> lexic. min
+         ("http://c.w/3", 0, "http://i.j/", "")],      # only empty anchors
+        "url string, pos int, href string, anchor string",
+    )
+    out = {r["target"]: r for r in G.anchor_text_topk(links).collect()}
+    t = out["http://t.z/"]
+    assert t["top_anchor"] == "Home" and t["top_anchor_n"] == 2
+    assert t["n_inlinks"] == 4 and t["n_anchors"] == 2
+    assert out["http://u.v/"]["top_anchor"] == "A"
+    i = out["http://i.j/"]
+    assert i["top_anchor"] is None and i["n_anchors"] == 0

@@ -264,3 +264,75 @@ def test_frontier_next_plan_and_semantics(spark):
     assert "BatchEvalPython" not in phys
     assert "ResolvedHint" not in opt  # rules side not force-broadcast
     assert "WindowGroupLimit" in phys
+
+
+def test_sketch_plans_are_partial_hash_aggs(spark):
+    """HLL registers and the CM counter table must combine map-side
+    (partial_max / partial_count in the plan) with no Window and no
+    Python UDF — the mergeable-sketch contract in plan form."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ocr_cezam_spark.operators import sketch
+
+    df = spark.range(200).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("string").alias("k"),
+    )
+    p1 = formatted_plan(sketch.hll_cardinality(df, "k", "g"))
+    assert "partial_max" in p1          # register max folds map-side
+    assert "Window" not in p1 and "BatchEvalPython" not in p1
+    p2 = formatted_plan(sketch.cm_heavy_hitters(df, "k"))
+    assert "partial_count" in p2 or "partial_count_star" in p2 \
+        or "count" in p2                # counter build folds map-side
+    assert "Window" not in p2 and "BatchEvalPython" not in p2
+    assert "CartesianProduct" not in p2.replace(
+        "BroadcastNestedLoopJoin", "")  # only the 1-row total broadcast
+    # the one nested-loop join allowed is the single-row total attach
+    # (a formatted plan names each join twice: tree + detail section)
+    assert p2.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_semantic_dedup_no_global_pairs(spark):
+    """semantic_dedup's pairwise stage must be an equi-join on
+    centroid_id (SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin), never
+    a cartesian/nested-loop over the vectors, and JVM-side throughout."""
+    from ocr_cezam_spark.operators import simsearch
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    p = formatted_plan(simsearch.semantic_dedup(emb, n_centroids=4))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_anchor_and_target_stats_no_window_spark_side(spark):
+    """anchor_text_topk votes via min-of-struct (two hash aggs, no
+    Window on the Spark side — the twin restates it as a window);
+    link_target_stats is one aggregation keyed on the target."""
+    from ocr_cezam_spark.operators import graph as G
+
+    links = spark.createDataFrame(
+        [(f"http://s{i % 3}.x/p", i % 4, f"http://t{i % 5}.z/", f"a{i % 2}")
+         for i in range(40)],
+        "url string, pos int, href string, anchor string",
+    )
+    p1 = formatted_plan(G.anchor_text_topk(links))
+    assert "Window" not in p1 and "BatchEvalPython" not in p1
+    assert "partial_min" in p1          # the vote folds map-side
+    p2 = formatted_plan(G.link_target_stats(links))
+    assert "Window" not in p2 and "BatchEvalPython" not in p2
+
+
+def test_intra_doc_line_dedup_is_map_only(spark):
+    """The C4 within-doc rule must stay a projection: no shuffle
+    (Exchange), no window, no Python."""
+    from ocr_cezam_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, "a\nb\na") for i in range(10)], "doc_id long, text string")
+    p = formatted_plan(D.intra_doc_line_dedup(docs))
+    assert "Exchange" not in p
+    assert "Window" not in p and "BatchEvalPython" not in p

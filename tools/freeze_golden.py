@@ -33,17 +33,18 @@ def main() -> None:
     fields = {"url": [], "field": [], "value": []}
     cells = {"url": [], "table_id": [], "row_id": [], "col_id": [], "value": []}
     codes = {"url": [], "table_id": [], "code": [], "pos": [], "value": []}
-    links = {"url": [], "pos": [], "href": []}
+    links = {"url": [], "pos": [], "href": [], "anchor": []}
     for i in range(N):
         p = make_page(i)
         r = extract(p["url"], p["html"], p["lang"])
         assert r["error"] is None, (i, r["error"])
         texts["url"].append(r["url"])
         texts["text"].append(r["text"])
-        for pos, href in enumerate(r["links"]):
+        for pos, (href, anchor) in enumerate(r["links"]):
             links["url"].append(r["url"])
             links["pos"].append(pos)
             links["href"].append(href)
+            links["anchor"].append(anchor)
         for (t, s, d) in r["statuses"]:
             statuses["url"].append(r["url"])
             statuses["table_id"].append(t)
