@@ -91,6 +91,8 @@ HEADLINE = [
     "fetch_schedule",
     "link_target_stats",
     "anchor_text_topk",
+    "page_metadata",
+    "canonical_dedup",
 ]
 
 

@@ -66,6 +66,20 @@ _BANK_IDS = (
 )
 
 
+def _host_for(seed: int, doc_id: int, rng: random.Random | None = None
+              ) -> str:
+    """Host of ``doc_id``'s page. When called with the page's own rng the
+    two draws advance its stream exactly as before; when called without
+    one (cross-doc canonical targets need ANOTHER doc's host) a fresh rng
+    replays the same leading draws, so the answer matches what
+    make_page(doc_id) produces without touching the caller's stream."""
+    if rng is None:
+        rng = random.Random(seed * 1_000_003 + doc_id)
+    if rng.random() < 0.30:
+        return _HOT_HOSTS[doc_id % len(_HOT_HOSTS)]
+    return f"site-{rng.randint(0, 499):03d}.example.org"
+
+
 def _date_in_bank_format(day: int, month: int, year: int, fmt: str) -> str:
     if fmt == "slash":
         return f"{day:02d}/{month:02d}/{year}"
@@ -186,11 +200,33 @@ def make_page(doc_id: int, seed: int = SEED) -> dict:
     rng = random.Random(seed * 1_000_003 + doc_id)
     variant = doc_id % N_VARIANTS
 
-    if rng.random() < 0.30:
-        host = _HOT_HOSTS[doc_id % len(_HOT_HOSTS)]
-    else:
-        host = f"site-{rng.randint(0, 499):03d}.example.org"
+    host = _host_for(seed, doc_id, rng)
     url = f"https://{host}/articles/{doc_id:08d}"
+    # Canonical-URL declarations (kernel head_metadata + canonical_dedup):
+    # some pages are tracking-suffixed VARIANTS of a clean target and say
+    # so — via <link rel=canonical> (7%3), via og:url fallback (7%5), or
+    # via a RELATIVE token-list rel on the clean page itself (11%4) — so
+    # the canonical-collapse dedup has real variant groups to merge and
+    # every resolution branch is exercised through the goldens.
+    canon_target = url
+    head_meta = ""
+    if doc_id % 7 == 3:
+        url = f"{canon_target}?utm_source=news&ref={doc_id % 5}"
+        head_meta = f'<link rel="canonical" href="{canon_target}">'
+    elif doc_id % 7 == 4:
+        # Second tracking-variant of the PREVIOUS doc's clean target (the
+        # %7==3 doc declares the same one) — so canonical_dedup has real
+        # multi-variant groups to merge, not 1:1 self-groups.
+        canon_target = (f"https://{_host_for(seed, doc_id - 1)}"
+                        f"/articles/{doc_id - 1:08d}")
+        url = f"{canon_target}?utm_medium=social&s={doc_id % 3}"
+        head_meta = f'<link rel="canonical" href="{canon_target}">'
+    elif doc_id % 7 == 5:
+        url = f"{canon_target}?utm_medium=feed"
+        head_meta = f'<meta property="og:url" content="{canon_target}">'
+    elif doc_id % 11 == 4:
+        head_meta = ('<link rel="alternate canonical" '
+                     f'href="/articles/{doc_id:08d}">')
     warc_ts = dt.datetime(2024, 1, 1) + dt.timedelta(minutes=doc_id % 525_600)
     lang = "fra" if rng.random() < 0.7 else "eng"
 
@@ -273,7 +309,9 @@ def make_page(doc_id: int, seed: int = SEED) -> dict:
     html = (
         "<html><head><title>"
         + title
-        + "</title><style>body{margin:0}</style>"
+        + "</title>"
+        + head_meta
+        + "<style>body{margin:0}</style>"
         + "<script>var t=1;</script></head><body>"
         + f"<nav>{nav_links}</nav>"
         + f"<header><a href='/'>{host}</a> breaking latest popular</header>"

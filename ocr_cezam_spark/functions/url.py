@@ -105,3 +105,115 @@ def host_suffix(u: Column, levels: int = 2) -> Column:
                 levels),
         ".",
     )
+
+
+# --- public-suffix registered domain -------------------------------------
+# `host_suffix(levels=2)` is the WRONG domain-quota key at web scale: it
+# merges every *.co.uk site into one "co.uk" quota bucket and splits
+# user-site platforms (github.io, blogspot.com) that the Public Suffix
+# List treats as suffixes. The PSL algorithm (publicsuffix.org/list):
+# exception rule (!x) wins and its public suffix is the rule minus its
+# leading label; else the LONGEST matching rule wins, where `*` matches
+# exactly one label; no rule matched -> the implicit `*` rule (TLD is
+# public). Registered domain = public suffix + one more label; NULL when
+# the host IS a public suffix.
+#
+# PSL_RULES below is a deliberately small embedded subset covering every
+# rule KIND (exact multi-label, wildcard, exception, private-section
+# platform suffixes) — at deployment the full list is a ~240 KB config
+# swap, which changes only this tuple, not the algorithm. Spark side:
+# static per-length candidate columns (the list's max rule length bounds
+# the loop at plan-build time), pure codegen'd exprs, no UDF, no join —
+# the rule set rides the serialized plan like a broadcast literal.
+PSL_RULES = (
+    "com", "org", "net", "io", "fr", "jp", "au", "uk", "ck", "example",
+    "co.uk", "org.uk", "ac.uk", "co.jp", "com.au",
+    "*.ck", "!www.ck",
+    "github.io", "blogspot.com",
+)
+
+_PSL_EXACT = frozenset(r for r in PSL_RULES if not r.startswith(("*.", "!")))
+_PSL_WILD = frozenset(r[2:] for r in PSL_RULES if r.startswith("*."))
+_PSL_EXC = frozenset(r[1:] for r in PSL_RULES if r.startswith("!"))
+_PSL_MAX_LEN = max(len(r.lstrip("!").split(".")) for r in PSL_RULES)
+
+
+def public_suffix_len(host: Column) -> Column:
+    """Label count of ``host``'s public suffix under PSL_RULES (0 when the
+    exception rule shrinks the suffix past the root — impossible with a
+    well-formed list, kept total anyway)."""
+    labels = F.split(F.lower(host), r"\.")
+    n = F.size(labels)
+    ps = F.lit(1)  # the PSL's implicit `*` rule: any TLD is public
+    # Longer rules override shorter: ascending-i whens, later wins via
+    # reassignment; exceptions override everything at their length.
+    for i in range(1, _PSL_MAX_LEN + 1):
+        cand = F.array_join(
+            F.slice(labels, n - (i - 1), i), ".")
+        if _PSL_EXACT:
+            ps = F.when((n >= i) & cand.isin(*sorted(_PSL_EXACT)),
+                        F.lit(i)).otherwise(ps)
+        if _PSL_WILD and i >= 2:
+            # `*.x` is an (len(x)+1)-label rule: one label, then x.
+            tail = F.array_join(F.slice(labels, n - (i - 2), i - 1), ".")
+            ps = F.when((n >= i) & tail.isin(*sorted(_PSL_WILD)),
+                        F.lit(i)).otherwise(ps)
+    for i in range(1, _PSL_MAX_LEN + 2):
+        if _PSL_EXC:
+            cand = F.array_join(F.slice(labels, n - (i - 1), i), ".")
+            ps = F.when((n >= i) & cand.isin(*sorted(_PSL_EXC)),
+                        F.lit(i - 1)).otherwise(ps)
+    return ps
+
+
+def registered_domain(u: Column) -> Column:
+    """Registered (PSL-effective second-level) domain of an absolute URL's
+    host: 'https://a.b.site.co.uk/x' -> 'site.co.uk';
+    'https://u.github.io/p' -> 'u.github.io' (platform suffix);
+    NULL when the host is itself a public suffix ('https://com/')."""
+    host = F.lower(F.regexp_extract(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+        r"^(?:.*@)?([^:@]*)", 1,
+    ))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    ps = public_suffix_len(host)
+    return F.when(
+        (host != "") & (n > ps),
+        F.array_join(F.slice(labels, n - ps, ps + 1), "."),
+    )
+
+
+def psl_registered_domain_sql(host_expr: str) -> str:
+    """DuckDB twin of registered_domain over a host expression, emitted
+    from the SAME PSL_RULES tuple so the two engines cannot drift. Used
+    by oracle SQL that needs PSL semantics inside DuckDB."""
+    ls = f"string_split(lower({host_expr}), '.')"
+    n = f"len({ls})"
+
+    def _suffix(i: int) -> str:  # last i labels, joined
+        return (f"array_to_string(array_slice({ls}, {n} - {i - 1}, {n}),"
+                " '.')")
+
+    def _in(vals: frozenset) -> str:
+        return "(" + ", ".join(f"'{v}'" for v in sorted(vals)) + ")"
+
+    ps = "1"
+    for i in range(1, _PSL_MAX_LEN + 1):
+        if _PSL_EXACT:
+            ps = (f"CASE WHEN {n} >= {i} AND {_suffix(i)} IN "
+                  f"{_in(_PSL_EXACT)} THEN {i} ELSE {ps} END")
+        if _PSL_WILD and i >= 2:
+            tail = (f"array_to_string(array_slice({ls}, {n} - {i - 2}, {n}),"
+                    " '.')")
+            ps = (f"CASE WHEN {n} >= {i} AND {tail} IN {_in(_PSL_WILD)} "
+                  f"THEN {i} ELSE {ps} END")
+    for i in range(1, _PSL_MAX_LEN + 2):
+        if _PSL_EXC:
+            ps = (f"CASE WHEN {n} >= {i} AND {_suffix(i)} IN "
+                  f"{_in(_PSL_EXC)} THEN {i - 1} ELSE {ps} END")
+    return (
+        f"CASE WHEN lower({host_expr}) <> '' AND {n} > ({ps}) THEN "
+        f"array_to_string(array_slice({ls}, {n} - ({ps}), {n}), '.') "
+        "END"
+    )

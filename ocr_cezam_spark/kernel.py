@@ -1248,6 +1248,114 @@ def extract_links(base_url: str, page: str) -> list[tuple[str, str]]:
     return out
 
 
+# --- head metadata: <title>, rel=canonical, og:url -----------------------
+# The canonical URL is the standard pre-crawl dedup signal (Google's
+# rel=canonical consolidation): tracking-suffixed variants of one page all
+# declare the same canonical target, so a canonical-collapse BEFORE content
+# hashing removes duplicates without fetching bodies twice. Reference
+# analog: the per-document header fields the reference parses from page
+# one (process_fields.py) generalized to the web page's <head>.
+#
+# Spec bounds (documented, mirrored in the oracle fixtures):
+# - rel=canonical / og:url are honored only in the head region — the page
+#   up to the first <body tag (Google ignores body-declared canonicals; a
+#   hostile page embedding '<link rel=canonical>' in user content must not
+#   hijack dedup).
+# - rel is a space-separated TOKEN LIST ('alternate canonical' counts).
+# - first declaration wins (browser/Google behavior for duplicates).
+# - hrefs decode under the HTML5 attribute-entity rule and resolve via
+#   RFC 3986 urljoin; only http(s) results are kept.
+_HEAD_BODY_RX = re.compile(r"<body[\s>]", re.IGNORECASE)
+_LINK_TAG_RX = re.compile(r"<link\b[^>]*>", re.IGNORECASE)
+_META_PROP_TAG_RX = re.compile(r"<meta\b[^>]*>", re.IGNORECASE)
+_REL_ATTR_RX = re.compile(
+    r"""(?<![-\w])rel\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+    re.IGNORECASE,
+)
+_HREF_ATTR_RX = re.compile(
+    r"""(?<![-\w])href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+    re.IGNORECASE,
+)
+_OG_URL_PROP_RX = re.compile(
+    r"""(?<![-\w])(?:property|name)\s*=\s*["']?og:url\b""", re.IGNORECASE
+)
+_CONTENT_ATTR_RX = re.compile(
+    r"""(?<![-\w])content\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+    re.IGNORECASE,
+)
+_TITLE_RX = re.compile(
+    r"<title\b[^>]*>(.*?)</title[\s>]", re.IGNORECASE | re.DOTALL
+)
+TITLE_MAX = 512
+
+
+def _resolve_head_url(base_url: str, raw: str) -> str | None:
+    from urllib.parse import urljoin
+
+    raw = raw.strip()
+    if "&" in raw:
+        raw = _unescape_attr(raw)
+    if not raw or raw.startswith("#"):
+        return None
+    if raw.lower().startswith(_SKIP_SCHEMES):
+        return None
+    try:
+        resolved = urljoin(base_url, raw)
+    except ValueError:
+        return None
+    if not resolved.startswith(("http://", "https://")):
+        return None
+    return resolved
+
+
+def head_metadata(base_url: str, page: str) -> dict:
+    """Head-region metadata of one page: ``title`` (first <title>, text
+    rule, whitespace-collapsed, TITLE_MAX cap), ``canonical_url`` (first
+    <link rel~=canonical>, og:url fallback — resolved, http(s) only).
+    Keys are present only when the page declares them. Comments, CDATA
+    and script/style bodies are stripped first — a canonical inside a
+    comment is not a declaration."""
+    body_at = _HEAD_BODY_RX.search(page)
+    head = _LINK_STRIP_RX.sub("", page[: body_at.start()] if body_at
+                              else page)
+    out: dict = {}
+    t = _TITLE_RX.search(head)
+    if t:
+        title = _WS_RUN_RX.sub(" ", unescape(t.group(1))).strip()[:TITLE_MAX]
+        if title:
+            out["title"] = title
+    canonical = None
+    for m in _LINK_TAG_RX.finditer(head):
+        tag = m.group(0)
+        rel = _REL_ATTR_RX.search(tag)
+        if not rel:
+            continue
+        tokens = (rel.group(2) or rel.group(3) or rel.group(4) or "")
+        if "canonical" not in tokens.lower().split():
+            continue
+        href = _HREF_ATTR_RX.search(tag)
+        if href:
+            canonical = _resolve_head_url(
+                base_url, href.group(2) or href.group(3) or href.group(4)
+                or "")
+        if canonical:
+            break  # first valid declaration wins
+    if canonical is None:
+        for m in _META_PROP_TAG_RX.finditer(head):
+            tag = m.group(0)
+            if not _OG_URL_PROP_RX.search(tag):
+                continue
+            c = _CONTENT_ATTR_RX.search(tag)
+            if c:
+                canonical = _resolve_head_url(
+                    base_url, c.group(2) or c.group(3) or c.group(4) or "")
+            if canonical:
+                break
+    if canonical:
+        out["canonical_url"] = canonical
+    return out
+
+
 def extract(url: str, html: bytes, lang: str) -> dict:
     """Extract main text, fields, table cells, statuses from one page.
 
@@ -1440,6 +1548,10 @@ def _extract_inner(url: str, html: bytes, lang: str) -> dict:
     # <head>, which the content scorer deliberately ignores.
     if robots_directives(hv) & {"noindex", "none"}:
         res["fields"]["robots"] = "noindex"
+    # Head metadata (title / canonical target): generic fields rows, so
+    # the job's fields table carries them without a schema change — the
+    # canonical-collapse dedup query groups on them downstream.
+    res["fields"].update(head_metadata(url, page))
     return res
 
 

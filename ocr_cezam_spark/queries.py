@@ -500,6 +500,54 @@ _REP_SQL_CORPUS = f"""
       FROM documents
 """
 
+# Dolma/RefinedWeb-style duplicated-n-gram TAGGING (vs removal): fixture
+# clones every third doc so true cross-doc duplicates exist (clones score
+# 1.0) while the rest measure natural trigram overlap. The oracle
+# re-implements the whole chain (per-doc distinct grams, corpus count,
+# join back, left-join zero fill) independently in DuckDB.
+def _dup_ngram_docs(s: SparkSession, d: str) -> DataFrame:
+    base = _t(s, d, "documents").select("doc_id", "text")
+    clone = base.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return base.unionByName(clone)
+
+
+_register(
+    "dup_ngram_fraction",
+    lambda s, d: textstats.dup_ngram_fraction(_dup_ngram_docs(s, d)),
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 3 = 0
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+    ), idx AS (
+      SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+      FROM toks WHERE len(w) >= 3
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+      FROM idx
+    ), cnt AS (
+      SELECT gram, count(*) AS n_docs FROM grams GROUP BY gram
+    ), per AS (
+      SELECT g.doc_id, CAST(count(*) AS INT) AS n_grams,
+             CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS INT)
+               AS n_dup_grams
+      FROM grams g JOIN cnt c USING (gram) GROUP BY g.doc_id
+    )
+    SELECT c.doc_id,
+           coalesce(p.n_grams, 0) AS n_grams,
+           coalesce(p.n_dup_grams, 0) AS n_dup_grams,
+           coalesce(floor((p.n_dup_grams * 1.0 / p.n_grams) * 1e4 + 0.5)
+                      / 1e4, 0.0) AS dup_fraction
+    FROM corpus c LEFT JOIN per p USING (doc_id)
+    """,
+)
+
+
 _register(
     "repetition_stats",
     lambda s, d: textstats.repetition_stats(_rep_docs(s, d)),
@@ -2357,6 +2405,82 @@ _register(
     """,
 )
 
+# Public-suffix registered domain — the CORRECT domain-quota key at web
+# scale (host_suffix(2) merges all of *.co.uk into one bucket and splits
+# platform suffixes like github.io that the PSL marks public). Fixture
+# hosts exercise every PSL rule kind: exact multi-label, platform/private,
+# wildcard *.ck, exception !www.ck, implicit-* default, and a host that IS
+# a public suffix (NULL group). The oracle states the expected registered
+# domain per branch FROM FIRST PRINCIPLES (no shared PSL code — the
+# algorithm twin psl_registered_domain_sql is separately cross-checked in
+# tests/test_operators.py). Scale: the rule set is a plan literal (no
+# join); one hash agg with map-side partials; count(DISTINCT host) is a
+# two-phase partial agg, not a window.
+def _registered_domain_stats(s: SparkSession, d: str) -> DataFrame:
+    from .functions.url import registered_domain, url_host
+
+    k = (F.col("doc_id") % 10).cast("string")
+    b = F.col("doc_id") % 8
+    host = (
+        F.when(b == 0, F.concat(F.lit("www.blog"), k, F.lit(".co.uk")))
+        .when(b == 1, F.concat(F.lit("u"), k, F.lit(".github.io")))
+        .when(b == 2, F.concat(F.lit("shop"), k, F.lit(".com.au")))
+        .when(b == 3, F.concat(F.lit("x"), k, F.lit(".y"), k, F.lit(".ck")))
+        .when(b == 4, F.lit("www.ck"))
+        .when(b == 5, F.concat(F.lit("a.b.site"), k, F.lit(".example")))
+        .when(b == 6, F.concat(F.lit("news"), k, F.lit(".fr")))
+        .otherwise(F.lit("com"))
+    )
+    pages = _t(s, d, "documents").select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"),
+                 F.col("doc_id")).alias("url")
+    )
+    return (
+        pages.select(
+            registered_domain(F.col("url")).alias("domain"),
+            url_host(F.col("url")).alias("host"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("int").alias("n_pages"),
+            F.countDistinct("host").cast("int").alias("n_hosts"),
+        )
+    )
+
+
+_register(
+    "registered_domain_stats",
+    _registered_domain_stats,
+    """
+    WITH u AS (
+      SELECT doc_id,
+        CASE doc_id % 8
+          WHEN 0 THEN 'www.blog' || (doc_id % 10) || '.co.uk'
+          WHEN 1 THEN 'u' || (doc_id % 10) || '.github.io'
+          WHEN 2 THEN 'shop' || (doc_id % 10) || '.com.au'
+          WHEN 3 THEN 'x' || (doc_id % 10) || '.y' || (doc_id % 10) || '.ck'
+          WHEN 4 THEN 'www.ck'
+          WHEN 5 THEN 'a.b.site' || (doc_id % 10) || '.example'
+          WHEN 6 THEN 'news' || (doc_id % 10) || '.fr'
+          ELSE 'com' END AS host,
+        CASE doc_id % 8
+          WHEN 0 THEN 'blog' || (doc_id % 10) || '.co.uk'
+          WHEN 1 THEN 'u' || (doc_id % 10) || '.github.io'
+          WHEN 2 THEN 'shop' || (doc_id % 10) || '.com.au'
+          WHEN 3 THEN 'x' || (doc_id % 10) || '.y' || (doc_id % 10) || '.ck'
+          WHEN 4 THEN 'www.ck'
+          WHEN 5 THEN 'site' || (doc_id % 10) || '.example'
+          WHEN 6 THEN 'news' || (doc_id % 10) || '.fr'
+          ELSE NULL END AS domain
+      FROM documents
+    )
+    SELECT domain, CAST(count(*) AS INT) AS n_pages,
+           CAST(count(DISTINCT host) AS INT) AS n_hosts
+    FROM u GROUP BY domain
+    """,
+)
+
+
 _register(
     "byte_histogram",
     lambda s, d: multimodal.byte_histogram(
@@ -2777,6 +2901,89 @@ _register(
     "fiscal_codes",
     lambda s, d: X.extracted_codes(_kernel_out(s)),
     f"SELECT url, table_id, code, pos, value FROM read_parquet('{GOLDEN_DIR}/fiscal_codes_n{KERNEL_N}.parquet')",
+)
+
+
+# Head metadata as a per-url wide row (kernel.head_metadata: <title> +
+# rel=canonical with og:url fallback, head-region-only, first-valid-wins).
+# The fields table is long format; the pivot here is the edge-reassembly
+# pattern (same as pivot_wide_statements). Scale: groupBy(url).pivot over
+# a FIXED two-value column list — one hash agg, no shuffle beyond it.
+def _page_metadata(s: SparkSession, d: str) -> DataFrame:
+    f = X.extracted_fields(_kernel_out(s))
+    return (
+        f.filter(F.col("field").isin("title", "canonical_url"))
+        .groupBy("url")
+        .pivot("field", ["title", "canonical_url"])
+        .agg(F.max("value"))
+    )
+
+
+_register(
+    "page_metadata",
+    _page_metadata,
+    f"""
+    SELECT url,
+           max(CASE WHEN field = 'title' THEN value END) AS title,
+           max(CASE WHEN field = 'canonical_url' THEN value END)
+             AS canonical_url
+    FROM read_parquet('{GOLDEN_DIR}/extract_fields_n{KERNEL_N}.parquet')
+    WHERE field IN ('title', 'canonical_url')
+    GROUP BY url
+    """,
+)
+
+
+# Canonical-URL collapse — the pre-crawl dedup a rel=canonical declaration
+# buys: tracking-suffixed variants of one page group under their declared
+# target WITHOUT content hashing (complements latest_crawl_dedup, which
+# needs equal urls, and the digest dedups, which need fetched bodies).
+# Representative = the canonical page itself when it was crawled, else
+# the lexicographically-first variant (deterministic). Scale: one hash
+# agg on target with map-side partials and a conditional-min rep pick —
+# no window over docs, no self-join; the left join to the canonical
+# fields is url-equi and AQE-broadcastable when declarations are sparse.
+def _canonical_dedup(s: SparkSession, d: str) -> DataFrame:
+    out = _kernel_out(s)
+    canon = (
+        X.extracted_fields(out)
+        .filter(F.col("field") == "canonical_url")
+        .select("url", F.col("value").alias("canon"))
+    )
+    eff = (
+        X.extracted_text(out).select("url")
+        .join(canon, "url", "left")
+        .select("url", F.coalesce("canon", "url").alias("target"))
+    )
+    return eff.groupBy("target").agg(
+        F.count("*").cast("int").alias("n_variants"),
+        F.coalesce(
+            F.min(F.when(F.col("url") == F.col("target"), F.col("url"))),
+            F.min("url"),
+        ).alias("rep_url"),
+    )
+
+
+_register(
+    "canonical_dedup",
+    _canonical_dedup,
+    f"""
+    WITH c AS (
+      SELECT url, value AS canon
+      FROM read_parquet('{GOLDEN_DIR}/extract_fields_n{KERNEL_N}.parquet')
+      WHERE field = 'canonical_url'
+    ), u AS (
+      SELECT url
+      FROM read_parquet('{GOLDEN_DIR}/extract_text_n{KERNEL_N}.parquet')
+    ), eff AS (
+      SELECT u.url, coalesce(c.canon, u.url) AS target
+      FROM u LEFT JOIN c ON u.url = c.url
+    )
+    SELECT target, CAST(count(*) AS INT) AS n_variants,
+           coalesce(min(CASE WHEN url = target THEN url END), min(url))
+             AS rep_url
+    FROM eff GROUP BY target
+    """,
 )
 
 # Edge re-assembly with groupBy().pivot() (SURVEY 1.3: wide tables are
@@ -4388,6 +4595,20 @@ _WINDOW_TAIL = [
     # rotated out when anchor_text_topk entered (r5-driver-green;
     # functions/text.py has zero diff this round):
     "digit_decimal_parse",
+    # rotated out as page_metadata / canonical_dedup entered (both
+    # r5-driver-green; the r6 textstats.py diff is pure function
+    # ADDITIONS — token_quality's and gopher_quality's bodies have zero
+    # diff, verified via git diff ea299eb..HEAD hunks):
+    "token_quality", "gopher_quality",
+    # rotated out as registered_domain_stats entered (r5-driver-green;
+    # operators/dedup.py has zero diff this round, and cluster_best_docs
+    # reads the documents table, not the kernel corpus, so the zero-copy
+    # Arrow change cannot touch its path):
+    "cluster_best_docs",
+    # rotated out as dup_ngram_fraction entered (r5-driver-green;
+    # ngram_jaccard's operator in dedup.py has zero diff this round and
+    # it reads the documents table, untouched by the kernel change):
+    "ngram_jaccard",
 ]
 
 

@@ -503,3 +503,62 @@ def test_extract_links_anchor_text_rules():
     assert texts["e"] == "inside an aside tail"
     assert texts["f"] == "spaced out"
     assert texts["g"] == "y" * kernel.ANCHOR_TEXT_MAX
+
+
+def test_head_metadata_title_and_canonical_rules():
+    """head_metadata: title under the TEXT entity rule with whitespace
+    collapse + cap; rel is a token LIST; first VALID canonical wins;
+    attribute-rule entity decode + urljoin on hrefs; og:url is only a
+    fallback; declarations outside <head> (after <body) or inside
+    comments are ignored; non-http(s) results dropped."""
+    base = "https://h.example/dir/page"
+    m = kernel.head_metadata(base, (
+        "<head><title> A &amp;\n B </title>"
+        '<link rel="stylesheet" href="/s.css">'
+        '<link rel="alternate canonical" href="../p?a=1&amp;b=2">'
+        '<link rel="canonical" href="https://late.example/x">'
+        "</head><body></body>"))
+    assert m["title"] == "A & B"
+    # token-list rel matched; relative href resolved; &amp; decoded;
+    # the LATER plain canonical lost (first valid wins)
+    assert m["canonical_url"] == "https://h.example/p?a=1&b=2"
+
+    # og:url fallback — only when no valid <link rel=canonical>
+    m = kernel.head_metadata(base, (
+        '<link rel="canonical" href="javascript:x()">'
+        '<meta property="og:url" content="//cdn.example/y">'))
+    assert m["canonical_url"] == "https://cdn.example/y"
+
+    # body-declared and commented declarations are not declarations
+    m = kernel.head_metadata(base, (
+        '<!-- <link rel="canonical" href="https://c.example/"> -->'
+        "<title></title><body>"
+        '<link rel="canonical" href="https://evil.example/">'))
+    assert m == {}  # empty title dropped too
+
+    # title cap and hostile content never raise
+    m = kernel.head_metadata(base, "<title>" + "t" * 2000 + "</title>")
+    assert len(m["title"]) == kernel.TITLE_MAX
+    assert kernel.head_metadata(base, "<link rel=canonical href=" ) == {}
+
+
+def test_head_metadata_rides_extract_fields():
+    """The kernel surfaces title/canonical_url as fields rows, and the
+    corpus's three declaration variants all resolve to the clean target."""
+    from ocr_cezam_spark.corpus import make_page
+
+    for doc_id, expect_canon in ((3, True), (4, True), (5, True), (0, False)):
+        p = make_page(doc_id)
+        r = kernel.extract(p["url"], p["html"], p["lang"])
+        assert r["error"] is None
+        assert "title" in r["fields"]
+        if expect_canon:
+            got = r["fields"]["canonical_url"]
+            assert got.startswith("https://") and "?" not in got
+        else:
+            assert "canonical_url" not in r["fields"]
+    # docs 3 and 4 form one variant group: same canonical target
+    p3, p4 = make_page(3), make_page(4)
+    c3 = kernel.extract(p3["url"], p3["html"], p3["lang"])["fields"]["canonical_url"]
+    c4 = kernel.extract(p4["url"], p4["html"], p4["lang"])["fields"]["canonical_url"]
+    assert c3 == c4 and p3["url"] != p4["url"]

@@ -1262,3 +1262,82 @@ def test_anchor_text_topk_vote_and_ties(spark):
     assert out["http://u.v/"]["top_anchor"] == "A"
     i = out["http://i.j/"]
     assert i["top_anchor"] is None and i["n_anchors"] == 0
+
+
+def test_registered_domain_psl_rules(spark):
+    """registered_domain against first-principles expectations for every
+    PSL rule kind — exact multi-label (co.uk), platform/private suffix
+    (github.io, blogspot.com), wildcard (*.ck), exception (!www.ck),
+    implicit-* default (unknown TLD), and hosts that ARE a public suffix
+    (NULL). The DuckDB twin (psl_registered_domain_sql, emitted from the
+    same PSL_RULES tuple) must agree case by case — the oracle query
+    states the expected values independently, so a shared-algorithm bug
+    cannot hide in BOTH this table and the oracle's CASE arms."""
+    import duckdb
+
+    from ocr_cezam_spark.functions.url import (
+        psl_registered_domain_sql, registered_domain)
+
+    cases = [
+        ("a.b.site.co.uk", "site.co.uk"),
+        ("site.co.uk", "site.co.uk"),
+        ("co.uk", None),            # public suffix itself
+        ("u.github.io", "u.github.io"),
+        ("deep.u.github.io", "u.github.io"),
+        ("github.io", None),
+        ("shop.com.au", "shop.com.au"),
+        ("x.y.ck", "x.y.ck"),       # wildcard *.ck: y.ck is public
+        ("y.ck", None),
+        ("www.ck", "www.ck"),       # exception !www.ck beats *.ck
+        ("ck", None),
+        ("com", None),
+        ("a.b.site.example", "site.example"),
+        ("news.fr", "news.fr"),
+        ("sub.weird.tld", "weird.tld"),  # implicit * rule
+        ("single", None),
+        ("", None),
+        ("MiXeD.GitHub.IO", "mixed.github.io"),  # case-folds
+    ]
+    df = spark.createDataFrame(
+        [(h, f"https://{h}/p?x=1") for h, _ in cases], "host string, u string"
+    )
+    got = [r["rd"] for r in
+           df.select(registered_domain(F.col("u")).alias("rd")).collect()]
+    assert got == [e for _, e in cases]
+
+    sql = psl_registered_domain_sql("host")
+    con = duckdb.connect()
+    for h, e in cases:
+        assert con.execute(
+            f"SELECT {sql} FROM (SELECT ? AS host)", [h]
+        ).fetchone()[0] == e, h
+
+
+def test_dup_ngram_fraction(spark):
+    """Hand-checkable corpus: exact clone pairs score 1.0, a half-shared
+    doc scores 0.5, a doc with no n-grams keeps a zero row (short spam
+    must not be exempted), and within-doc repeats of a gram count ONCE
+    (repetition is repetition_stats' signal, not contamination)."""
+    from ocr_cezam_spark.operators.textstats import dup_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c x"),
+            (3, "zz"),
+            (4, "a b c d"),
+            (5, "p q r p q r p q"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_ngram_fraction(docs).collect()}
+    assert (out[1]["n_grams"], out[1]["n_dup_grams"],
+            out[1]["dup_fraction"]) == (2, 2, 1.0)
+    assert (out[2]["n_grams"], out[2]["n_dup_grams"],
+            out[2]["dup_fraction"]) == (2, 1, 0.5)
+    assert (out[3]["n_grams"], out[3]["n_dup_grams"],
+            out[3]["dup_fraction"]) == (0, 0, 0.0)
+    assert out[4]["dup_fraction"] == 1.0
+    # 6 positional grams but only 3 DISTINCT; none cross-doc
+    assert (out[5]["n_grams"], out[5]["n_dup_grams"],
+            out[5]["dup_fraction"]) == (3, 0, 0.0)
