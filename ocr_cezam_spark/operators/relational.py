@@ -242,3 +242,68 @@ def line_grouping(documents: DataFrame, separator: str = "the") -> DataFrame:
         lines.groupBy("doc_id", "line_id")
         .agg(F.count("*").alias("n_words"))
     )
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              ts: str = "ts", how: str = "left") -> DataFrame:
+    """Point-in-time (as-of) join: for each left row, attach the LATEST
+    right row with ``right.ts <= left.ts`` in the same ``key`` group —
+    pandas ``merge_asof`` 'backward' / DuckDB ``ASOF JOIN`` semantics.
+    ``how='left'`` keeps unmatched left rows (right payload NULL),
+    ``how='inner'`` drops them.
+
+    Scale shape: Spark has no native as-of; a theta-join on
+    ``l.ts >= r.ts`` degenerates to a per-key cross product (hot keys go
+    quadratic, and the optimizer plans BroadcastNestedLoop for it). The
+    linear form used here tags both inputs, unions them, and runs ONE
+    running ``last(right_payload, ignoreNulls)`` window ordered by
+    (ts, side, payload) — one shuffle on the key, one ordered scan,
+    O(1) carried state per key, frames never look ahead so Spark's
+    window operator streams it with spill. Right rows sharing (key, ts)
+    resolve deterministically to the max payload struct (callers that
+    need a different winner dedupe the right side first).
+
+    Right payload columns come back with their own names plus
+    ``matched_<ts>`` for the matched right timestamp — callers rename
+    collisions before the join.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    rpay = [c for c in right.columns if c not in (key, ts)]
+    rstruct = F.struct(
+        F.col(ts).alias("__rts"), *[F.col(c) for c in rpay]
+    ).alias("__r")
+    r_side = right.select(
+        F.col(key), F.col(ts).alias("__t"), F.lit(0).alias("__side"),
+        rstruct,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c != key],
+    )
+    l_side = left.select(
+        F.col(key), F.col(ts).alias("__t"), F.lit(1).alias("__side"),
+        F.lit(None).cast(
+            r_side.schema["__r"].dataType
+        ).alias("__r"),
+        *[F.col(c) for c in left.columns if c != key],
+    )
+    w = (
+        Window.partitionBy(key)
+        # right rows (side 0) sort BEFORE the left rows of the same ts —
+        # 'right.ts <= left.ts' includes equality; equal-ts right rows
+        # resolve by struct order (max payload wins, deterministic)
+        .orderBy("__t", "__side", "__r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        r_side.unionByName(l_side)
+        .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    if how == "inner":
+        matched = matched.filter(F.col("__m").isNotNull())
+    return matched.select(
+        F.col(key),
+        *[F.col(c) for c in left.columns if c != key],
+        F.col("__m.__rts").alias(f"matched_{ts}"),
+        *[F.col(f"__m.{c}").alias(c) for c in rpay],
+    )

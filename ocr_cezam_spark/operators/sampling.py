@@ -256,3 +256,122 @@ def select_and_pack(docs: DataFrame, budget_tokens: int, pack: int = 512,
     chosen = docs.join(sel.select(id_col), id_col, "left_semi")
     return sequence_pack(chosen, budget=pack, n_shards=n_shards,
                          id_col=id_col, text_col=text_col)
+
+
+def dsir_select(docs: DataFrame, k: int = 100, n_buckets: int = 1024,
+                id_col: str = "doc_id", text_col: str = "text",
+                target_col: str = "is_target") -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, Data Selection with
+    Importance Resampling): score each RAW document by the log importance
+    weight ln(p_target(x) / p_raw(x)) under hashed bag-of-unigram models
+    estimated from the corpus itself, then keep the top-k. A small trusted
+    target set (``target_col`` true) pulls raw-crawl documents that look
+    like it; the hashed feature space bounds model size at ``n_buckets``
+    regardless of vocabulary.
+
+    Reference analog: ocr-cezam admits whole folders unconditionally
+    (ocr_cezam.py process loop); at corpus scale admission must rank raw
+    pages against a quality target instead.
+
+    Model: bucket b = md5-hash(term) mod n_buckets; add-one smoothing,
+    p(b) = (c_b + 1) / (total + n_buckets). Doc score =
+    sum_tokens [ln p_tgt(b) - ln p_raw(b)], deterministic — the hash is
+    md5, no RNG state. (The paper perturbs with Gumbel noise for a
+    SAMPLED top-k; the deterministic argmax-k variant drops the noise so
+    runs and engines reproduce bit-identically. Callers wanting the
+    sampled flavor add ln(-ln(u)) of a hash-u to the score.)
+
+    Output: (id, n_tokens, logweight) — the k raw docs with the highest
+    logweight, rounded to 4 dp AFTER the cutoff ranks on unrounded
+    doubles (ordering ties broken by id, ascending).
+
+    Scale shape: token explode aggregates to (doc, bucket) counts
+    map-side; the two bucket tables are n_buckets rows — broadcast joins
+    by construction; totals ride single-row broadcast crossJoins; the
+    final top-k is a TakeOrdered, never a full sort. The 100-TB corpus
+    never shuffles except the (doc, bucket) aggregation.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
+        .cast("long") % n_buckets
+    ).alias("bucket")
+    toks = (
+        docs.select(
+            F.col(id_col), F.col(target_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .select(id_col, target_col, bucket)
+    )
+    doc_b = (
+        toks.groupBy(id_col, target_col, "bucket")
+        .agg(F.count("*").alias("tf"))
+    )
+    tgt = (
+        doc_b.filter(F.col(target_col))
+        .groupBy("bucket").agg(F.sum("tf").alias("c_tgt"))
+    )
+    raw = (
+        doc_b.filter(~F.col(target_col))
+        .groupBy("bucket").agg(F.sum("tf").alias("c_raw"))
+    )
+    tgt_tot = tgt.agg(F.sum("c_tgt").cast("double").alias("t_tgt"))
+    raw_tot = raw.agg(F.sum("c_raw").cast("double").alias("t_raw"))
+    scored = (
+        doc_b.filter(~F.col(target_col))
+        .join(F.broadcast(tgt), "bucket", "left")
+        .join(F.broadcast(raw), "bucket", "left")
+        .crossJoin(F.broadcast(tgt_tot))
+        .crossJoin(F.broadcast(raw_tot))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(
+                F.col("tf")
+                * (F.log((F.coalesce(F.col("c_tgt"), F.lit(0)) + 1)
+                         / (F.col("t_tgt") + n_buckets))
+                   - F.log((F.coalesce(F.col("c_raw"), F.lit(0)) + 1)
+                           / (F.col("t_raw") + n_buckets)))
+            ).alias("lw"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("lw").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "n_tokens", round_he(F.col("lw"), 4).alias("logweight"))
+    )
+
+
+def weighted_sample(docs: DataFrame, k: int = 100,
+                    id_col: str = "doc_id",
+                    weight_col: str = "w") -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spiliotis A-ES):
+    each row draws key = ln(u) / w for a uniform u in (0,1); the k largest
+    keys are exactly a weight-proportional sample without replacement.
+    u is the deterministic md5 u-value (same idiom as temperature_sample)
+    so the "draw" reproduces across runs, retries, and engines — the
+    reproducibility a training-data pipeline needs for lineage.
+
+    ln(u) is negative, so key = ln(u)/w is equivalent to the classic
+    u^(1/w) ranking but never underflows to 0.0 for tiny weights the way
+    pow does (u^(1/w) for w=1e-6 is sub-denormal; ln(u)/w stays a
+    well-scaled negative double).
+
+    Output: (id, w, key) for the k winners; key rounded to 6 dp after the
+    cutoff ranks on unrounded doubles, ties broken by id.
+
+    Scale shape: one projection + TakeOrdered(k) — no shuffle beyond the
+    top-k tree reduction, no RNG state to coordinate across executors.
+    """
+    u = (
+        (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16, 10).cast("double") + 1.0) / F.lit(float(2 ** 32 + 1))
+    )
+    key = F.log(u) / F.col(weight_col)
+    return (
+        docs.select(F.col(id_col), F.col(weight_col).alias("w"),
+                    key.alias("k_raw"))
+        .orderBy(F.col("k_raw").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "w", round_he(F.col("k_raw"), 6).alias("key"))
+    )

@@ -548,6 +548,188 @@ _register(
 )
 
 
+# Point-in-time attribution: each purchase joined to the user's latest
+# at-or-before click (pandas merge_asof 'backward'; kdb aj). The Spark
+# side is relational.asof_join's union+window linear form — Spark has no
+# native as-of and the naive theta-join goes quadratic on hot users. The
+# oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — a fully independent
+# engine implementation of the semantics, not a twin of our algorithm.
+# Clicks collapse to max(event_id) per (user, ts) first in BOTH engines:
+# equal-ts winners are otherwise unspecified in DuckDB's ASOF.
+def _asof_click_attribution(s: SparkSession, d: str) -> DataFrame:
+    ev = _t(s, d, "events")
+    # microseconds, not seconds: DuckDB's epoch() ROUNDS fractional
+    # seconds while Spark's long cast truncates, and second-granularity
+    # ordering would leave sub-second ties engine-defined
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", epoch.alias("ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", epoch.alias("ts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    return relational.asof_join(purchases, clicks, "user_id").select(
+        "user_id", "ts", "purchase_id", "purchase_value",
+        "matched_ts", "click_id",
+    )
+
+
+_register(
+    "asof_click_attribution",
+    _asof_click_attribution,
+    """
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS ts,
+             event_id AS purchase_id, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, epoch_us(ts) AS ts,
+             max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT p.user_id, p.ts, p.purchase_id, p.purchase_value,
+           c.ts AS matched_ts, c.click_id
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+
+
+# Dispatch x completion fetch matching — the BATCH TWIN of
+# streaming/fetch_join_stream.py's watermarked stream-stream join (the
+# pytest there proves stream-final == this predicate row-for-row; this
+# entry gives the same semantics a driver-visible hash oracle). Views
+# play frontier dispatches, clicks play fetch completions; a completion
+# matches every dispatch of its host within the 10-minute horizon.
+# The equi-key (url) makes it a plain hash/sort-merge join with the
+# horizon as a residual range filter — never a nested loop. latency_ms
+# divides an exact integer µs diff by 1000: Spark's long cast truncates
+# and DuckDB's // floors, identical for the non-negative diffs the
+# predicate guarantees.
+def _fetch_join(s: SparkSession, d: str) -> DataFrame:
+    from .streaming.fetch_join_stream import fetch_join_batch
+    ev = _t(s, d, "events")
+    url = F.concat(F.lit("https://h"), F.col("user_id").cast("string"),
+                   F.lit(".example/"))
+    ts = F.col("ts").cast("timestamp")  # parquet reads as TIMESTAMP_NTZ
+    dispatches = ev.filter(F.col("event_type") == "view").select(
+        url.alias("d_url"), ts.alias("dispatch_ts"))
+    completions = ev.filter(F.col("event_type") == "click").select(
+        url.alias("c_url"), ts.alias("fetch_ts"),
+        F.when(F.col("value") > 150, 503).otherwise(200)
+        .alias("http_status"))
+    # 12h horizon: the testdata's event spacing is ~minutes-to-hours per
+    # user; the streaming default (10 min) would match only 6 rows at
+    # sf0.01, which exercises nothing
+    out = fetch_join_batch(dispatches, completions, horizon="12 hours")
+    return out.select(
+        "url",
+        F.unix_micros("dispatch_ts").alias("dispatch_us"),
+        F.unix_micros("fetch_ts").alias("fetch_us"),
+        "latency_ms", "http_status",
+    )
+
+
+_register(
+    "fetch_join",
+    _fetch_join,
+    """
+    WITH d AS (
+      SELECT 'https://h' || user_id || '.example/' AS url,
+             ts AS dispatch_ts
+      FROM events WHERE event_type = 'view'
+    ), c AS (
+      SELECT 'https://h' || user_id || '.example/' AS url,
+             ts AS fetch_ts,
+             CASE WHEN value > 150 THEN 503 ELSE 200 END AS http_status
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT d.url, epoch_us(d.dispatch_ts) AS dispatch_us,
+           epoch_us(c.fetch_ts) AS fetch_us,
+           (epoch_us(c.fetch_ts) - epoch_us(d.dispatch_ts)) // 1000
+             AS latency_ms,
+           c.http_status
+    FROM d JOIN c ON d.url = c.url
+      AND c.fetch_ts >= d.dispatch_ts
+      AND c.fetch_ts <= d.dispatch_ts + INTERVAL 12 HOUR
+    """,
+)
+
+
+# DSIR data selection: English docs play the trusted target model, the
+# rest are the raw crawl being ranked. Both engines build the same
+# 1024-bucket hashed-unigram models (md5 bucket, add-one smoothing) and
+# rank on unrounded doubles before the 4-dp rounding, so the top-k
+# cutoff is decided identically.
+_register(
+    "dsir_select",
+    lambda s, d: sampling.dsir_select(
+        _t(s, d, "documents").select(
+            "doc_id", "text", (F.col("lang") == "en").alias("is_target"),
+        )
+    ),
+    """
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_target,
+             ('0x' || substr(md5(term), 1, 8))::BIGINT % 1024 AS bucket
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      WHERE term <> ''
+    ),
+    doc_b AS (SELECT doc_id, is_target, bucket, count(*) AS tf
+              FROM toks GROUP BY 1, 2, 3),
+    tgt AS (SELECT bucket, sum(tf) AS c_tgt FROM doc_b
+            WHERE is_target GROUP BY 1),
+    raw AS (SELECT bucket, sum(tf) AS c_raw FROM doc_b
+            WHERE NOT is_target GROUP BY 1),
+    tt AS (SELECT CAST(sum(c_tgt) AS DOUBLE) AS t_tgt FROM tgt),
+    rt AS (SELECT CAST(sum(c_raw) AS DOUBLE) AS t_raw FROM raw),
+    scored AS (
+      SELECT d.doc_id, sum(d.tf) AS n_tokens,
+             sum(d.tf * (ln((coalesce(t.c_tgt, 0) + 1) / (tt.t_tgt + 1024))
+                       - ln((coalesce(r.c_raw, 0) + 1) / (rt.t_raw + 1024))))
+               AS lw
+      FROM doc_b d
+      LEFT JOIN tgt t USING (bucket)
+      LEFT JOIN raw r USING (bucket)
+      CROSS JOIN tt CROSS JOIN rt
+      WHERE NOT d.is_target
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           floor(lw * 1e4 + 0.5) / 1e4 AS logweight
+    FROM scored ORDER BY lw DESC, doc_id ASC LIMIT 100
+    """,
+)
+
+
+# A-ES weighted sampling without replacement, weight = document length
+# (n_chars + 1 keeps empty docs drawable). The md5 u-value makes the
+# "random" draw engine-identical; both sides rank ln(u)/w unrounded.
+_register(
+    "weighted_sample",
+    lambda s, d: sampling.weighted_sample(
+        _t(s, d, "documents").select(
+            "doc_id", (F.col("n_chars").cast("double") + 1).alias("w"),
+        )
+    ),
+    """
+    SELECT doc_id, w,
+           floor((ln(u) / w) * 1e6 + 0.5) / 1e6 AS key
+    FROM (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) + 1 AS w,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              + 1.0) / 4294967297.0 AS u
+      FROM documents
+    )
+    ORDER BY ln(u) / w DESC, doc_id ASC LIMIT 100
+    """,
+)
+
+
 _register(
     "repetition_stats",
     lambda s, d: textstats.repetition_stats(_rep_docs(s, d)),
@@ -4586,9 +4768,10 @@ _WINDOW_TAIL = [
     # cm_heavy_hitters, semantic_dedup, perplexity_buckets,
     # quality_ensemble, intra_doc_line_dedup, fetch_schedule,
     # link_target_stats). All eight below are r5-driver-green pure
-    # relational queries whose module (operators/relational.py) has zero
-    # diff this round; the kernel-backed queries stay IN the window
-    # because the zero-copy Arrow-buffer change touched their path:
+    # relational queries; the r6 relational.py diff is one pure function
+    # ADDITION (asof_join) — the eight bodies have zero diff. The
+    # kernel-backed queries stay IN the window because the zero-copy
+    # Arrow-buffer change touched their path:
     "pricing_summary", "top_revenue_customers", "running_balance",
     "sessionize", "statement_reconciliation", "code_semijoin_lead",
     "value_bucket_join", "union_by_arity",
@@ -4609,6 +4792,18 @@ _WINDOW_TAIL = [
     # ngram_jaccard's operator in dedup.py has zero diff this round and
     # it reads the documents table, untouched by the kernel change):
     "ngram_jaccard",
+    # rotated out as asof_click_attribution entered (r5-driver-green;
+    # lsh_jaccard_verify's dedup.py chain has zero diff this round):
+    "lsh_jaccard_verify",
+    # rotated out as fetch_join entered (r5-driver-green; window_dedup's
+    # operator window_dedup_stats in dedup.py has zero diff this round
+    # and reads the documents table, untouched by the kernel change):
+    "window_dedup",
+    # rotated out as dsir_select / weighted_sample entered (both
+    # r5-driver-green; simsearch.py's r6 diff is the semantic_dedup
+    # ADDITION — cosine_topk's and embedding_near_dup's bodies have zero
+    # diff, and both read the embeddings table, untouched this round):
+    "cosine_topk", "embedding_near_dup",
 ]
 
 

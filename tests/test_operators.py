@@ -1341,3 +1341,72 @@ def test_dup_ngram_fraction(spark):
     # 6 positional grams but only 3 DISTINCT; none cross-doc
     assert (out[5]["n_grams"], out[5]["n_dup_grams"],
             out[5]["dup_fraction"]) == (3, 0, 0.0)
+
+
+def test_asof_join_backward_semantics(spark):
+    """asof_join == merge_asof 'backward': latest right ts <= left ts per
+    key; equality matches; unmatched left rows survive how='left' and drop
+    under how='inner'; equal-ts right duplicates resolve to the max
+    payload struct deterministically."""
+    from ocr_cezam_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, "l1"), ("a", 20, "l2"), ("a", 5, "l0"), ("b", 7, "l3")],
+        "k string, ts long, lv string",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, "r10"), ("a", 15, "r15"), ("a", 15, "r15b"), ("c", 1, "rc")],
+        "k string, ts long, rv string",
+    )
+    out = {(r["k"], r["ts"]): (r["matched_ts"], r["rv"])
+           for r in asof_join(left, right, "k").collect()}
+    assert out[("a", 10)] == (10, "r10")      # equality matches
+    assert out[("a", 20)] == (15, "r15b")     # tie -> max struct wins
+    assert out[("a", 5)] == (None, None)      # nothing at-or-before
+    assert out[("b", 7)] == (None, None)      # key with no right rows
+    inner = asof_join(left, right, "k", how="inner")
+    assert {(r["k"], r["ts"]) for r in inner.collect()} == {("a", 10), ("a", 20)}
+
+
+def test_weighted_sample_aes_semantics(spark):
+    """The k winners are exactly the k largest ln(u)/w keys — verified
+    against an independent pure-Python computation of the same md5
+    u-values — and weight monotonicity holds: for equal u, a larger
+    weight can only improve (never worsen) selection odds."""
+    import hashlib
+    import math
+
+    from ocr_cezam_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [r["doc_id"] for r in weighted_sample(df, k=20).collect()]
+
+    def key(i, w):
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 1.0) \
+            / (2 ** 32 + 1)
+        return math.log(u) / w
+
+    want = sorted(rows, key=lambda t: (-key(*t), t[0]))[:20]
+    assert got == [i for i, _ in want]
+    # monotonicity: doubling every weight with identical u-values keeps
+    # the same doc_id->rank order of keys (ln(u)/w scales by 1/2)
+    doubled = spark.createDataFrame([(i, w * 2) for i, w in rows],
+                                    "doc_id long, w double")
+    got2 = [r["doc_id"] for r in weighted_sample(doubled, k=20).collect()]
+    assert got2 == got
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """Raw docs sharing vocabulary with the target set must outscore raw
+    docs with disjoint vocabulary."""
+    from ocr_cezam_spark.operators.sampling import dsir_select
+
+    tgt = [(100 + i, "alpha beta gamma delta", True) for i in range(10)]
+    like = [(0, "alpha beta gamma", False), (1, "beta delta alpha", False)]
+    unlike = [(2, "zzq xxv wwk", False), (3, "qqj vvp kkz", False)]
+    df = spark.createDataFrame(tgt + like + unlike,
+                               "doc_id long, text string, is_target boolean")
+    out = {r["doc_id"]: r["logweight"] for r in dsir_select(df, k=4).collect()}
+    assert set(out) == {0, 1, 2, 3}  # only raw docs are ranked
+    assert min(out[0], out[1]) > max(out[2], out[3])

@@ -336,3 +336,70 @@ def test_intra_doc_line_dedup_is_map_only(spark):
     p = formatted_plan(D.intra_doc_line_dedup(docs))
     assert "Exchange" not in p
     assert "Window" not in p and "BatchEvalPython" not in p
+
+
+def test_registered_domain_is_plan_literal_no_join(spark):
+    """The PSL rule set must ride the plan as literals: domain extraction
+    is a pure projection (no join against a rules table, no Python), and
+    the stats query is one hash aggregation over it."""
+    df = Q.QUERIES["registered_domain_stats"](spark, SF)
+    p = formatted_plan(df)
+    assert "Join" not in p and "BatchEvalPython" not in p
+    assert "Window" not in p
+    assert "partial_count" in p  # map-side partial aggregation
+
+
+def test_dup_ngram_fraction_two_hash_joins_no_window(spark):
+    """Dup-ngram tagging must stay the agg+join shape: gram-count
+    aggregation plus equi-joins, never a window over the corpus, never a
+    nested-loop pair join, never Python."""
+    df = Q.QUERIES["dup_ngram_fraction"](spark, SF)
+    p = formatted_plan(df)
+    assert "Window" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_asof_join_is_linear_union_window(spark):
+    """The as-of join must keep its linear union+window shape: one window
+    over the key, never the quadratic theta-join fallbacks."""
+    df = Q.QUERIES["asof_click_attribution"](spark, SF)
+    p = formatted_plan(df)
+    assert "Window" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p and "BatchEvalPython" not in p
+
+
+def test_fetch_join_is_equi_hash_join(spark):
+    """The dispatch x completion horizon match must plan as an EQUI join
+    on the url key (hash or sort-merge) with the horizon as a residual
+    range filter — never a nested-loop/cartesian pair walk."""
+    df = Q.QUERIES["fetch_join"](spark, SF)
+    p = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert ("BroadcastHashJoin" in p or "SortMergeJoin" in p
+            or "ShuffledHashJoin" in p)
+
+
+def test_dsir_select_is_broadcast_topk(spark):
+    """DSIR's bucket models must ride broadcast joins (n_buckets rows)
+    and the final cutoff must be a TakeOrdered, never a full sort or a
+    window over the corpus."""
+    df = Q.QUERIES["dsir_select"](spark, SF)
+    p = formatted_plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p and "BatchEvalPython" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_weighted_sample_is_single_pass_topk(spark):
+    """A-ES sampling is one projection + TakeOrdered: no join, no window,
+    no Python, no full sort."""
+    df = Q.QUERIES["weighted_sample"](spark, SF)
+    p = formatted_plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert "Join" not in p and "Window" not in p
+    assert "BatchEvalPython" not in p
