@@ -156,3 +156,29 @@ def test_extract_links_never_raises_and_only_http(frag):
         assert len(t) <= kernel.ANCHOR_TEXT_MAX
     pa.array([u for u, _ in a], type=pa.string())
     pa.array([t for _, t in a], type=pa.string())
+
+
+_HREF_CHARS = st.sampled_from(list("abcXYZ019/.:?#&%;=_- \t\n\x01é") + ["//", "../", "./"])
+
+
+@given(st.lists(_HREF_CHARS, min_size=1, max_size=12).map("".join),
+       st.sampled_from([
+           "https://h.example/a/b.html", "https://h.example/",
+           "https://h.example", "http://h.example:8080/x/y?q#f",
+           "https://u:p@h.example/a/", "ftp://h.example/a/b",
+       ]))
+@settings(max_examples=400, deadline=None)
+def test_make_resolver_matches_urljoin(raw, base):
+    """The concat fast path in kernel._make_resolver must be
+    OBSERVATIONALLY IDENTICAL to urllib.parse.urljoin for every href —
+    the guards either route to the concat case (proven equal) or fall
+    back to urljoin itself."""
+    from urllib.parse import urljoin
+
+    from ocr_cezam_spark.kernel import _make_resolver
+
+    try:
+        want = urljoin(base, raw)
+    except ValueError:
+        want = None
+    assert _make_resolver(base)(raw) == want
