@@ -603,7 +603,7 @@ _register(
 # pytest there proves stream-final == this predicate row-for-row; this
 # entry gives the same semantics a driver-visible hash oracle). Views
 # play frontier dispatches, clicks play fetch completions; a completion
-# matches every dispatch of its host within the 10-minute horizon.
+# matches every dispatch of its host within the horizon.
 # The equi-key (url) makes it a plain hash/sort-merge join with the
 # horizon as a residual range filter — never a nested loop. latency_ms
 # divides an exact integer µs diff by 1000: Spark's long cast truncates
