@@ -513,6 +513,53 @@ def _dup_ngram_docs(s: SparkSession, d: str) -> DataFrame:
     return base.unionByName(clone)
 
 
+# Exact-substring span REMOVAL over the same clone corpus the tagging
+# query uses: the cloned docs make every 5-gram of a doc_id%3==0 doc
+# cross-doc duplicated, so those docs clean to '' while the rest keep
+# their unique runs. All-integer/string — hash-exact with no rounding.
+_register(
+    "substring_span_dedup",
+    lambda s, d: dedup.substring_span_dedup(_dup_ngram_docs(s, d)),
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 3 = 0
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+    ), pg AS (
+      SELECT doc_id, unnest(range(1, len(w) - 3)) AS pos, w
+      FROM toks WHERE len(w) >= 5
+    ), pos_gram AS (
+      SELECT doc_id, pos, array_to_string(w[pos:pos+4], ' ') AS gram
+      FROM pg
+    ), dup AS (
+      SELECT gram FROM pos_gram
+      GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ), covered AS (
+      SELECT DISTINCT p.doc_id, unnest(range(p.pos, p.pos + 5)) AS pos
+      FROM pos_gram p JOIN dup USING (gram)
+    ), word_rows AS (
+      SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, w
+      FROM toks
+    ), kept AS (
+      SELECT r.doc_id, r.pos, r.w[r.pos] AS word
+      FROM word_rows r
+      ANTI JOIN covered c ON r.doc_id = c.doc_id AND r.pos = c.pos
+    ), clean AS (
+      SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+             string_agg(word, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.w) AS INT) AS n_words,
+           CAST(len(t.w) - coalesce(c.n_kept, 0) AS INT) AS n_removed,
+           coalesce(c.clean_text, '') AS clean_text
+    FROM toks t LEFT JOIN clean c USING (doc_id)
+    """,
+)
+
+
 _register(
     "dup_ngram_fraction",
     lambda s, d: textstats.dup_ngram_fraction(_dup_ngram_docs(s, d)),
@@ -4804,6 +4851,10 @@ _WINDOW_TAIL = [
     # ADDITION — cosine_topk's and embedding_near_dup's bodies have zero
     # diff, and both read the embeddings table, untouched this round):
     "cosine_topk", "embedding_near_dup",
+    # rotated out as substring_span_dedup entered (r5-driver-green;
+    # minhash_lsh_pairs' chain in dedup.py has zero diff this round —
+    # the r6 dedup.py diff is the substring_span_dedup ADDITION):
+    "minhash_lsh_pairs",
 ]
 
 

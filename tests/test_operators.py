@@ -1410,3 +1410,31 @@ def test_dsir_select_prefers_target_like_docs(spark):
     out = {r["doc_id"]: r["logweight"] for r in dsir_select(df, k=4).collect()}
     assert set(out) == {0, 1, 2, 3}  # only raw docs are ranked
     assert min(out[0], out[1]) > max(out[2], out[3])
+
+
+def test_substring_span_dedup_removes_shared_runs_only(spark):
+    """Positions covered by a cross-doc duplicated 5-gram vanish; unique
+    runs survive; intra-doc repetition is untouched; fully-boilerplate
+    docs clean to ''."""
+    from ocr_cezam_spark.operators.dedup import substring_span_dedup
+
+    boiler = "all rights reserved by the site"  # 6 words -> two 5-gram starts
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta {boiler}"),
+            (2, f"{boiler} unique tail words here now"),
+            (3, boiler),                                   # only boilerplate
+            (4, "echo echo echo echo echo echo echo"),     # intra-doc repeat
+            (5, "short"),                                  # < n words
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_span_dedup(docs).collect()}
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[1]["n_removed"] == 6
+    assert out[2]["clean_text"] == "unique tail words here now"
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 6
+    # intra-doc repetition: the echo 5-grams repeat WITHIN doc 4 only
+    # (1 distinct doc), so nothing is removed
+    assert out[4]["n_removed"] == 0
+    assert out[5] and out[5]["clean_text"] == "short"

@@ -403,3 +403,14 @@ def test_weighted_sample_is_single_pass_topk(spark):
     assert "TakeOrderedAndProject" in p
     assert "Join" not in p and "Window" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_substring_span_dedup_no_window_no_python(spark):
+    """Span removal must stay the agg+equi-join shape: gram count, dup
+    attach, anti-join, reassembly agg — no window over the corpus, no
+    Python, no nested-loop join."""
+    df = Q.QUERIES["substring_span_dedup"](spark, SF)
+    p = formatted_plan(df)
+    assert "Window" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
