@@ -596,3 +596,72 @@ def quality_ensemble(docs: DataFrame, id_col: str = "doc_id",
     return out.select(
         id_col, "gates_ok", "score", keep.alias("keep")
     ).orderBy(id_col)
+
+
+def winnowing_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003
+    — the MOSS algorithm) at word granularity: hash every k-gram, slide
+    a window of w consecutive gram hashes, select each window's MINIMUM
+    (rightmost occurrence on ties), and emit the distinct selected
+    positions. The winnowing guarantee carries over verbatim: any shared
+    run of >= w + k - 1 words between two documents shares at least one
+    fingerprint, while only ~2/(w+1) of positions are retained — the
+    bounded-density local sampling that makes fingerprint joins feasible
+    where full gram joins are not. Upgrades ``fingerprint`` (min/max
+    only, no locality guarantee).
+
+    Output: (id, pos, fp) — one row per selected gram position, pos
+    1-based; short docs (< k words) emit nothing by construction.
+
+    Scale shape: gram hashes are built in-row; the window min is ONE
+    ordered per-document scan (Window rowsBetween(0, w-1) with a
+    min-of-struct — streams with spill, no self-join of positions); the
+    distinct collapses the per-window duplicates. Shuffle on the doc id
+    only. The rightmost-tie rule is encoded as min(struct(h, -pos)) so
+    both engines rank identically with no float anywhere.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_pos = F.size(words) - (k - 1)
+    grams = F.when(
+        n_pos >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice(words, i, k), " ")),
+                        1, 15,
+                    ), 16, 10,
+                ).cast("long").alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:long>>"))
+    gram_rows = docs.select(
+        F.col(id_col), F.explode(grams).alias("g")
+    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    win = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    )
+    sel = gram_rows.select(
+        F.col(id_col),
+        F.col("pos").alias("start"),
+        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np")))
+        .over(win).alias("m"),
+        F.max(F.col("pos")).over(
+            Window.partitionBy(id_col)
+        ).alias("last_pos"),
+    )
+    return (
+        # trailing starts with fewer than w grams in frame are not
+        # winnowing windows — drop them (identical rule both engines)
+        sel.filter(F.col("start") <= F.col("last_pos") - (w - 1))
+        .select(
+            id_col,
+            (-F.col("m.np")).cast("long").alias("pos"),
+            F.col("m.h").alias("fp"),
+        )
+        .distinct()
+    )

@@ -513,6 +513,38 @@ def _dup_ngram_docs(s: SparkSession, d: str) -> DataFrame:
     return base.unionByName(clone)
 
 
+# Winnowing (MOSS) fingerprint selection — integer-exact, both engines
+# rank min(struct(h, -pos)) so the rightmost-tie rule cannot drift.
+_register(
+    "winnowing_fingerprints",
+    lambda s, d: textstats.winnowing_fingerprints(
+        _t(s, d, "documents").select("doc_id", "text")
+    ),
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), gram_rows AS (
+      SELECT doc_id, unnest(range(1, len(w) - 2)) AS pos, w
+      FROM toks WHERE len(w) >= 4
+    ), hashed AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(array_to_string(w[pos:pos+3], ' ')),
+                             1, 15))::BIGINT AS h
+      FROM gram_rows
+    ), sel AS (
+      SELECT doc_id, pos AS start,
+             min({'h': h, 'np': -pos}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS m,
+             max(pos) OVER (PARTITION BY doc_id) AS last_pos
+      FROM hashed
+    )
+    SELECT DISTINCT doc_id, -(m.np) AS pos, m.h AS fp
+    FROM sel WHERE start <= last_pos - 4
+    """,
+)
+
+
 # Exact-substring span REMOVAL over the same clone corpus the tagging
 # query uses: the cloned docs make every 5-gram of a doc_id%3==0 doc
 # cross-doc duplicated, so those docs clean to '' while the rest keep
@@ -4855,6 +4887,9 @@ _WINDOW_TAIL = [
     # minhash_lsh_pairs' chain in dedup.py has zero diff this round —
     # the r6 dedup.py diff is the substring_span_dedup ADDITION):
     "minhash_lsh_pairs",
+    # rotated out as winnowing_fingerprints entered (r5-driver-green;
+    # simhash_buckets' chain in dedup.py has zero diff this round):
+    "simhash_buckets",
 ]
 
 

@@ -1438,3 +1438,32 @@ def test_substring_span_dedup_removes_shared_runs_only(spark):
     # (1 distinct doc), so nothing is removed
     assert out[4]["n_removed"] == 0
     assert out[5] and out[5]["clean_text"] == "short"
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The Schleimer et al. guarantee: two docs sharing a run of
+    >= w + k - 1 words share at least one fingerprint; and selection is
+    sparse (far fewer fingerprints than gram positions)."""
+    from ocr_cezam_spark.operators.textstats import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog today"  # 10 words
+    a = f"alpha beta {shared} gamma delta epsilon"
+    b = f"one two three four {shared} five six"
+    c = "totally different words without any common run at all here"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    out = winnowing_fingerprints(docs, k=4, w=5).collect()
+    fps = {i: {r["fp"] for r in out if r["doc_id"] == i} for i in (1, 2, 3)}
+    # shared 10-word run >= w + k - 1 = 8 -> guaranteed common fingerprint
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # density: docs 1..3 have ~13 gram positions each; winnowing keeps
+    # roughly 2/(w+1) of them, never all
+    n_sel = {i: sum(1 for r in out if r["doc_id"] == i) for i in (1, 2, 3)}
+    for i in (1, 2, 3):
+        assert 1 <= n_sel[i] < 10
+    # short doc: no gram window at all -> zero rows, not an error
+    tiny = spark.createDataFrame([(9, "just three words")],
+                                 "doc_id long, text string")
+    assert winnowing_fingerprints(tiny, k=4, w=5).count() == 0

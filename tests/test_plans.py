@@ -414,3 +414,12 @@ def test_substring_span_dedup_no_window_no_python(spark):
     assert "Window" not in p and "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_winnowing_is_one_window_scan(spark):
+    """Winnowing must be one ordered per-doc window scan: exactly the
+    gram explode, a Window, and a distinct — no join, no Python."""
+    df = Q.QUERIES["winnowing_fingerprints"](spark, SF)
+    p = formatted_plan(df)
+    assert "Window" in p
+    assert "Join" not in p and "BatchEvalPython" not in p
