@@ -1050,3 +1050,45 @@ def substring_span_dedup(docs: DataFrame, n: int = 5, min_docs: int = 2,
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def winnowing_pairs(docs: DataFrame, k: int = 4, w: int = 5,
+                    min_shared: int = 2, max_bucket: int = 50,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """MOSS-style match detection on winnowing fingerprints: documents
+    sharing >= ``min_shared`` selected fingerprints become candidate
+    plagiarism/boilerplate pairs, ranked by the shared count. The
+    winnowing guarantee makes this EXACT for long overlaps — any shared
+    run of >= w + k - 1 words forces at least one common fingerprint —
+    while the ~2/(w+1) selection density keeps the join input a fraction
+    of the full gram table (the reason MOSS scales where raw gram
+    intersection does not).
+
+    Scale shape: the same equi-join discipline as minhash_lsh_pairs —
+    one self-join keyed on the fingerprint value, pair aggregation on
+    (a, b), never all-pairs. ``max_bucket`` drops fingerprints shared by
+    more docs than the cap (stop-phrase runs — they dominate cost and
+    carry no pair signal; the cap aggregation groups on the join key so
+    AQE reuses the exchange).
+    """
+    from .textstats import winnowing_fingerprints
+
+    fps = winnowing_fingerprints(
+        docs, k=k, w=w, id_col=id_col, text_col=text_col
+    ).select(id_col, "fp").distinct()
+    small = (
+        fps.groupBy("fp").agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("fp")
+    )
+    fps = fps.join(small, "fp")
+    left = fps.select(F.col(id_col).alias("a"), "fp")
+    right = fps.select(F.col(id_col).alias("b"), "fp")
+    return (
+        left.join(right, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("int").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

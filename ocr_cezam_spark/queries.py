@@ -545,6 +545,50 @@ _register(
 )
 
 
+# MOSS match detection over the clone corpus: clones share every
+# fingerprint, unrelated docs share none beyond stop-phrase collisions;
+# the >= 2 shared floor and the bucket cap mirror the operator exactly.
+_register(
+    "winnowing_pairs",
+    lambda s, d: dedup.winnowing_pairs(_dup_ngram_docs(s, d)),
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 3 = 0
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+    ), gram_rows AS (
+      SELECT doc_id, unnest(range(1, len(w) - 2)) AS pos, w
+      FROM toks WHERE len(w) >= 4
+    ), hashed AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(array_to_string(w[pos:pos+3], ' ')),
+                             1, 15))::BIGINT AS h
+      FROM gram_rows
+    ), sel AS (
+      SELECT doc_id, pos AS start,
+             min({'h': h, 'np': -pos}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS m,
+             max(pos) OVER (PARTITION BY doc_id) AS last_pos
+      FROM hashed
+    ), fps AS (
+      SELECT DISTINCT doc_id, m.h AS fp FROM sel WHERE start <= last_pos - 4
+    ), small AS (
+      SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50
+    ), capped AS (
+      SELECT f.doc_id, f.fp FROM fps f JOIN small USING (fp)
+    )
+    SELECT l.doc_id AS a, r.doc_id AS b,
+           CAST(count(*) AS INT) AS n_shared
+    FROM capped l JOIN capped r ON l.fp = r.fp AND l.doc_id < r.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+
+
 # Exact-substring span REMOVAL over the same clone corpus the tagging
 # query uses: the cloned docs make every 5-gram of a doc_id%3==0 doc
 # cross-doc duplicated, so those docs clean to '' while the rest keep
@@ -4890,6 +4934,10 @@ _WINDOW_TAIL = [
     # rotated out as winnowing_fingerprints entered (r5-driver-green;
     # simhash_buckets' chain in dedup.py has zero diff this round):
     "simhash_buckets",
+    # rotated out as winnowing_pairs entered (r5-driver-green;
+    # simhash_hamming_pairs already sits in the tail and
+    # pq_ann_topk's pq.py has zero diff this round):
+    "pq_ann_topk",
 ]
 
 

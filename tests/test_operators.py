@@ -1467,3 +1467,27 @@ def test_winnowing_guarantee_and_density(spark):
     tiny = spark.createDataFrame([(9, "just three words")],
                                  "doc_id long, text string")
     assert winnowing_fingerprints(tiny, k=4, w=5).count() == 0
+
+
+def test_winnowing_pairs_finds_clones_and_caps_hot_fps(spark):
+    from ocr_cezam_spark.operators.dedup import winnowing_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog again"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"one two {shared} three four"),
+            (3, "entirely different content with no common run present"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["a"], r["b"]): r["n_shared"]
+           for r in winnowing_pairs(docs, min_shared=1).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 1
+    assert not any(3 in p for p in got)
+    # hot-fp cap: a fingerprint shared by MORE than max_bucket docs is
+    # excluded from pair generation entirely
+    many = spark.createDataFrame(
+        [(i, shared) for i in range(10)], "doc_id long, text string"
+    )
+    assert winnowing_pairs(many, min_shared=1, max_bucket=5).count() == 0

@@ -423,3 +423,11 @@ def test_winnowing_is_one_window_scan(spark):
     p = formatted_plan(df)
     assert "Window" in p
     assert "Join" not in p and "BatchEvalPython" not in p
+
+
+def test_winnowing_pairs_is_equi_join_no_cartesian(spark):
+    df = Q.QUERIES["winnowing_pairs"](spark, SF)
+    p = formatted_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
