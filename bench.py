@@ -93,6 +93,14 @@ HEADLINE = [
     "anchor_text_topk",
     "page_metadata",
     "canonical_dedup",
+    # round-6 additions
+    "asof_click_attribution",
+    "fetch_join",
+    "dsir_select",
+    "weighted_sample",
+    "substring_span_dedup",
+    "winnowing_fingerprints",
+    "winnowing_pairs",
 ]
 
 
