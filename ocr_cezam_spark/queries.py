@@ -4938,6 +4938,13 @@ _WINDOW_TAIL = [
     # simhash_hamming_pairs already sits in the tail and
     # pq_ann_topk's pq.py has zero diff this round):
     "pq_ann_topk",
+    # rotated out as the continuation batch (asof/fetch_join/dsir/
+    # weighted/substring/winnowing x2) outgrew the one-out-per-one-in
+    # ledger above: both are r5-driver-green, their simsearch.py bodies
+    # have zero diff this round (the r6 simsearch diff is the
+    # semantic_dedup ADDITION) and both read the untouched embeddings
+    # table:
+    "ann_ivf_topk", "ivf_bucket_stats",
 ]
 
 
