@@ -167,3 +167,65 @@ def cm_heavy_hitters(df: DataFrame, key_col: str,
         .select("key", "true_cnt", "cm_est")
         .orderBy(F.desc("cm_est"), "key")
     )
+
+
+def hll_merge(df: DataFrame, key_col: str, shard_col: str) -> DataFrame:
+    """Sketch MERGEABILITY, demonstrated end to end: build one HLL
+    register table per shard (day / partition / shard file), max-merge
+    the registers, and fold — the merged estimate must equal the
+    whole-stream estimate computed in one pass, because register
+    max-merge is exactly how HLL composes (the property that lets a
+    100 TB pipeline keep per-day sketches and answer cross-day distinct
+    counts without replay; same fold constants as hll_cardinality).
+
+    Output: ONE row (hll_est_merged, hll_est_whole, n_regs,
+    merge_lossless) — merge_lossless is computed in-plan so the
+    invariant is driver-visible, not just a pytest.
+
+    Scale shape: two register aggregations (shards x 1024 and 1024 rows
+    max across the shuffle) + two single-row folds broadcast-crossed —
+    input size never crosses a shuffle twice.
+    """
+    h = _h32(F.col(key_col))
+    rest = h.bitwiseAND(F.lit((1 << _HLL_REST_BITS) - 1))
+    rho = F.when(rest == 0, F.lit(_HLL_REST_BITS + 1)).otherwise(
+        F.instr(F.lpad(F.bin(rest), _HLL_REST_BITS, "0"), "1")
+    )
+    rows = df.select(
+        F.col(shard_col).alias("shard"),
+        F.shiftright(h, _HLL_REST_BITS).alias("bucket"),
+        rho.alias("rho"),
+    )
+
+    def fold(regs: DataFrame, est_name: str) -> DataFrame:
+        folded = regs.groupBy().agg(
+            F.count("*").alias("n_regs"),
+            F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("sum_pows"),
+        )
+        zeros = F.lit(float(_HLL_M)) - F.col("n_regs").cast("double")
+        raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / (
+            F.col("sum_pows") + zeros
+        )
+        est = F.when(
+            (raw <= F.lit(2.5 * _HLL_M)) & (zeros > 0),
+            F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros),
+        ).otherwise(raw)
+        return folded.select(
+            round_he(est, 4).alias(est_name),
+            F.col("n_regs").cast("long").alias(f"n_regs_{est_name}"),
+        )
+
+    shard_regs = rows.groupBy("shard", "bucket").agg(
+        F.max("rho").alias("m_j")
+    )
+    merged = shard_regs.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    whole = rows.groupBy("bucket").agg(F.max("rho").alias("m_j"))
+    m = fold(merged, "hll_est_merged")
+    w = fold(whole, "hll_est_whole")
+    return m.crossJoin(F.broadcast(w)).select(
+        "hll_est_merged",
+        "hll_est_whole",
+        F.col("n_regs_hll_est_merged").alias("n_regs"),
+        (F.col("hll_est_merged") == F.col("hll_est_whole"))
+        .alias("merge_lossless"),
+    )

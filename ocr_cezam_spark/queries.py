@@ -4493,6 +4493,66 @@ def _hll_branch_sql(key_expr: str, grp_expr: str) -> str:
     """
 
 
+def _hll_fold_sql(src: str) -> str:
+    """Fold a (bucket, m_j) register table to (e, n_regs) — the same
+    constants as _hll_branch_sql, factored for the merge twin."""
+    from .operators import sketch as SK
+
+    return f"""
+      SELECT CASE WHEN raw <= 2560.0 AND zeros > 0
+                  THEN 1024.0 * ln(1024.0 / zeros)
+                  ELSE raw END AS e, n_regs
+      FROM (
+        SELECT n_regs, 1024.0 - n_regs AS zeros,
+               {SK._HLL_ALPHA * SK._HLL_M * SK._HLL_M!r}
+                 / (sum_pows + (1024.0 - n_regs)) AS raw
+        FROM (SELECT count(*) AS n_regs, sum(power(2.0, -m_j)) AS sum_pows
+              FROM {src})
+      )
+    """
+
+
+_HLL_RHO_SQL = (
+    "CASE WHEN h % 4194304 = 0 THEN 23 "
+    "ELSE instr(lpad(bin(h % 4194304), 22, '0'), '1') END"
+)
+
+
+# Mergeability demonstration: per-shard registers max-merged must fold
+# to the whole-stream estimate — asserted IN the result row.
+def _hll_merge_q(s: SparkSession, d: str) -> DataFrame:
+    ev = _t(s, d, "events").withColumn(
+        "shard", (F.col("event_id") % 2).alias("shard")
+    )
+    return sketch.hll_merge(ev, "user_id", "shard")
+
+
+_register(
+    "hll_merge",
+    _hll_merge_q,
+    f"""
+    WITH rows AS (
+      SELECT event_id % 2 AS shard,
+             {_H32.format(expr="CAST(user_id AS VARCHAR)")} AS h
+      FROM events
+    ), rb AS (
+      SELECT shard, h // 4194304 AS bucket, max({_HLL_RHO_SQL}) AS m_j
+      FROM rows GROUP BY 1, 2
+    ), merged AS (SELECT bucket, max(m_j) AS m_j FROM rb GROUP BY 1),
+    whole AS (
+      SELECT h // 4194304 AS bucket, max({_HLL_RHO_SQL}) AS m_j
+      FROM rows GROUP BY 1
+    ), fm AS ({_hll_fold_sql("merged")}), fw AS ({_hll_fold_sql("whole")})
+    SELECT floor(fm.e * 1e4 + 0.5) / 1e4 AS hll_est_merged,
+           floor(fw.e * 1e4 + 0.5) / 1e4 AS hll_est_whole,
+           fm.n_regs AS n_regs,
+           floor(fm.e * 1e4 + 0.5) / 1e4 = floor(fw.e * 1e4 + 0.5) / 1e4
+             AS merge_lossless
+    FROM fm CROSS JOIN fw
+    """,
+)
+
+
 def _hll_q(s: SparkSession, d: str) -> DataFrame:
     ev = _t(s, d, "events")
     by_type = sketch.hll_cardinality(ev, "user_id", "event_type")
@@ -4945,6 +5005,9 @@ _WINDOW_TAIL = [
     # semantic_dedup ADDITION) and both read the untouched embeddings
     # table:
     "ann_ivf_topk", "ivf_bucket_stats",
+    # rotated out as hll_merge entered (r5-driver-green; same zero-diff
+    # simsearch.py argument as ann_ivf_topk above):
+    "ann_ivf_topk_k64",
 ]
 
 

@@ -1491,3 +1491,26 @@ def test_winnowing_pairs_finds_clones_and_caps_hot_fps(spark):
         [(i, shared) for i in range(10)], "doc_id long, text string"
     )
     assert winnowing_pairs(many, min_shared=1, max_bucket=5).count() == 0
+
+
+def test_hll_merge_lossless_any_sharding(spark):
+    """Register max-merge makes the merged fold IDENTICAL to the
+    whole-stream fold no matter how rows are sharded — 2-way, 7-way, or
+    all-in-one."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ocr_cezam_spark.operators.sketch import hll_merge
+
+    df = spark.range(3000).select(
+        (F.col("id") % 500).cast("string").alias("k"), F.col("id")
+    )
+    rows = {}
+    for nshards in (1, 2, 7):
+        out = hll_merge(
+            df.withColumn("shard", F.col("id") % nshards), "k", "shard"
+        ).collect()[0]
+        assert out["merge_lossless"] is True
+        assert out["hll_est_merged"] == out["hll_est_whole"]
+        rows[nshards] = (out["hll_est_merged"], out["n_regs"])
+    # the estimate is a pure function of the key set, not the sharding
+    assert len(set(rows.values())) == 1
