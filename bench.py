@@ -101,6 +101,8 @@ HEADLINE = [
     "substring_span_dedup",
     "winnowing_fingerprints",
     "winnowing_pairs",
+    "hll_merge",
+    "cm_merge",
 ]
 
 

@@ -229,3 +229,40 @@ def hll_merge(df: DataFrame, key_col: str, shard_col: str) -> DataFrame:
         (F.col("hll_est_merged") == F.col("hll_est_whole"))
         .alias("merge_lossless"),
     )
+
+
+def cm_merge(df: DataFrame, key_col: str, shard_col: str) -> DataFrame:
+    """Count-Min mergeability: per-shard counter tables SUM-merged must
+    equal the whole-stream counter table (CM composes by +, the reason
+    per-day sketches union without replay — the additive counterpart of
+    hll_merge's max-merge). Output: ONE row with the number of counters
+    compared, the max absolute counter diff (0 by construction), and the
+    in-plan merge_lossless flag.
+
+    Scale shape: two counter aggregations (shards x 256 and 256 rows)
+    plus a 256-row join — input crosses a shuffle once per aggregation,
+    all integer-exact.
+    """
+    buckets = F.array(*[
+        (_h32(F.col(key_col), f"cm{i}:") % _CM_W) for i in range(_CM_D)
+    ])
+    rows = df.select(
+        F.col(shard_col).alias("shard"),
+        F.posexplode(buckets).alias("row", "bucket"),
+    )
+    shard_cnt = rows.groupBy("shard", "row", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    merged = shard_cnt.groupBy("row", "bucket").agg(
+        F.sum("cnt").alias("m_cnt")
+    )
+    whole = rows.groupBy("row", "bucket").agg(F.count("*").alias("w_cnt"))
+    diff = merged.join(whole, ["row", "bucket"], "full").select(
+        (F.abs(F.coalesce("m_cnt", F.lit(0))
+               - F.coalesce("w_cnt", F.lit(0)))).alias("d")
+    )
+    return diff.groupBy().agg(
+        F.count("*").cast("long").alias("n_counters"),
+        F.max("d").cast("long").alias("max_abs_diff"),
+        (F.max("d") == 0).alias("merge_lossless"),
+    )

@@ -4553,6 +4553,38 @@ _register(
 )
 
 
+# The additive counterpart: Count-Min counters sum-merge. The DuckDB
+# twin re-derives both counter tables and diffs them — integer-exact.
+_register(
+    "cm_merge",
+    lambda s, d: sketch.cm_merge(
+        _t(s, d, "events").withColumn("shard", F.col("event_id") % 3),
+        "user_id", "shard",
+    ),
+    f"""
+    WITH rows AS (
+      SELECT event_id % 3 AS shard, r.i AS row,
+             {_H32.format(expr="concat('cm' || r.i || ':', CAST(user_id AS VARCHAR))")} % 64 AS bucket
+      FROM events, (SELECT unnest(range(4)) AS i) r
+    ), shard_cnt AS (
+      SELECT shard, row, bucket, count(*) AS cnt
+      FROM rows GROUP BY 1, 2, 3
+    ), merged AS (
+      SELECT row, bucket, sum(cnt) AS m_cnt FROM shard_cnt GROUP BY 1, 2
+    ), whole AS (
+      SELECT row, bucket, count(*) AS w_cnt FROM rows GROUP BY 1, 2
+    ), diff AS (
+      SELECT abs(coalesce(m_cnt, 0) - coalesce(w_cnt, 0)) AS d
+      FROM merged FULL JOIN whole USING (row, bucket)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_counters,
+           CAST(max(d) AS BIGINT) AS max_abs_diff,
+           max(d) = 0 AS merge_lossless
+    FROM diff
+    """,
+)
+
+
 def _hll_q(s: SparkSession, d: str) -> DataFrame:
     ev = _t(s, d, "events")
     by_type = sketch.hll_cardinality(ev, "user_id", "event_type")
@@ -5008,6 +5040,9 @@ _WINDOW_TAIL = [
     # rotated out as hll_merge entered (r5-driver-green; same zero-diff
     # simsearch.py argument as ann_ivf_topk above):
     "ann_ivf_topk_k64",
+    # rotated out as cm_merge entered (r5-driver-green; its
+    # simsearch/pq chain has zero diff this round):
+    "ann_ivf_trained_topk",
 ]
 
 

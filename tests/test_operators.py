@@ -1514,3 +1514,22 @@ def test_hll_merge_lossless_any_sharding(spark):
         rows[nshards] = (out["hll_est_merged"], out["n_regs"])
     # the estimate is a pure function of the key set, not the sharding
     assert len(set(rows.values())) == 1
+
+
+def test_cm_merge_lossless_any_sharding(spark):
+    """Counter addition makes the sum-merged table identical to the
+    whole-stream table for any sharding."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ocr_cezam_spark.operators.sketch import cm_merge
+
+    df = spark.range(2000).select(
+        (F.col("id") % 300).cast("string").alias("k"), F.col("id")
+    )
+    for nshards in (1, 5):
+        out = cm_merge(
+            df.withColumn("shard", F.col("id") % nshards), "k", "shard"
+        ).collect()[0]
+        assert out["merge_lossless"] is True
+        assert out["max_abs_diff"] == 0
+        assert out["n_counters"] >= 1
