@@ -1244,6 +1244,9 @@ def _make_resolver(base_url: str):
             # base's last segment; a trailing empty ';p' can be dropped) —
             # semicolon hrefs are rare, route them all to urljoin
             and ";" not in raw
+            # empty query before a fragment: urljoin drops the lone '?'
+            # ('page?#frag' -> .../page#frag) but concat would keep it
+            and "?#" not in raw
             and "//" not in pathpart
             and "./" not in pathpart
             and pathpart not in (".", "..")
@@ -1332,6 +1335,7 @@ def extract_links(base_url: str, page: str) -> list[tuple[str, str]]:
 # - hrefs decode under the HTML5 attribute-entity rule and resolve via
 #   RFC 3986 urljoin; only http(s) results are kept.
 _HEAD_BODY_RX = re.compile(r"<body[\s>]", re.IGNORECASE)
+_HEAD_END_RX = re.compile(r"</head\s*>", re.IGNORECASE)
 _LINK_TAG_RX = re.compile(r"<link\b[^>]*>", re.IGNORECASE)
 _META_PROP_TAG_RX = re.compile(r"<meta\b[^>]*>", re.IGNORECASE)
 _REL_ATTR_RX = re.compile(
@@ -1374,11 +1378,16 @@ def head_metadata(base_url: str, page: str) -> dict:
     rule, whitespace-collapsed, TITLE_MAX cap), ``canonical_url`` (first
     <link rel~=canonical>, og:url fallback — resolved, http(s) only).
     Keys are present only when the page declares them. Comments, CDATA
-    and script/style bodies are stripped first — a canonical inside a
-    comment is not a declaration."""
-    body_at = _HEAD_BODY_RX.search(page)
-    head = _LINK_STRIP_RX.sub("", page[: body_at.start()] if body_at
-                              else page)
+    and script/style bodies are stripped FIRST and the head boundary is
+    located in the stripped text — a '<body' inside a head comment or a
+    document.write("<body>") script cannot truncate the head, and a
+    canonical inside a comment is not a declaration. Boundary: first
+    '<body' tag, else '</head>', else (tag-less fragment) the whole
+    page — so a body-embedded rel=canonical cannot hijack dedup on any
+    page that declares either boundary tag."""
+    stripped = _LINK_STRIP_RX.sub("", page)
+    body_at = _HEAD_BODY_RX.search(stripped) or _HEAD_END_RX.search(stripped)
+    head = stripped[: body_at.start()] if body_at else stripped
     out: dict = {}
     t = _TITLE_RX.search(head)
     if t:

@@ -282,8 +282,13 @@ def dsir_select(docs: DataFrame, k: int = 100, n_buckets: int = 1024,
     sampled flavor add ln(-ln(u)) of a hash-u to the score.)
 
     Output: (id, n_tokens, logweight) — the k raw docs with the highest
-    logweight, rounded to 4 dp AFTER the cutoff ranks on unrounded
-    doubles (ordering ties broken by id, ascending).
+    logweight. The cutoff ranks on the 4-dp ``round_he`` quantization of
+    lw (ties broken by id, ascending), NOT on the raw double: lw is a
+    non-associative float sum whose accumulation order differs between
+    Spark (partition-dependent) and DuckDB, so near-equal raw values at
+    the k boundary could flip across engines or partitionings —
+    quantizing before the cutoff makes the boundary decision, like the
+    emitted value, engine-stable.
 
     Scale shape: token explode aggregates to (doc, bucket) counts
     map-side; the two bucket tables are n_buckets rows — broadcast joins
@@ -336,9 +341,10 @@ def dsir_select(docs: DataFrame, k: int = 100, n_buckets: int = 1024,
         )
     )
     return (
-        scored.orderBy(F.col("lw").desc(), F.col(id_col).asc())
+        scored.withColumn("logweight", round_he(F.col("lw"), 4))
+        .orderBy(F.col("logweight").desc(), F.col(id_col).asc())
         .limit(k)
-        .select(id_col, "n_tokens", round_he(F.col("lw"), 4).alias("logweight"))
+        .select(id_col, "n_tokens", "logweight")
     )
 
 

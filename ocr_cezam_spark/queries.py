@@ -785,8 +785,9 @@ _register(
 # DSIR data selection: English docs play the trusted target model, the
 # rest are the raw crawl being ranked. Both engines build the same
 # 1024-bucket hashed-unigram models (md5 bucket, add-one smoothing) and
-# rank on unrounded doubles before the 4-dp rounding, so the top-k
-# cutoff is decided identically.
+# rank on the 4-dp round_he quantization of lw (tie-break doc_id), so
+# the top-k cutoff is stable against float accumulation-order noise
+# across engines and Spark partitionings alike.
 _register(
     "dsir_select",
     lambda s, d: sampling.dsir_select(
@@ -824,7 +825,8 @@ _register(
     )
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
            floor(lw * 1e4 + 0.5) / 1e4 AS logweight
-    FROM scored ORDER BY lw DESC, doc_id ASC LIMIT 100
+    FROM scored
+    ORDER BY floor(lw * 1e4 + 0.5) / 1e4 DESC, doc_id ASC LIMIT 100
     """,
 )
 

@@ -542,6 +542,35 @@ def test_head_metadata_title_and_canonical_rules():
     assert kernel.head_metadata(base, "<link rel=canonical href=" ) == {}
 
 
+def test_head_metadata_boundary_after_strip():
+    """The head boundary is located AFTER comment/CDATA/script stripping:
+    a '<body' inside a head comment or a document.write("<body>") script
+    must not truncate the head and drop later valid declarations. With
+    no '<body' tag at all, '</head>' is the fallback boundary, so a
+    body-embedded canonical still cannot steer dedup; only a page with
+    NEITHER tag treats the whole fragment as head."""
+    base = "https://h.example/dir/page"
+
+    # '<body' hidden in a head comment — later canonical must survive
+    m = kernel.head_metadata(base, (
+        "<head><!-- <body> --><title>T</title>"
+        '<link rel="canonical" href="/c"></head><body>x'))
+    assert m == {"title": "T", "canonical_url": "https://h.example/c"}
+
+    # '<body' emitted by a head script — same
+    m = kernel.head_metadata(base, (
+        '<head><script>document.write("<body>")</script><title>T2</title>'
+        '<link rel=canonical href="/c2"></head><body>y'))
+    assert m == {"title": "T2", "canonical_url": "https://h.example/c2"}
+
+    # no <body> tag: '</head>' bounds the head — the body-embedded
+    # canonical is NOT a declaration
+    m = kernel.head_metadata(base, (
+        "<head><title>T3</title></head>"
+        '<p>tail <link rel="canonical" href="https://evil.example/">'))
+    assert m == {"title": "T3"}
+
+
 def test_head_metadata_rides_extract_fields():
     """The kernel surfaces title/canonical_url as fields rows, and the
     corpus's three declaration variants all resolve to the clean target."""

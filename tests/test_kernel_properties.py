@@ -182,3 +182,16 @@ def test_make_resolver_matches_urljoin(raw, base):
     except ValueError:
         want = None
     assert _make_resolver(base)(raw) == want
+
+
+def test_make_resolver_empty_query_before_fragment():
+    """Regression (r6 ADVICE): 'page?#frag' — urljoin DROPS the lone '?'
+    but the concat fast path used to keep it. The '?#' guard must route
+    every such href to urljoin on both base shapes."""
+    from urllib.parse import urljoin
+
+    from ocr_cezam_spark.kernel import _make_resolver
+
+    for base in ("https://h.example/a/b.html", "https://h.example/"):
+        for raw in ("page?#frag", "/x?#f", "a/b?#", "?q?#f"):
+            assert _make_resolver(base)(raw) == urljoin(base, raw)
