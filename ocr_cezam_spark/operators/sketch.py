@@ -27,12 +27,27 @@ Scale shape, by construction:
   inexact op (the final alpha*m^2/S divide, or the small-range ln) runs
   once on the driver-visible aggregate, identically in both engines.
 
-Design notes: HLL++'s 64-bit hash / bias tables are overkill at the
-tested design point and would drag a bias-constant table into the
-oracle; the plain Flajolet HLL with the standard small-range linear
-count is the textbook estimator and keeps the twin honest. 32-bit
-hashes bound rho at 23 (22 rest bits + 1), which is what makes the
-exact-float-sum argument above airtight.
+Design notes: the 32-bit family keeps the textbook Flajolet HLL with
+the standard small-range linear count (no HLL++ bias tables, which
+would drag a constant table into the oracle). 32-bit hashes bound rho
+at 23 (22 rest bits + 1), which is what makes the exact-float-sum
+argument above airtight — but they also cap the estimator near
+m * 2^22 ≈ 4x10^9 distinct: registers saturate and the estimate stops
+growing, two orders below the 10^12-document design point. The 64-bit
+family below (``hll_cardinality64`` / ``hll_merge64`` / ``hll_fold64``)
+is the production mode: 64 hash bits from the md5 prefix (top 12 bits
+from hex chars 1-3, low 52 bits from chars 4-16 — each half fits a
+signed long, so neither engine ever parses a 64-bit integer), rho over
+the 64-p rest bits, and an INTEGER-SCALED register fold — each register
+contributes the exact integer 2^(R - rho) (R = max rho = 65-p) summed
+in decimal/HUGEINT, because the old exact-double-sum argument dies at
+rho > 30 (2^-1 + 2^-55 is not representable in a double). The scaled
+sum is exact in both engines; the single cast-to-double of the exact
+integer denominator and the one divide are correctly-rounded IEEE ops,
+so cross-engine determinism survives. Geometry (p, and the Count-Min
+w/d) is parameterized, and the DuckDB twins are EMITTED from the same
+parameters (``hll64_branch_sql`` etc.), so a non-default geometry is
+one argument, not a second implementation.
 """
 from __future__ import annotations
 
@@ -109,16 +124,242 @@ def hll_cardinality(df: DataFrame, key_col: str, group_col: str) -> DataFrame:
     )
 
 
-_CM_W = 64  # counters per row
-_CM_D = 4   # hash rows
+# ---------------------------------------------------------------------------
+# 64-bit-hash HLL: the production mode for the 10^12-row design point.
+# ---------------------------------------------------------------------------
+
+_LO52 = 1 << 52  # weight of the top-12/low-52 hash split
 
 
-def cm_sketch(df: DataFrame, key_col: str) -> DataFrame:
-    """The Count-Min counter table itself: d x w = 256 (row, bucket,
-    cnt) rows from ONE aggregation. Mergeable by + across shards/days;
-    this table IS the bounded-memory artifact a 100 TB stream keeps."""
+def _hll64_geometry(p: int) -> tuple[int, int, float]:
+    """(m, rest_bits, alpha) for precision p. p is bounded to [7, 12]:
+    below 7 the 0.7213/(1+1.079/m) alpha formula no longer applies
+    (HLL uses tabulated constants for m < 128), above 12 the bucket
+    would need more than the 12 bits carved from hex chars 1-3."""
+    if not 7 <= p <= 12:
+        raise ValueError(f"p must be in [7, 12], got {p}")
+    m = 1 << p
+    return m, 64 - p, 0.7213 / (1.0 + 1.079 / m)
+
+
+def _h64_parts(col: F.Column, p: int, salt: str = "") -> tuple[F.Column,
+                                                               F.Column]:
+    """(bucket, rho) from a 64-bit md5-prefix hash, no 64-bit integer
+    arithmetic: hex chars 1-3 give the top 12 bits (bucket = top p,
+    rest-head = the other 12-p), chars 4-16 give the low 52 — both
+    halves fit signed longs in Spark and BIGINT in the DuckDB twin.
+    rho = 1 + leading zeros of the (64-p)-bit rest, by integer/string
+    ops only (lpad(bin())+instr), never float log2."""
+    m, rest_bits, _ = _hll64_geometry(p)
+    md = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    hi12 = F.conv(F.substring(md, 1, 3), 16, 10).cast("long")
+    lo52 = F.conv(F.substring(md, 4, 13), 16, 10).cast("long")
+    bucket = F.shiftright(hi12, 12 - p)
+    rest = (hi12.bitwiseAND(F.lit((1 << (12 - p)) - 1)) * F.lit(_LO52)
+            + lo52)
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.instr(F.lpad(F.bin(rest), rest_bits, "0"), "1")
+    )
+    return bucket, rho
+
+
+def hll_fold64(regs: DataFrame, p: int,
+               est_name: str = "hll_est") -> DataFrame:
+    """Fold a (grp, bucket, m_j) register table to (grp, est, n_regs)
+    with the integer-scaled EXACT sum: each register contributes the
+    integer 2^(R - m_j) (R = rest_bits + 1 = max rho), summed as
+    decimal(38,0) — exact regardless of Spark's reduce order, unlike a
+    double sum of 2^-rho whose exponents span more than 53 bits at
+    rho > 30. The estimate is alpha*m^2*2^R / (scaled + zeros*2^R):
+    one exact integer denominator, one correctly-rounded cast, one
+    divide — deterministic across engines. Small range keeps the
+    standard m*ln(m/zeros) linear count. Exposed standalone so tests
+    can fold CONSTRUCTED registers (the only way to exercise the
+    >2^32-distinct regime without 4x10^9 real rows)."""
+    m, rest_bits, alpha = _hll64_geometry(p)
+    r_max = rest_bits + 1
+    term = F.pow(
+        F.lit(2.0), (F.lit(r_max) - F.col("m_j")).cast("double")
+    ).cast("decimal(38,0)")
+    folded = regs.groupBy("grp").agg(
+        F.count("*").alias("n_regs"),
+        F.sum(term).alias("s_scaled"),
+    )
+    zeros_i = (F.lit(m) - F.col("n_regs")).cast("decimal(38,0)")
+    denom = (F.col("s_scaled")
+             + zeros_i * F.lit(1 << r_max).cast("decimal(38,0)"))
+    raw = F.lit(alpha * m * m * float(2 ** r_max)) / denom.cast("double")
+    zeros_f = (F.lit(m) - F.col("n_regs")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros_f > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros_f),
+    ).otherwise(raw)
+    return folded.select(
+        "grp",
+        round_he(est, 4).alias(est_name),
+        F.col("n_regs").cast("long").alias("n_regs"),
+    )
+
+
+def hll_cardinality64(df: DataFrame, key_col: str, group_col: str,
+                      p: int = 10) -> DataFrame:
+    """Distinct-count estimate per group, 64-bit-hash HLL — same plan
+    shape as `hll_cardinality` (one projection, one max-agg bounded at
+    groups*m rows across the shuffle, one tiny fold) but with estimator
+    range ~2^64: registers cannot saturate at the 10^12 design point.
+    The exact count rides alongside for error visibility at test scale;
+    at 100 TB you would drop it — the sketch is the point."""
+    bucket, rho = _h64_parts(F.col(key_col), p)
+    regs = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    exact = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct(key_col).alias("n_exact")
+    )
+    return (
+        hll_fold64(regs, p)
+        .join(exact, "grp")
+        .select("grp", "n_exact", "hll_est", "n_regs")
+        .orderBy("grp")
+    )
+
+
+def hll_merge64(df: DataFrame, key_col: str, shard_col: str,
+                p: int = 10) -> DataFrame:
+    """`hll_merge`'s max-merge mergeability demonstration on the 64-bit
+    family: per-shard registers max-merged must fold to the whole-stream
+    estimate, asserted in-plan (merge_lossless). Same two bounded
+    register aggregations + two single-row folds."""
+    bucket, rho = _h64_parts(F.col(key_col), p)
+    rows = df.select(
+        F.col(shard_col).alias("shard"),
+        bucket.alias("bucket"),
+        rho.alias("rho"),
+    )
+    shard_regs = rows.groupBy("shard", "bucket").agg(
+        F.max("rho").alias("m_j")
+    )
+    merged = shard_regs.groupBy("bucket").agg(
+        F.max("m_j").alias("m_j")
+    ).withColumn("grp", F.lit("m"))
+    whole = rows.groupBy("bucket").agg(
+        F.max("rho").alias("m_j")
+    ).withColumn("grp", F.lit("w"))
+    fm = hll_fold64(merged, p, "hll_est_merged")
+    fw = hll_fold64(whole, p, "hll_est_whole").select("hll_est_whole")
+    return fm.crossJoin(F.broadcast(fw)).select(
+        "hll_est_merged",
+        "hll_est_whole",
+        F.col("n_regs"),
+        (F.col("hll_est_merged") == F.col("hll_est_whole"))
+        .alias("merge_lossless"),
+    )
+
+
+# --- DuckDB twin emitters: the oracle SQL is GENERATED from the same
+# geometry arguments the Spark side takes, so changing p (or CM w/d)
+# changes both engines from one call site. -------------------------------
+
+def hll64_parts_sql(key_sql: str, p: int) -> tuple[str, str]:
+    """(bucket_expr, rho_expr) over an `h12`/`l52` pair the caller
+    selects via `hll64_hash_sql`."""
+    _, rest_bits, _ = _hll64_geometry(p)
+    rest = f"((h12 % {1 << (12 - p)}) * {_LO52} + l52)"
+    bucket = f"(h12 // {1 << (12 - p)})"
+    rho = (f"CASE WHEN {rest} = 0 THEN {rest_bits + 1} "
+           f"ELSE instr(lpad(bin({rest}), {rest_bits}, '0'), '1') END")
+    return bucket, rho
+
+
+def hll64_hash_sql(key_sql: str) -> str:
+    """SELECT-list fragment computing the split 64-bit hash halves."""
+    return (
+        f"CAST(concat('0x', substring(md5({key_sql}), 1, 3)) AS BIGINT)"
+        f" AS h12, "
+        f"CAST(concat('0x', substring(md5({key_sql}), 4, 13)) AS BIGINT)"
+        f" AS l52"
+    )
+
+
+def hll64_fold_sql(src: str, p: int, est_name: str) -> str:
+    """Fold a (bucket, m_j) table `src` — integer-scaled HUGEINT sum,
+    mirroring hll_fold64's decimal(38,0) sum term for term."""
+    m, rest_bits, alpha = _hll64_geometry(p)
+    r_max = rest_bits + 1
+    return f"""
+      SELECT CASE WHEN raw <= {2.5 * m!r} AND zeros > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                  ELSE raw END AS {est_name}, n_regs
+      FROM (
+        SELECT n_regs, CAST({m} - n_regs AS DOUBLE) AS zeros,
+               {alpha * m * m * float(2 ** r_max)!r}
+                 / CAST(s_scaled + ({m} - n_regs)
+                        * CAST({1 << r_max} AS HUGEINT) AS DOUBLE) AS raw
+        FROM (SELECT count(*) AS n_regs,
+                     sum(CAST(power(2.0, {r_max} - m_j) AS HUGEINT))
+                       AS s_scaled
+              FROM {src})
+      )
+    """
+
+
+def hll64_branch_sql(key_sql: str, grp_sql: str, p: int,
+                     table: str = "events") -> str:
+    """One grouped hll_cardinality64 twin (grp, n_exact, hll_est,
+    n_regs) — emitted from the same geometry as the Spark plan."""
+    m, rest_bits, alpha = _hll64_geometry(p)
+    r_max = rest_bits + 1
+    bucket, rho = hll64_parts_sql(key_sql, p)
+    return f"""
+    SELECT grp, n_exact, floor(e * 1e4 + 0.5) / 1e4 AS hll_est, n_regs
+    FROM (
+      SELECT grp, n_regs,
+             CASE WHEN raw <= {2.5 * m!r} AND zeros > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                  ELSE raw END AS e
+      FROM (
+        SELECT grp, n_regs, CAST({m} - n_regs AS DOUBLE) AS zeros,
+               {alpha * m * m * float(2 ** r_max)!r}
+                 / CAST(s_scaled + ({m} - n_regs)
+                        * CAST({1 << r_max} AS HUGEINT) AS DOUBLE) AS raw
+        FROM (
+          SELECT grp, count(*) AS n_regs,
+                 sum(CAST(power(2.0, {r_max} - m_j) AS HUGEINT))
+                   AS s_scaled
+          FROM (
+            SELECT grp, {bucket} AS bucket, max({rho}) AS m_j
+            FROM (SELECT {grp_sql} AS grp, {hll64_hash_sql(key_sql)}
+                  FROM {table})
+            GROUP BY grp, {bucket}
+          ) GROUP BY grp
+        )
+      )
+    ) JOIN (
+      SELECT {grp_sql} AS grp, count(DISTINCT {key_sql}) AS n_exact
+      FROM {table} GROUP BY 1
+    ) USING (grp)
+    """
+
+
+_CM_W = 64  # default counters per row
+_CM_D = 4   # default hash rows
+
+
+def cm_sketch(df: DataFrame, key_col: str, w: int = _CM_W,
+              d: int = _CM_D) -> DataFrame:
+    """The Count-Min counter table itself: d x w (row, bucket, cnt)
+    rows from ONE aggregation. Mergeable by + across shards/days; this
+    table IS the bounded-memory artifact a 100 TB stream keeps. w and d
+    are real parameters (eps ~ e/w of stream total, delta ~ e^-d) —
+    size them to the tolerance, e.g. w=2718 for eps=0.1%."""
     buckets = F.array(*[
-        (_h32(F.col(key_col), f"cm{i}:") % _CM_W) for i in range(_CM_D)
+        (_h32(F.col(key_col), f"cm{i}:") % w) for i in range(d)
     ])
     return (
         df.select(F.posexplode(buckets).alias("row", "bucket"))
@@ -128,7 +369,8 @@ def cm_sketch(df: DataFrame, key_col: str) -> DataFrame:
 
 
 def cm_heavy_hitters(df: DataFrame, key_col: str,
-                     threshold_frac: float = 0.02) -> DataFrame:
+                     threshold_frac: float = 0.02,
+                     w: int = _CM_W, d: int = _CM_D) -> DataFrame:
     """Keys whose Count-Min estimate is >= threshold_frac of the stream,
     with true counts alongside (CM guarantees est >= true; overestimates
     come from bucket collisions).
@@ -141,7 +383,7 @@ def cm_heavy_hitters(df: DataFrame, key_col: str,
     which is exactly this join. All integer counts: the DuckDB twin
     matches bit-for-bit with no rounding gate at all.
     """
-    sketch = cm_sketch(df, key_col)
+    sketch = cm_sketch(df, key_col, w, d)
     true_cnt = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count("*").alias("true_cnt")
     )
@@ -150,7 +392,7 @@ def cm_heavy_hitters(df: DataFrame, key_col: str,
     # floor(total*frac) as the row threshold, integer-exact both engines.
     total = df.groupBy().agg(F.count("*").alias("total"))
     buckets = F.array(*[
-        (_h32(F.col("key"), f"cm{i}:") % _CM_W) for i in range(_CM_D)
+        (_h32(F.col("key"), f"cm{i}:") % w) for i in range(d)
     ])
     probes = true_cnt.select(
         "key", "true_cnt", F.posexplode(buckets).alias("row", "bucket")
@@ -167,6 +409,37 @@ def cm_heavy_hitters(df: DataFrame, key_col: str,
         .select("key", "true_cnt", "cm_est")
         .orderBy(F.desc("cm_est"), "key")
     )
+
+
+def cm_hh_sql(key_sql: str, threshold_frac: float,
+              w: int = _CM_W, d: int = _CM_D,
+              table: str = "events") -> str:
+    """DuckDB twin of cm_heavy_hitters — emitted from the SAME (w, d,
+    threshold) arguments the Spark side takes, so non-default sketch
+    geometry changes both engines at one call site."""
+    h = ("CAST(concat('0x', substring(md5("
+         f"'cm' || CAST(i AS VARCHAR) || ':' || key), 1, 8)) AS BIGINT)")
+    return f"""
+    WITH keyed AS (SELECT {key_sql} AS key FROM {table}),
+    dims AS (SELECT unnest(range({d})) AS i),
+    sk AS (
+      SELECT i, {h} % {w} AS bucket, count(*) AS cnt
+      FROM keyed, dims GROUP BY 1, 2
+    ),
+    truec AS (SELECT key, count(*) AS true_cnt FROM keyed GROUP BY 1),
+    probes AS (
+      SELECT key, true_cnt, i, {h} % {w} AS bucket
+      FROM truec, dims
+    ),
+    est AS (
+      SELECT key, true_cnt, min(cnt) AS cm_est
+      FROM probes JOIN sk USING (i, bucket) GROUP BY 1, 2
+    ),
+    total AS (SELECT count(*) AS total FROM keyed)
+    SELECT key, true_cnt, cm_est FROM est, total
+    WHERE cm_est >= floor(total * {threshold_frac!r})
+    ORDER BY cm_est DESC, key
+    """
 
 
 def hll_merge(df: DataFrame, key_col: str, shard_col: str) -> DataFrame:
@@ -231,7 +504,8 @@ def hll_merge(df: DataFrame, key_col: str, shard_col: str) -> DataFrame:
     )
 
 
-def cm_merge(df: DataFrame, key_col: str, shard_col: str) -> DataFrame:
+def cm_merge(df: DataFrame, key_col: str, shard_col: str,
+             w: int = _CM_W, d: int = _CM_D) -> DataFrame:
     """Count-Min mergeability: per-shard counter tables SUM-merged must
     equal the whole-stream counter table (CM composes by +, the reason
     per-day sketches union without replay — the additive counterpart of
@@ -244,7 +518,7 @@ def cm_merge(df: DataFrame, key_col: str, shard_col: str) -> DataFrame:
     all integer-exact.
     """
     buckets = F.array(*[
-        (_h32(F.col(key_col), f"cm{i}:") % _CM_W) for i in range(_CM_D)
+        (_h32(F.col(key_col), f"cm{i}:") % w) for i in range(d)
     ])
     rows = df.select(
         F.col(shard_col).alias("shard"),

@@ -4628,32 +4628,90 @@ def _cm_keyed(s: SparkSession, d: str) -> DataFrame:
 _CM_KEY_SQL = ("CASE WHEN user_id % 7 = 0 THEN 'h' || CAST(user_id % 3 AS VARCHAR) "
                "ELSE 'u' || CAST(user_id AS VARCHAR) END")
 
+# Both CM twins are EMITTED from sketch.cm_hh_sql with the same (w, d,
+# threshold) arguments the Spark call takes — default geometry here, a
+# non-default one below, one source of truth for both.
 _register(
     "cm_heavy_hitters",
     lambda s, d: sketch.cm_heavy_hitters(_cm_keyed(s, d), "key", 0.02),
+    sketch.cm_hh_sql(_CM_KEY_SQL, 0.02),
+)
+
+
+# Non-default sketch geometry through the SAME code path: w=256, d=5
+# quarters the collision rate (eps ~ e/w), so a 1% threshold stays
+# meaningful — the knob a web-scale stream actually turns. Exercises
+# that geometry is a real parameter end to end, not a module constant.
+_register(
+    "cm_heavy_hitters_w256",
+    lambda s, d: sketch.cm_heavy_hitters(_cm_keyed(s, d), "key", 0.01,
+                                         w=256, d=5),
+    sketch.cm_hh_sql(_CM_KEY_SQL, 0.01, w=256, d=5),
+)
+
+
+def _hll64_q(s: SparkSession, d: str) -> DataFrame:
+    ev = _t(s, d, "events")
+    by_type = sketch.hll_cardinality64(ev, "user_id", "event_type")
+    all_ids = sketch.hll_cardinality64(
+        ev.withColumn("g", F.lit("~event_id")), "event_id", "g"
+    )
+    return by_type.unionByName(all_ids).orderBy("grp")
+
+
+# 64-bit-hash HLL — the production mode (the 32-bit family saturates
+# near m*2^22 ~ 4e9 distinct; see sketch.py module docstring). Twin SQL
+# emitted from the same p. Both cardinality regimes again: linear-count
+# small range per event_type, raw-estimator path on ~event_id.
+_register(
+    "hll_cardinality64",
+    _hll64_q,
     f"""
-    WITH keyed AS (SELECT {_CM_KEY_SQL} AS key FROM events),
-    dims AS (SELECT unnest([0, 1, 2, 3]) AS i),
-    sk AS (
-      SELECT i, {_H32.format(expr="'cm' || CAST(i AS VARCHAR) || ':' || key")} % 64 AS bucket,
-             count(*) AS cnt
-      FROM keyed, dims GROUP BY 1, 2
-    ),
-    truec AS (SELECT key, count(*) AS true_cnt FROM keyed GROUP BY 1),
-    probes AS (
-      SELECT key, true_cnt, i,
-             {_H32.format(expr="'cm' || CAST(i AS VARCHAR) || ':' || key")} % 64 AS bucket
-      FROM truec, dims
-    ),
-    est AS (
-      SELECT key, true_cnt, min(cnt) AS cm_est
-      FROM probes JOIN sk USING (i, bucket) GROUP BY 1, 2
-    ),
-    total AS (SELECT count(*) AS total FROM keyed)
-    SELECT key, true_cnt, cm_est FROM est, total
-    WHERE cm_est >= floor(total * 0.02)
-    ORDER BY cm_est DESC, key
+    SELECT * FROM (
+      {sketch.hll64_branch_sql("CAST(user_id AS VARCHAR)", "event_type", 10)}
+      UNION ALL
+      {sketch.hll64_branch_sql("CAST(event_id AS VARCHAR)", "'~event_id'", 10)}
+    ) ORDER BY grp
     """,
+)
+
+
+def _hll64_merge_sql(p: int) -> str:
+    """hll_merge64 twin at precision p — register build + two folds,
+    all emitted from the shared geometry helpers."""
+    bucket, rho = sketch.hll64_parts_sql("CAST(user_id AS VARCHAR)", p)
+    return f"""
+    WITH rows AS (
+      SELECT event_id % 2 AS shard,
+             {sketch.hll64_hash_sql("CAST(user_id AS VARCHAR)")}
+      FROM events
+    ), rb AS (
+      SELECT shard, {bucket} AS bucket, max({rho}) AS m_j
+      FROM rows GROUP BY 1, 2
+    ), merged AS (SELECT bucket, max(m_j) AS m_j FROM rb GROUP BY 1),
+    whole AS (
+      SELECT {bucket} AS bucket, max({rho}) AS m_j
+      FROM rows GROUP BY 1
+    ), fm AS ({sketch.hll64_fold_sql("merged", p, "e")}),
+    fw AS ({sketch.hll64_fold_sql("whole", p, "e")})
+    SELECT floor(fm.e * 1e4 + 0.5) / 1e4 AS hll_est_merged,
+           floor(fw.e * 1e4 + 0.5) / 1e4 AS hll_est_whole,
+           fm.n_regs AS n_regs,
+           floor(fm.e * 1e4 + 0.5) / 1e4 = floor(fw.e * 1e4 + 0.5) / 1e4
+             AS merge_lossless
+    FROM fm CROSS JOIN fw
+    """
+
+
+# Max-merge mergeability on the 64-bit family, at NON-default p=11
+# (2048 registers): geometry is an argument on the HLL side too.
+_register(
+    "hll_merge64",
+    lambda s, d: sketch.hll_merge64(
+        _t(s, d, "events").withColumn("shard", F.col("event_id") % 2),
+        "user_id", "shard", p=11,
+    ),
+    _hll64_merge_sql(11),
 )
 
 

@@ -1134,6 +1134,91 @@ def test_cm_estimate_never_underestimates(spark):
     assert all(r["cm_est"] >= r["true_cnt"] for r in all_est)
 
 
+def test_hll64_extends_32bit_at_small_n(spark):
+    from ocr_cezam_spark.operators import sketch
+
+    # The 64-bit hash is the md5 prefix EXTENDED: bucket bits are
+    # identical and the top 22 rest bits of the 64-bit rest are exactly
+    # the 32-bit rest, so until some key has >= 22 leading rest zeros
+    # (prob 2^-22 per key) the two sketches hold identical registers and
+    # identical estimates. At 8000 keys that holds with overwhelming
+    # probability — the 64-bit mode is a range extension, not a
+    # different estimator.
+    df = spark.range(8000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    r32 = sketch.hll_cardinality(df, "k", "g").collect()[0]
+    r64 = sketch.hll_cardinality64(df, "k", "g").collect()[0]
+    assert r64["hll_est"] == r32["hll_est"]
+    assert r64["n_regs"] == r32["n_regs"]
+
+
+def test_hll64_estimates_beyond_2_32(spark):
+    """The reason the 64-bit mode exists: fold CONSTRUCTED registers for
+    n = 10^10 distinct (the only way to exercise that regime without
+    4x10^9 real rows). Per register the max of k = n/m geometric(1/2)
+    ranks has CDF (1 - 2^-r)^k; invert a seeded uniform per bucket.
+    The 64-bit fold must land within HLL error of 10^10; the SAME
+    registers capped at the 32-bit rho ceiling (23) — what a 32-bit
+    sketch would have stored — must saturate far below, demonstrating
+    the defect the mode fixes."""
+    import math
+    import random
+
+    from ocr_cezam_spark.operators import sketch
+
+    n, p = 10_000_000_000, 10
+    m, rest_bits = 1 << p, 64 - p
+    k = n / m
+    rng = random.Random(20260818)
+    regs = []
+    for b in range(m):
+        x = 1.0 - rng.random() ** (1.0 / k)
+        r = max(1, math.ceil(-math.log2(x))) if x > 0 else rest_bits + 1
+        regs.append(("g", b, min(r, rest_bits + 1)))
+    df = spark.createDataFrame(regs, "grp string, bucket int, m_j int")
+    est = sketch.hll_fold64(df, p).collect()[0]["hll_est"]
+    assert est > 1 << 32          # past the 32-bit ceiling entirely
+    assert abs(est - n) / n < 0.10  # ~3 sigma at m=1024
+    capped = df.select("grp", "bucket",
+                       F.least(F.col("m_j"), F.lit(23)).alias("m_j"))
+    est32 = sketch.hll_fold64(capped, p).collect()[0]["hll_est"]
+    assert est32 < 0.60 * n       # saturated: wrong by ~2x at 10^10
+
+
+def test_hll64_merge_lossless_nondefault_p(spark):
+    from ocr_cezam_spark.operators import sketch
+
+    df = spark.range(4000).select(
+        (F.col("id") % 3).alias("shard"),
+        F.col("id").cast("string").alias("k"),
+    )
+    row = sketch.hll_merge64(df, "k", "shard", p=11).collect()[0]
+    assert row["merge_lossless"]
+    assert row["hll_est_merged"] == row["hll_est_whole"]
+    assert abs(row["hll_est_merged"] - 4000) / 4000 < 0.10
+
+
+def test_cm_geometry_is_a_real_parameter(spark):
+    from ocr_cezam_spark.operators import sketch
+
+    df = spark.range(700).select(
+        F.when(F.col("id") < 500, "h")
+        .otherwise(F.concat(F.lit("u"), F.col("id"))).alias("k")
+    )
+    # non-default geometry: table bound follows (w, d), estimates still
+    # never undercount, and the wider sketch collides no more than the
+    # narrow one on every key (w=256 buckets vs 64)
+    assert sketch.cm_sketch(df, "k", w=256, d=5).count() <= 5 * 256
+    wide = {r["key"]: r["cm_est"] for r in
+            sketch.cm_heavy_hitters(df, "k", 0.0, w=256, d=5).collect()}
+    narrow = {r["key"]: (r["true_cnt"], r["cm_est"]) for r in
+              sketch.cm_heavy_hitters(df, "k", 0.0).collect()}
+    for key, (true_cnt, est_narrow) in narrow.items():
+        assert wide[key] >= true_cnt
+        assert wide[key] <= est_narrow
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup (operators/simsearch.py)
 # ---------------------------------------------------------------------------
