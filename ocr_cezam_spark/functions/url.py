@@ -118,52 +118,155 @@ def host_suffix(u: Column, levels: int = 2) -> Column:
 # public). Registered domain = public suffix + one more label; NULL when
 # the host IS a public suffix.
 #
-# PSL_RULES below is a deliberately small embedded subset covering every
-# rule KIND (exact multi-label, wildcard, exception, private-section
-# platform suffixes) — at deployment the full list is a ~240 KB config
-# swap, which changes only this tuple, not the algorithm. Spark side:
-# static per-length candidate columns (the list's max rule length bounds
-# the loop at plan-build time), pure codegen'd exprs, no UDF, no join —
-# the rule set rides the serialized plan like a broadcast literal.
-PSL_RULES = (
-    "com", "org", "net", "io", "fr", "jp", "au", "uk", "ck", "example",
-    "co.uk", "org.uk", "ac.uk", "co.jp", "com.au",
-    "*.ck", "!www.ck",
-    "github.io", "blogspot.com",
+# PSL_RULES is the FULL published list (publicsuffix.org, MPL-2.0),
+# packaged verbatim at data/public_suffix_list.dat (~240 KB, ICANN +
+# private sections) and parsed once at import: comment/blank lines
+# dropped, and every IDN rule additionally contributes its punycode
+# (xn--) twin so hosts match whether they arrive unicode or ACE-encoded.
+# Spark side: static per-length candidate columns (the list's max rule
+# length — 5 labels — bounds the loop at plan-build time), pure
+# codegen'd exprs, no UDF, no join — the rule set rides the serialized
+# plan like a broadcast literal, and each per-length membership test
+# carries ONLY the rules of that exact label count, so the plan embeds
+# each rule once (~10k strings total; Catalyst folds isin lists this
+# long into an InSet hash lookup, constant-time per row).
+import os as _os
+
+_PSL_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "data", "public_suffix_list.dat",
 )
 
-_PSL_EXACT = frozenset(r for r in PSL_RULES if not r.startswith(("*.", "!")))
-_PSL_WILD = frozenset(r[2:] for r in PSL_RULES if r.startswith("*."))
-_PSL_EXC = frozenset(r[1:] for r in PSL_RULES if r.startswith("!"))
-_PSL_MAX_LEN = max(len(r.lstrip("!").split(".")) for r in PSL_RULES)
+
+def _punycode_rule(rule: str) -> str | None:
+    """ACE twin of an IDN rule, label by label ('*' and ASCII labels pass
+    through); None when a label refuses stdlib IDNA encoding."""
+    bare = rule.lstrip("!")
+    prefix = rule[: len(rule) - len(bare)]
+    try:
+        ace = ".".join(
+            lbl if lbl == "*" or lbl.isascii()
+            else lbl.encode("idna").decode("ascii")
+            for lbl in bare.split(".")
+        )
+    except UnicodeError:
+        return None
+    return prefix + ace
+
+
+def _load_psl_rules(path: str = _PSL_PATH) -> tuple[str, ...]:
+    rules: list[str] = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            rules.append(line)
+            if not line.isascii():
+                ace = _punycode_rule(line)
+                if ace is not None and ace != line:
+                    rules.append(ace)
+    return tuple(rules)
+
+
+PSL_RULES = _load_psl_rules()
+
+
+def _by_len(rules) -> dict[int, frozenset]:
+    out: dict[int, set] = {}
+    for r in rules:
+        out.setdefault(len(r.split(".")), set()).add(r)
+    return {k: frozenset(v) for k, v in out.items()}
+
+
+_PSL_EXACT = _by_len(r for r in PSL_RULES if not r.startswith(("*.", "!")))
+# a `*.x` rule is a (len(x)+1)-label rule: keyed by FULL rule length,
+# valued by the x tail the candidate's last len(x) labels must equal
+_PSL_WILD = _by_len(r[2:] for r in PSL_RULES if r.startswith("*."))
+_PSL_WILD = {k + 1: v for k, v in _PSL_WILD.items()}
+_PSL_EXC = _by_len(r[1:] for r in PSL_RULES if r.startswith("!"))
+_PSL_MAX_LEN = max(
+    max(_PSL_EXACT, default=1),
+    max(_PSL_WILD, default=1),
+    max(_PSL_EXC, default=1),
+)
+
+
+# With ~10k rules, building the membership tests as Column objects costs
+# ~10 s of py4j literal round-trips PER QUERY BUILD. Instead the whole
+# algorithm is registered ONCE per session as Spark SQL scalar functions
+# (CREATE TEMPORARY FUNCTION ... RETURN <expr>): one JVM-side parse
+# (~0.5 s), macro-expanded into every using plan at analysis — the IN
+# lists become InSet hash lookups, still pure codegen'd expressions, no
+# UDF, no join. Call sites pay one F.call_function.
+
+_PS_LEN_FN = "ocr_psl_suffix_len"
+_RD_FN = "ocr_psl_registered_domain"
+
+
+def _spark_psl_len_sql(h: str) -> str:
+    """Spark-SQL expression for the public-suffix label count of host
+    expression ``h`` — same by-length rule dicts as the DuckDB emitter
+    below, Spark slice/array_join syntax. `h` must already be lowercase."""
+    ls = f"split({h}, '\\\\.')"
+    n = f"size({ls})"
+
+    def _suffix(i: int) -> str:
+        return f"array_join(slice({ls}, {n} - {i - 1}, {i}), '.')"
+
+    def _in(vals: frozenset) -> str:
+        return "(" + ", ".join(f"'{v}'" for v in sorted(vals)) + ")"
+
+    ps = "1"
+    for i in range(1, _PSL_MAX_LEN + 1):
+        if _PSL_EXACT.get(i):
+            ps = (f"CASE WHEN {n} >= {i} AND {_suffix(i)} IN "
+                  f"{_in(_PSL_EXACT[i])} THEN {i} ELSE {ps} END")
+        if _PSL_WILD.get(i) and i >= 2:
+            tail = f"array_join(slice({ls}, {n} - {i - 2}, {i - 1}), '.')"
+            ps = (f"CASE WHEN {n} >= {i} AND {tail} IN {_in(_PSL_WILD[i])} "
+                  f"THEN {i} ELSE {ps} END")
+    for i in range(1, _PSL_MAX_LEN + 2):
+        if _PSL_EXC.get(i):
+            ps = (f"CASE WHEN {n} >= {i} AND {_suffix(i)} IN "
+                  f"{_in(_PSL_EXC[i])} THEN {i - 1} ELSE {ps} END")
+    return ps
+
+
+def _ensure_psl_fns() -> None:
+    """Idempotently register the PSL SQL functions on the active session
+    (tagged on the session object so re-registration is skipped)."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError(
+            "registered_domain/public_suffix_len need an active SparkSession"
+        )
+    if getattr(s, "_ocr_psl_fns_ready", False):
+        return
+    s.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {_PS_LEN_FN}(h STRING) "
+        f"RETURNS INT RETURN {_spark_psl_len_sql('lower(h)')}"
+    )
+    ls = "split(lower(h), '\\\\.')"
+    n = f"size({ls})"
+    ps = f"{_PS_LEN_FN}(h)"
+    s.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {_RD_FN}(h STRING) "
+        f"RETURNS STRING RETURN "
+        f"CASE WHEN lower(h) <> '' AND {n} > {ps} THEN "
+        f"array_join(slice({ls}, {n} - {ps}, {ps} + 1), '.') END"
+    )
+    s._ocr_psl_fns_ready = True
 
 
 def public_suffix_len(host: Column) -> Column:
     """Label count of ``host``'s public suffix under PSL_RULES (0 when the
     exception rule shrinks the suffix past the root — impossible with a
     well-formed list, kept total anyway)."""
-    labels = F.split(F.lower(host), r"\.")
-    n = F.size(labels)
-    ps = F.lit(1)  # the PSL's implicit `*` rule: any TLD is public
-    # Longer rules override shorter: ascending-i whens, later wins via
-    # reassignment; exceptions override everything at their length.
-    for i in range(1, _PSL_MAX_LEN + 1):
-        cand = F.array_join(
-            F.slice(labels, n - (i - 1), i), ".")
-        if _PSL_EXACT:
-            ps = F.when((n >= i) & cand.isin(*sorted(_PSL_EXACT)),
-                        F.lit(i)).otherwise(ps)
-        if _PSL_WILD and i >= 2:
-            # `*.x` is an (len(x)+1)-label rule: one label, then x.
-            tail = F.array_join(F.slice(labels, n - (i - 2), i - 1), ".")
-            ps = F.when((n >= i) & tail.isin(*sorted(_PSL_WILD)),
-                        F.lit(i)).otherwise(ps)
-    for i in range(1, _PSL_MAX_LEN + 2):
-        if _PSL_EXC:
-            cand = F.array_join(F.slice(labels, n - (i - 1), i), ".")
-            ps = F.when((n >= i) & cand.isin(*sorted(_PSL_EXC)),
-                        F.lit(i - 1)).otherwise(ps)
-    return ps
+    _ensure_psl_fns()
+    return F.call_function(_PS_LEN_FN, host)
 
 
 def registered_domain(u: Column) -> Column:
@@ -171,17 +274,12 @@ def registered_domain(u: Column) -> Column:
     host: 'https://a.b.site.co.uk/x' -> 'site.co.uk';
     'https://u.github.io/p' -> 'u.github.io' (platform suffix);
     NULL when the host is itself a public suffix ('https://com/')."""
+    _ensure_psl_fns()
     host = F.lower(F.regexp_extract(
         F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
         r"^(?:.*@)?([^:@]*)", 1,
     ))
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
-    ps = public_suffix_len(host)
-    return F.when(
-        (host != "") & (n > ps),
-        F.array_join(F.slice(labels, n - ps, ps + 1), "."),
-    )
+    return F.call_function(_RD_FN, host)
 
 
 def psl_registered_domain_sql(host_expr: str) -> str:
@@ -200,18 +298,18 @@ def psl_registered_domain_sql(host_expr: str) -> str:
 
     ps = "1"
     for i in range(1, _PSL_MAX_LEN + 1):
-        if _PSL_EXACT:
+        if _PSL_EXACT.get(i):
             ps = (f"CASE WHEN {n} >= {i} AND {_suffix(i)} IN "
-                  f"{_in(_PSL_EXACT)} THEN {i} ELSE {ps} END")
-        if _PSL_WILD and i >= 2:
+                  f"{_in(_PSL_EXACT[i])} THEN {i} ELSE {ps} END")
+        if _PSL_WILD.get(i) and i >= 2:
             tail = (f"array_to_string(array_slice({ls}, {n} - {i - 2}, {n}),"
                     " '.')")
-            ps = (f"CASE WHEN {n} >= {i} AND {tail} IN {_in(_PSL_WILD)} "
+            ps = (f"CASE WHEN {n} >= {i} AND {tail} IN {_in(_PSL_WILD[i])} "
                   f"THEN {i} ELSE {ps} END")
     for i in range(1, _PSL_MAX_LEN + 2):
-        if _PSL_EXC:
+        if _PSL_EXC.get(i):
             ps = (f"CASE WHEN {n} >= {i} AND {_suffix(i)} IN "
-                  f"{_in(_PSL_EXC)} THEN {i - 1} ELSE {ps} END")
+                  f"{_in(_PSL_EXC[i])} THEN {i - 1} ELSE {ps} END")
     return (
         f"CASE WHEN lower({host_expr}) <> '' AND {n} > ({ps}) THEN "
         f"array_to_string(array_slice({ls}, {n} - ({ps}), {n}), '.') "

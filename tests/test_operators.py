@@ -1398,6 +1398,43 @@ def test_registered_domain_psl_rules(spark):
         ).fetchone()[0] == e, h
 
 
+def test_registered_domain_full_psl(spark):
+    """The packaged rule set is the FULL publicsuffix.org list, not a
+    subset: day-one crawl suffixes (com.br, co.kr), deep private-section
+    platform rules (s3.amazonaws.com, *.compute.amazonaws.com), IDN TLDs
+    in BOTH unicode and punycode form (рф / xn--p1ai — the loader emits
+    ACE twins), and Japanese geo wildcards with their exceptions
+    (*.kobe.jp / !city.kobe.jp)."""
+    from ocr_cezam_spark.functions.url import registered_domain
+
+    cases = [
+        ("site.com.br", "site.com.br"),
+        ("www.site.com.br", "site.com.br"),
+        ("com.br", None),
+        ("shop.co.kr", "shop.co.kr"),
+        # private section, 3-label exact rule
+        ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+        ("s3.amazonaws.com", None),
+        # private section, 5-label wildcard rule *.compute.amazonaws.com
+        ("vm.zone1.compute.amazonaws.com", "vm.zone1.compute.amazonaws.com"),
+        ("zone1.compute.amazonaws.com", None),
+        # IDN TLD: unicode rule and its generated punycode twin both match
+        ("сайт.рф", "сайт.рф"),
+        ("site.xn--p1ai", "site.xn--p1ai"),
+        ("xn--p1ai", None),
+        # geo wildcard + exception: *.kobe.jp public, !city.kobe.jp not
+        ("a.chuo.kobe.jp", "a.chuo.kobe.jp"),
+        ("chuo.kobe.jp", None),
+        ("www.city.kobe.jp", "city.kobe.jp"),
+    ]
+    df = spark.createDataFrame(
+        [(f"https://{h}/p",) for h, _ in cases], "u string"
+    )
+    got = [r["rd"] for r in
+           df.select(registered_domain(F.col("u")).alias("rd")).collect()]
+    assert got == [e for _, e in cases]
+
+
 def test_dup_ngram_fraction(spark):
     """Hand-checkable corpus: exact clone pairs score 1.0, a half-shared
     doc scores 0.5, a doc with no n-grams keeps a zero row (short spam
