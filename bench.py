@@ -431,6 +431,23 @@ def main() -> None:
     if not scaling.get("skipped"):
         write_report(result)
     print(json.dumps(result))
+    # The full line above carries one timing per query and grows with
+    # the registry — in r6 it outgrew the driver's tail-capture window
+    # and the round's bench artifact recorded "parsed": null. The LAST
+    # line is therefore a fixed-size summary (the full per-query table
+    # is also persisted to BENCH/BASELINE.md by write_report): whatever
+    # window the capture uses, the final parseable line fits.
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": result["sf"],
+        "n_queries": len(queries),
+        "clean_eff": scaling.get("efficiency"),
+        "saturated_eff": (scaling.get("saturated_pair") or {}).get(
+            "efficiency"),
+        "kernel_docs_per_core": result["kernel_docs_per_core"],
+    }))
 
 
 if __name__ == "__main__":
