@@ -23,12 +23,15 @@ from .textstats import gopher_quality, token_quality
 
 
 def clean_corpus(docs: DataFrame, id_col: str = "doc_id",
-                 text_col: str = "text", max_freq: int = 5) -> DataFrame:
+                 text_col: str = "text", max_freq: int = 5,
+                 keep_text: bool = False) -> DataFrame:
     """Boilerplate-paragraph dedup -> empty-doc drop -> exact document
     dedup on the CLEANED text (min-id keeper wins) -> token-quality and
     Gopher gates. Returns the surviving documents with their quality
     stats (doc id, n_tokens, stopword_ratio, avg_word_len, mean_word_len,
-    alpha_word_frac)."""
+    alpha_word_frac); with ``keep_text`` the cleaned text itself (the
+    '\\n'-joined paragraph form) rides along for downstream composition
+    (build_training_corpus) instead of being re-derived."""
     cleaned = paragraph_dedup(docs, id_col, text_col, max_freq)
     c = cleaned.filter(F.col("text_dedup") != "").select(
         F.col(id_col), F.col("text_dedup").alias(text_col)
@@ -53,7 +56,10 @@ def clean_corpus(docs: DataFrame, id_col: str = "doc_id",
     gq = gopher_quality(gated, id_col, text_col).filter(
         F.col("passes") == 1
     ).select(id_col, "mean_word_len", "alpha_word_frac")
-    return tq.join(gq, id_col)
+    out = tq.join(gq, id_col)
+    if keep_text:
+        out = out.join(reps, id_col)
+    return out
 
 
 def frontier_next(links: DataFrame, crawled: DataFrame, robots: DataFrame,
@@ -166,3 +172,100 @@ def fetch_schedule(frontier: DataFrame, n_workers: int = 4) -> DataFrame:
         "fetch_pos",
         off.alias("fetch_offset_s"),
     ).orderBy("url")
+
+
+def build_training_corpus(docs: DataFrame, budget_tokens: int,
+                          pack: int = 512, n_shards: int = 8,
+                          dsir_k: int = 100, max_freq: int = 5,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          target_col: str = "is_target") -> DataFrame:
+    """Raw crawl -> packed training shards: the curation counterpart of
+    `frontier_next`'s crawl composition, chaining every hygiene stage a
+    production corpus build runs into ONE declarative plan. (Reference
+    semantics generalized: the two-phase admit-then-extract contract of
+    file_types/file_type.py:23-39 — admit a document, then process only
+    what was admitted — applied stage over stage to corpus curation.)
+
+    1. clean_corpus: boilerplate-paragraph dedup, exact-doc dedup on
+       cleaned text, token + Gopher word gates (keep_text=True — the
+       cleaned '\\n' form feeds everything downstream);
+    2. near-dup keep-BEST: cluster_members' dup-heavy-safe clustering
+       (exact collapse -> LSH -> connected components), then one
+       max-of-(quality, -id) struct per component — every component
+       including singletons, so this stage IS the near-dup dedup, with
+       the best-quality member (ties to min id) as the survivor;
+    3. substring_span_dedup: cross-doc duplicated n-gram RUNS removed
+       from the surviving text (boilerplate whole-doc dedup can't touch;
+       docs cleaned to '' drop out). Newlines survive inside the
+       space-joined words, so the line structure reaches stage 4;
+    4. gopher_line_quality gate over the span-cleaned text (the line
+       gates need the '\\n' structure stage 3 preserved);
+    5. dsir_select: importance-rank the surviving RAW docs against the
+       surviving trusted-target docs (``target_col``), keep top
+       ``dsir_k``;
+    6. select_and_pack: fill ``budget_tokens`` with the best survivors
+       (distributed banded prefix sum) and lay them into ``pack``-token
+       training packs across ``n_shards`` shards.
+
+    Output: (id, shard, n_tokens, pack_id, offset_in_pack) — the final
+    batch layout, one row per packed document.
+
+    Scale shape: every stage keeps its own audited plan (no cartesian
+    products, no corpus-wide window — the only windows are per-shard /
+    per-band; plan-asserted in tests/test_plans.py) and stages hand off
+    by id equi-joins. The stage frontiers (cleaned corpus, kept docs,
+    span-cleaned survivors) are localCheckpoint'ed, for two reasons:
+    the chain is action-heavy (CC fixpoint, band totals and DSIR model
+    collects each launch jobs that would otherwise recompute paragraph
+    dedup + minhash from the raw scan), and — the one that actually
+    kills the un-checkpointed composition — LOGICAL PLAN blowup: every
+    stage references its input 3-5 times (span dedup alone joins its
+    source five ways), so the un-truncated tree multiplies stage over
+    stage (5x3x2x5x4 copies of the base subtree by the packer) and
+    Catalyst spends minutes ANALYZING, not executing. persist() does
+    not truncate lineage for planning; localCheckpoint does. At
+    production these frontiers are exactly the intermediate tables a
+    multi-day build writes to scratch storage anyway — same shape, same
+    bound (the corpus itself, once per stage boundary).
+    """
+    from .dedup import cluster_members, substring_span_dedup
+    from .sampling import doc_quality, dsir_select, select_and_pack
+    from .textstats import gopher_line_quality
+
+    cleaned = clean_corpus(docs, id_col, text_col, max_freq,
+                           keep_text=True).select(id_col, text_col)
+    cleaned = cleaned.localCheckpoint(eager=False)
+    members = cluster_members(cleaned, id_col, text_col)
+    scored = members.join(
+        cleaned.select(F.col(id_col),
+                       doc_quality(cleaned, text_col).alias("q")),
+        id_col,
+    )
+    best = F.max(F.struct(F.col("q"), (-F.col(id_col)).alias("nid")))
+    kept_ids = (
+        scored.groupBy("component").agg(best.alias("best"))
+        .select((-F.col("best.nid")).alias(id_col))
+    )
+    kept = cleaned.join(kept_ids, id_col, "left_semi").localCheckpoint(
+        eager=False
+    )
+    span = (
+        substring_span_dedup(kept, id_col=id_col, text_col=text_col)
+        .filter(F.col("clean_text") != "")
+        .select(F.col(id_col), F.col("clean_text").alias(text_col))
+    )
+    line_ok = gopher_line_quality(span, id_col, text_col).filter(
+        F.col("passes") == 1
+    ).select(id_col)
+    survivors = span.join(line_ok, id_col, "left_semi").localCheckpoint(
+        eager=False
+    )
+    flagged = survivors.join(
+        docs.select(F.col(id_col), F.col(target_col)), id_col
+    )
+    sel = dsir_select(flagged, k=dsir_k, id_col=id_col,
+                      text_col=text_col, target_col=target_col)
+    chosen = survivors.join(sel.select(id_col), id_col, "left_semi")
+    return select_and_pack(chosen, budget_tokens, pack=pack,
+                           n_shards=n_shards, id_col=id_col,
+                           text_col=text_col)

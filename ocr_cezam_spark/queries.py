@@ -4715,6 +4715,323 @@ _register(
 )
 
 
+# ===========================================================================
+# build_training_corpus — the end-to-end curation composition (raw crawl
+# -> packed training shards), every stage oracled in one CTE chain.
+# ===========================================================================
+
+# Shared license run: appears (plus a per-doc unique tail token, so
+# paragraph dedup's freq cap does NOT strip it) in ~4 of 500 doc groups —
+# exactly the boilerplate RUN that survives paragraph dedup (freq 3 per
+# clone group <= 5) but that substring_span_dedup must remove (its
+# 5-grams occur in >= 2 distinct kept docs).
+_BTC_LIC = ("this work is licensed under creative commons attribution "
+            "share alike terms apply")
+_BTC_BUDGET = 4_000
+_BTC_K = 150
+
+
+def _btc_corpus(s: SparkSession, d: str) -> DataFrame:
+    """Curation fixture: every doc gains the universal boilerplate
+    paragraph (freq 1500 — paragraph dedup strips it) and, for
+    doc_id%137==0, the license paragraph; each doc then appears three
+    times — original, exact clone (+1M — exact dedup collapses it) and
+    near clone (+2M, ' fin' appended — survives exact dedup, pairs with
+    its original via LSH, keep-best picks one). is_target = lang='en'
+    (the trusted-target pool DSIR ranks the rest against)."""
+    base = _t(s, d, "documents").select(
+        "doc_id",
+        F.concat(
+            "text", F.lit("\n" + _PARA_BOILER),
+            F.when(
+                F.col("doc_id") % 137 == 0,
+                F.concat(F.lit("\n" + _BTC_LIC + " t"),
+                         F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+        (F.col("lang") == "en").alias("is_target"),
+    )
+    return base.unionByName(
+        base.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                    "text", "is_target")
+    ).unionByName(
+        base.select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                    F.concat("text", F.lit(" fin")).alias("text"),
+                    "is_target")
+    )
+
+
+_BTC_CORPUS_SQL = f"""
+      SELECT doc_id, text || chr(10) || '{_PARA_BOILER}' ||
+             CASE WHEN doc_id % 137 = 0
+                  THEN chr(10) || '{_BTC_LIC} t' || CAST(doc_id AS VARCHAR)
+                  ELSE '' END AS text,
+             lang = 'en' AS is_target
+      FROM documents
+"""
+
+# Stage twins reuse the registered per-stage oracles' SQL shapes verbatim
+# (clean_corpus, cluster_best_docs, substring_span_dedup,
+# gopher_line_quality, dsir_select, select_and_pack) — re-sourced onto
+# the previous stage's CTE instead of the documents table.
+_BTC_ORACLE = f"""
+    WITH RECURSIVE
+    corpus0 AS MATERIALIZED ({_BTC_CORPUS_SQL}),
+    corpus1 AS MATERIALIZED (
+      SELECT doc_id, text, is_target FROM corpus0
+      UNION ALL
+      SELECT doc_id + 1000000, text, is_target FROM corpus0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' fin', is_target FROM corpus0
+    ),
+    -- stage 1: clean_corpus (paragraph dedup, exact dedup, word gates)
+    paras AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS para,
+             unnest(range(len(string_split(text, chr(10))))) AS pos
+      FROM corpus1
+    ),
+    pfreq AS (SELECT md5(para) AS ph, count(*) AS freq FROM paras GROUP BY 1),
+    pkept AS (
+      SELECT p.doc_id, p.pos, p.para
+      FROM paras p JOIN pfreq f ON md5(p.para) = f.ph
+      WHERE f.freq <= 5 OR p.para = ''
+    ),
+    cleaned0 AS MATERIALIZED (
+      SELECT c.doc_id,
+             coalesce(string_agg(k.para, chr(10) ORDER BY k.pos), '') AS text
+      FROM corpus1 c LEFT JOIN pkept k USING (doc_id) GROUP BY c.doc_id
+    ),
+    ne AS (SELECT * FROM cleaned0 WHERE text <> ''),
+    keepers AS (SELECT min(doc_id) AS keeper FROM ne GROUP BY md5(text)),
+    reps AS MATERIALIZED (SELECT n.doc_id, n.text FROM ne n
+             JOIN keepers kk ON n.doc_id = kk.keeper),
+    tb AS (SELECT doc_id,
+                  string_split(replace(text, chr(10), ' '), ' ') AS words,
+                  length(text) AS n_chars FROM reps),
+    tm AS (
+      SELECT doc_id, words, CAST(len(words) AS INT) AS n_tokens,
+             CAST(len(list_filter(words, w -> w IN
+                 ('the','a','of','and','to','in','is'))) AS INT) AS n_stop,
+             (n_chars - (len(words) - 1)) / len(words) AS awl_raw
+      FROM tb
+    ),
+    tq AS (
+      SELECT doc_id FROM tm
+      WHERE n_tokens >= 10 AND floor((awl_raw) * 1e3 + 0.5) / 1e3 >= 2.0
+            AND floor((awl_raw) * 1e3 + 0.5) / 1e3 <= 12.0
+    ),
+    gs AS (
+      SELECT doc_id,
+             floor((CAST(list_sum(list_transform(words, x -> length(x)))
+                        AS DOUBLE) / len(words)) * 1e4 + 0.5) / 1e4 AS mean_word_len,
+             floor((CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+                        AS DOUBLE) / len(words)) * 1e4 + 0.5) / 1e4 AS alpha_word_frac,
+             floor((CAST(len(list_filter(words, x -> regexp_matches(x, '^[0-9]+$')))
+                        AS DOUBLE) / len(words)) * 1e4 + 0.5) / 1e4 AS digit_word_frac
+      FROM tm
+    ),
+    gq AS (
+      SELECT doc_id FROM gs
+      WHERE mean_word_len BETWEEN 3.0 AND 10.0
+            AND alpha_word_frac >= 0.8 AND digit_word_frac < 0.3
+    ),
+    gated AS MATERIALIZED (SELECT r.doc_id, r.text FROM reps r
+              JOIN tq USING (doc_id) JOIN gq USING (doc_id)),
+    -- stage 2: near-dup keep-best (minhash LSH -> CC -> argmax quality)
+    {_minhash_pairs_ctes("SELECT doc_id, text FROM gated")},
+    fpairs AS (SELECT a, b FROM cand WHERE sim_est >= 0.5),
+    edges AS (
+      SELECT a AS x, b AS y FROM fpairs
+      UNION SELECT b, a FROM fpairs
+    ),
+    nodes AS (SELECT DISTINCT x AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT reach.node, e.y FROM reach JOIN edges e ON reach.r = e.x
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    digests AS (SELECT doc_id, md5(text) AS digest FROM gated),
+    grp AS (SELECT digest, min(doc_id) AS keeper FROM digests GROUP BY digest),
+    rep_comp AS (
+      SELECT g.digest, coalesce(c.component, g.keeper) AS component
+      FROM grp g LEFT JOIN comp c ON g.keeper = c.node
+    ),
+    members AS (
+      SELECT d.doc_id, r.component FROM digests d JOIN rep_comp r USING (digest)
+    ),
+    q AS (
+      SELECT doc_id,
+             CASE WHEN len(words) > 0 THEN
+               floor((CAST(len(list_distinct(words)) AS DOUBLE) / len(words))
+                     * 1e4 + 0.5) / 1e4
+             ELSE 0.0 END AS quality
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS words
+            FROM gated)
+    ),
+    sc AS (SELECT m.component, m.doc_id, q.quality
+           FROM members m JOIN q USING (doc_id)),
+    bagg AS (SELECT component, max({{'q': quality, 'nid': -doc_id}}) AS best
+             FROM sc GROUP BY component),
+    kept AS MATERIALIZED (
+      SELECT g.doc_id, g.text FROM gated g
+      JOIN (SELECT -((best).nid) AS doc_id FROM bagg) USING (doc_id)
+    ),
+    -- stage 3: exact-substring span removal (n=5, min_docs=2)
+    stoks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM kept),
+    spg AS (
+      SELECT doc_id, unnest(range(1, len(w) - 3)) AS pos, w
+      FROM stoks WHERE len(w) >= 5
+    ),
+    spos_gram AS (
+      SELECT doc_id, pos, array_to_string(w[pos:pos+4], ' ') AS gram
+      FROM spg
+    ),
+    sdup AS (
+      SELECT gram FROM spos_gram
+      GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ),
+    scovered AS (
+      SELECT DISTINCT p.doc_id, unnest(range(p.pos, p.pos + 5)) AS pos
+      FROM spos_gram p JOIN sdup USING (gram)
+    ),
+    sword_rows AS (
+      SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, w
+      FROM stoks
+    ),
+    srows AS (
+      SELECT r.doc_id, r.pos, r.w[r.pos] AS word
+      FROM sword_rows r
+      ANTI JOIN scovered c ON r.doc_id = c.doc_id AND r.pos = c.pos
+    ),
+    span AS MATERIALIZED (
+      SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text
+      FROM srows GROUP BY doc_id
+    ),
+    -- stage 4: Gopher line gate over the span-cleaned text
+    lbase AS (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS ls,
+             string_split(text, ' ') AS ws,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  AS DOUBLE) AS n_hash,
+             CAST((length(text) - length(replace(text, '...', ''))) / 3
+                  + length(text) - length(replace(text, '…', ''))
+                  AS DOUBLE) AS n_ell
+      FROM span
+    ),
+    lstat AS (
+      SELECT doc_id,
+             floor(CAST(len(list_filter(ls, l -> regexp_matches(l,
+                 '^\\s*([•‣▪]|[-*]\\s)'))) AS DOUBLE)
+                 / len(ls) * 1e4 + 0.5) / 1e4 AS bullet_line_frac,
+             floor(CAST(len(list_filter(ls, l -> regexp_matches(l,
+                 '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
+                 / len(ls) * 1e4 + 0.5) / 1e4 AS ellipsis_line_frac,
+             floor(n_hash / len(ws) * 1e4 + 0.5) / 1e4 AS hash_word_ratio,
+             floor(n_ell / len(ws) * 1e4 + 0.5) / 1e4 AS ellipsis_word_ratio,
+             floor(CAST(list_sum(list_transform(ws, x -> length(x)))
+                        AS DOUBLE) / len(ws) * 1e4 + 0.5) / 1e4
+               AS mean_word_len,
+             floor(CAST(len(list_filter(ws, x -> regexp_matches(x,
+                 '[a-zA-Z]'))) AS DOUBLE) / len(ws) * 1e4 + 0.5) / 1e4
+               AS alpha_word_frac
+      FROM lbase
+    ),
+    line_ok AS (
+      SELECT doc_id FROM lstat
+      WHERE bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+            AND hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND alpha_word_frac >= 0.8
+    ),
+    survivors AS MATERIALIZED (SELECT s.doc_id, s.text FROM span s
+                  JOIN line_ok USING (doc_id)),
+    -- stage 5: DSIR selection against the surviving trusted targets
+    flagged AS MATERIALIZED (
+      SELECT s.doc_id, s.text, c.is_target
+      FROM survivors s JOIN corpus1 c USING (doc_id)
+    ),
+    dtoks AS (
+      SELECT doc_id, is_target,
+             ('0x' || substr(md5(term), 1, 8))::BIGINT % 1024 AS bucket
+      FROM (SELECT doc_id, is_target,
+                   unnest(string_split(text, ' ')) AS term FROM flagged)
+      WHERE term <> ''
+    ),
+    doc_b AS MATERIALIZED (SELECT doc_id, is_target, bucket, count(*) AS tf
+              FROM dtoks GROUP BY 1, 2, 3),
+    tgt AS (SELECT bucket, sum(tf) AS c_tgt FROM doc_b
+            WHERE is_target GROUP BY 1),
+    draw AS (SELECT bucket, sum(tf) AS c_raw FROM doc_b
+             WHERE NOT is_target GROUP BY 1),
+    tt AS (SELECT CAST(sum(c_tgt) AS DOUBLE) AS t_tgt FROM tgt),
+    rt AS (SELECT CAST(sum(c_raw) AS DOUBLE) AS t_raw FROM draw),
+    dscored AS (
+      SELECT d.doc_id,
+             sum(d.tf * (ln((coalesce(t.c_tgt, 0) + 1) / (tt.t_tgt + 1024))
+                       - ln((coalesce(r.c_raw, 0) + 1) / (rt.t_raw + 1024))))
+               AS lw
+      FROM doc_b d
+      LEFT JOIN tgt t USING (bucket)
+      LEFT JOIN draw r USING (bucket)
+      CROSS JOIN tt CROSS JOIN rt
+      WHERE NOT d.is_target
+      GROUP BY d.doc_id
+    ),
+    dsel AS (
+      SELECT doc_id FROM dscored
+      ORDER BY floor(lw * 1e4 + 0.5) / 1e4 DESC, doc_id ASC LIMIT {_BTC_K}
+    ),
+    chosen AS MATERIALIZED (SELECT s.doc_id, s.text FROM survivors s
+               JOIN dsel USING (doc_id)),
+    -- stage 6: token-budget selection + sequence packing
+    bbase AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_tokens,
+             CASE WHEN len(words) > 0 THEN
+               floor((CAST(len(list_distinct(words)) AS DOUBLE) / len(words)) * 1e4 + 0.5) / 1e4
+             ELSE 0.0 END AS quality
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS words
+            FROM chosen)
+    ),
+    bcum AS (
+      SELECT doc_id,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY quality DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM bbase
+    ),
+    bchosen AS MATERIALIZED (
+      SELECT c.doc_id, c.text FROM chosen c
+      JOIN bcum USING (doc_id) WHERE bcum.cum_tokens <= {_BTC_BUDGET}
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+           CAST(cum_before % 512 AS BIGINT) AS offset_in_pack
+    FROM (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INT) AS n_tokens,
+             coalesce(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) OVER (
+               PARTITION BY doc_id % 8 ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM bchosen
+    )
+"""
+
+_register(
+    "build_training_corpus",
+    lambda s, d: pipeline.build_training_corpus(
+        _btc_corpus(s, d), budget_tokens=_BTC_BUDGET, dsir_k=_BTC_K
+    ),
+    _BTC_ORACLE,
+)
+
+
 # SemDeDup over the cloned-embedding fixture: single-probe cluster
 # assignment (rn=1 — the published within-cluster semantics; boundary
 # pairs belong to near-dup detection, nprobe=2 there), drop-if-lower-id-

@@ -1655,3 +1655,54 @@ def test_cm_merge_lossless_any_sharding(spark):
         assert out["merge_lossless"] is True
         assert out["max_abs_diff"] == 0
         assert out["n_counters"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# build_training_corpus (operators/pipeline.py) — the curation composition
+# ---------------------------------------------------------------------------
+
+def test_build_training_corpus_stage_semantics(spark):
+    """Every stage's effect observable on a hand-built corpus: the
+    universal boilerplate paragraph (freq > max_freq) never reaches the
+    token counts; the exact clone collapses; the near clone loses
+    keep-best to its min-id twin at equal quality; the shared license
+    RUN (per-doc-unique paragraphs, so paragraph dedup keeps them) is
+    span-removed from both carriers while their unique words survive;
+    trusted-target docs feed the DSIR model but are never packed; pack
+    layout is the per-shard running sum."""
+    from ocr_cezam_spark.operators import pipeline as P
+
+    boiler = "Abonnez vous newsletter maintenant"
+    main0 = ("the quick brown fox jumped over lazy dogs while seven "
+             "wizards brewed strange potions nearby")            # 15 words
+    lic = "this work licensed under creative commons attribution terms"
+    d3 = ("alpha betas gamma delta epsilon zetas etaxy theta iotas "
+          "kappa lambda muons " + lic + " three cheers")         # 12+8+2
+    d4 = ("north south east west upper lower inner outer first "
+          "second third fourth " + lic + " fourth winds")
+    t1 = ("reliable curated reference corpus sample holding twelve "
+          "clean verified useful trusted words")
+    t2 = ("another trusted reference document carrying clean verified "
+          "curated tokens for model building")
+    rows = [
+        (0, main0, False),
+        (10, main0, False),               # exact clone -> collapses
+        (20, main0 + " fin", False),      # near clone -> loses keep-best
+        (3, d3, False),
+        (4, d4, False),
+        (7, t1, True),
+        (8, t2, True),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t + "\n" + boiler, f) for i, t, f in rows],
+        "doc_id long, text string, is_target boolean",
+    )
+    out = {r["doc_id"]: r for r in P.build_training_corpus(
+        docs, budget_tokens=100, dsir_k=10).collect()}
+    assert set(out) == {0, 3, 4}          # no clones, no targets
+    assert out[0]["n_tokens"] == 15       # boiler words never counted
+    assert out[3]["n_tokens"] == 14       # 22 - the 8 span-removed
+    assert out[4]["n_tokens"] == 14
+    for i in (0, 3, 4):
+        assert out[i]["shard"] == i % 8
+        assert out[i]["pack_id"] == 0 and out[i]["offset_in_pack"] == 0

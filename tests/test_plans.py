@@ -431,3 +431,28 @@ def test_winnowing_pairs_is_equi_join_no_cartesian(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_build_training_corpus_plan_shape(spark):
+    """The curation composition's visible plan (downstream of the
+    localCheckpoint stage cuts): no cartesian products or nested-loop
+    joins, no Python, and NO corpus-wide window — every window
+    partitions (the budget selector by quality band, the packer by
+    shard), so no stage funnels the corpus through one sort task."""
+    df = Q.QUERIES["build_training_corpus"](spark, SF)
+    p = formatted_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    # the only nested-loop joins allowed are DSIR's 1-row-total
+    # broadcast CROSS joins (model normalizers riding the plan): every
+    # BNLJ in the tree must be the Cross/BuildRight form, never an
+    # inner/conditioned pairwise join
+    for line in p.splitlines():
+        if "BroadcastNestedLoopJoin" in line and "- " in line:
+            assert "Cross BuildRight" in line, line.strip()
+    # every windowspecdefinition names a partition column before the
+    # sort spec — a global window renders as windowspecdefinition(<sort>
+    # ASC..., i.e. the sort-direction keyword appears before any comma
+    for frag in p.split("windowspecdefinition(")[1:]:
+        head = frag.split(",")[0]
+        assert " ASC" not in head and " DESC" not in head, frag[:80]
