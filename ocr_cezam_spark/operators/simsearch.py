@@ -446,7 +446,8 @@ def ivf_bucket_stats(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
 
 def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
                    n_centroids: int = 8, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   centroids: Centroids | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embedding space, then within each cluster drop every vector that
     has a near-identical neighbor, keeping one exemplar per duplicate
@@ -468,11 +469,20 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
     dedup within the cluster is the published semantics — boundary
     pairs straddling clusters are near-dup detection's job (nprobe=2
     there), not dedup's.
+
+    Production K rule: pairwise work is sum(bucket^2)/2, so K must GROW
+    with the corpus — K ~ n / target_bucket (e.g. 10^12 vectors at
+    ~100k-vector buckets means K ~ 10^7 trained centroids); pass
+    ``centroids=train_centroids(emb, K, quantize=...)`` for the trained
+    assignment (the `semantic_dedup_trained` query's path; the quantize
+    step keeps bucket assignment engine-identical). The fixed default
+    K=8 is fixture scale, not a recommendation.
     """
     base = emb.select(
         F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
     ).withColumn("_vv", _dot(F.col("v"), F.col("v")))
-    cents = seed_centroids(emb, n_centroids, id_col, vec_col)
+    cents = (centroids if centroids is not None
+             else seed_centroids(emb, n_centroids, id_col, vec_col))
     best = _nearest(F.col("v"), cents, F.col("_vv"))
     assigned = base.select(
         "vid", "v", F.sqrt(F.col("_vv")).alias("norm"),

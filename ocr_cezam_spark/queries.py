@@ -5078,6 +5078,79 @@ _register(
 )
 
 
+# SemDeDup through TRAINED centroids (one quantized Lloyd step from the
+# seeds — the production path the K-scaling rule in the docstring
+# prescribes): same dedup semantics as semantic_dedup, but the bucket
+# assignment comes from train_centroids(quantize=6), mirrored in SQL by
+# the same Lloyd CTE chain ann_ivf_trained_topk uses (floor-form 6-dp
+# mean rounding absorbs float summation-order wobble on both engines).
+def _semantic_dedup_trained(s: SparkSession, d: str) -> DataFrame:
+    emb = _cloned_embeddings(s, d)
+    cents = simsearch.train_centroids(emb, n_centroids=8, iters=1,
+                                      quantize=6)
+    return simsearch.semantic_dedup(emb, threshold=0.99, centroids=cents)
+
+
+_register(
+    "semantic_dedup_trained",
+    _semantic_dedup_trained,
+    """
+    WITH orig AS (
+      SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+    ), allv AS (
+      SELECT vid, v FROM orig
+      UNION ALL
+      SELECT vid + 10000, list_concat([v[1] * 1.01], v[2:]) FROM orig
+    ), seeds AS (
+      SELECT vid AS cid, v AS c FROM allv WHERE vid < 8
+    ), d0 AS (
+      SELECT vid, cid,
+             list_dot_product(v, v) - 2 * list_dot_product(v, c)
+               + list_dot_product(c, c) AS dd
+      FROM allv, seeds
+    ), a0 AS (
+      SELECT vid, cid FROM (
+        SELECT vid, cid, row_number() OVER (PARTITION BY vid
+                                            ORDER BY dd ASC, cid ASC) AS rn
+        FROM d0
+      ) WHERE rn = 1
+    ), unnested AS (
+      SELECT a0.cid, unnest(b.v) AS x, generate_subscripts(b.v, 1) AS i
+      FROM a0 JOIN allv b USING (vid)
+    ), m AS (
+      SELECT cid, i, floor((avg(x)) * 1e6 + 0.5) / 1e6 AS cx
+      FROM unnested GROUP BY cid, i
+    ), trained AS (
+      SELECT s.cid, coalesce(t.c, s.c) AS c
+      FROM seeds s LEFT JOIN (
+        SELECT cid, list(cx ORDER BY i) AS c FROM m GROUP BY cid
+      ) t USING (cid)
+    ), dist AS (
+      SELECT b.vid, b.v, t.cid,
+             list_dot_product(v, v) - 2 * list_dot_product(v, c)
+               + list_dot_product(c, c) AS dd
+      FROM allv b, trained t
+    ), assigned AS (
+      SELECT vid, v, sqrt(list_dot_product(v, v)) AS norm,
+             cid AS centroid_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY vid
+                                         ORDER BY dd ASC, cid ASC) AS rn
+            FROM dist)
+      WHERE rn = 1
+    ), dropped AS (
+      SELECT r.vid AS b, min(l.vid) AS dropped_by
+      FROM assigned l JOIN assigned r
+        ON l.centroid_id = r.centroid_id AND l.vid < r.vid
+      WHERE list_dot_product(l.v, r.v) / (l.norm * r.norm) >= 0.99
+      GROUP BY r.vid
+    )
+    SELECT a.vid, a.centroid_id, d.dropped_by IS NULL AS kept, d.dropped_by
+    FROM assigned a LEFT JOIN dropped d ON a.vid = d.b
+    ORDER BY a.vid
+    """,
+)
+
+
 # Shared unigram-logprob CTE block (the lp table both the buckets and the
 # ensemble oracles score with) — one definition so the LM math can't
 # drift between twins.

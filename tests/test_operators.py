@@ -1706,3 +1706,50 @@ def test_build_training_corpus_stage_semantics(spark):
     for i in (0, 3, 4):
         assert out[i]["shard"] == i % 8
         assert out[i]["pack_id"] == 0 and out[i]["offset_in_pack"] == 0
+
+
+def test_semantic_dedup_trained_bucket_bound(spark):
+    """The SemDeDup cost bound on a skewed fixture: pairwise work is
+    sum(bucket^2)/2, never n^2/2 — with K=3 TRAINED centroids over three
+    well-separated clusters (sizes 40/15/5), the trained assignment must
+    recover the clusters exactly, so the pair-join upper bound
+    sum(nb*(nb-1))/2 = 895 is ~51% of the global 1770. The K rule the
+    docstring states (K ~ n / target_bucket) is what keeps that ratio
+    bounded as n grows."""
+    import math
+
+    from ocr_cezam_spark.operators import simsearch
+
+    rows = []
+    # three orthogonal-ish anchor directions in R^4, tight noise-free
+    # clusters (deterministic offsets in a non-anchor coordinate keep
+    # members distinct but far inside their own cluster)
+    anchors = {0: [10.0, 0.0, 0.0, 1.0],
+               1: [0.0, 10.0, 0.0, 1.0],
+               2: [0.0, 0.0, 10.0, 1.0]}
+    sizes = {0: 40, 1: 15, 2: 5}
+    vid = 0
+    for c, n in sizes.items():
+        for j in range(n):
+            v = list(anchors[c])
+            v[3] = 1.0 + 0.01 * j
+            rows.append((vid, v))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = simsearch.train_centroids(emb, n_centroids=3, iters=2,
+                                      quantize=6)
+    out = simsearch.semantic_dedup(emb, threshold=0.999999,
+                                   centroids=cents).collect()
+    buckets: dict = {}
+    for r in out:
+        buckets[r["centroid_id"]] = buckets.get(r["centroid_id"], 0) + 1
+    n = sum(sizes.values())
+    assert sorted(buckets.values()) == sorted(sizes.values())
+    pair_bound = sum(b * (b - 1) // 2 for b in buckets.values())
+    global_pairs = n * (n - 1) // 2
+    assert pair_bound == 895 and global_pairs == 1770
+    assert pair_bound < 0.55 * global_pairs
+    # near-identical members inside a cluster dedup to one exemplar;
+    # cross-cluster vectors never compare (cosine across anchors ~ 0.01)
+    kept = [r for r in out if r["kept"]]
+    assert len(kept) >= 3  # at least one exemplar per cluster survives
