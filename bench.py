@@ -103,6 +103,14 @@ HEADLINE = [
     "winnowing_pairs",
     "hll_merge",
     "cm_merge",
+    # round-7 additions
+    "hll_cardinality64",
+    "hll_merge64",
+    "cm_heavy_hitters_w256",
+    "registered_domain_stats",
+    "semantic_dedup_trained",
+    "build_training_corpus",
+    "dsir_select",
 ]
 
 

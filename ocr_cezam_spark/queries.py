@@ -5493,6 +5493,22 @@ _WINDOW_TAIL = [
     # rotated out as cm_merge entered (r5-driver-green; its
     # simsearch/pq chain has zero diff this round):
     "ann_ivf_trained_topk",
+    # r7 rotation: rotated out as hll_cardinality64, hll_merge64,
+    # cm_heavy_hitters_w256, build_training_corpus and
+    # semantic_dedup_trained entered. All five below are r6-driver-green
+    # and their chains have ZERO behavior diff this round: the winnowing
+    # pair live in textstats.py/dedup.py (r7 diff to those files: none),
+    # asof_click_attribution in relational.py (untouched), fetch_join's
+    # batch twin in relational.py + queries fixture (untouched), and
+    # crawl_churn in dedup.py (untouched). The r7-changed queries all
+    # stay IN the window: dsir_select (quantized cutoff), extract_links/
+    # extract_fields/page_metadata/canonical_dedup (kernel resolver +
+    # head-boundary fixes), cm_heavy_hitters (oracle re-emitted from
+    # cm_hh_sql), registered_domain_stats (full PSL + SQL-function
+    # path), semantic_dedup (signature extended, default path identical)
+    # and clean_corpus (keep_text option, default output identical):
+    "winnowing_fingerprints", "winnowing_pairs", "asof_click_attribution",
+    "fetch_join", "crawl_churn",
 ]
 
 
