@@ -1266,7 +1266,8 @@ def _make_resolver(base_url: str):
     return resolve
 
 
-def extract_links(base_url: str, page: str) -> list[tuple[str, str]]:
+def extract_links(base_url: str, page: str,
+                  stripped: str | None = None) -> list[tuple[str, str]]:
     """Fetchable anchor targets WITH their anchor text, in document
     order. Hrefs are entity-decoded under the HTML5 ATTRIBUTE rule (only
     ';'-terminated references — '&amp;' decodes, '&copy=2' stays
@@ -1285,9 +1286,15 @@ def extract_links(base_url: str, page: str) -> list[tuple[str, str]]:
     surrogates/overflow to U+FFFD so the output stays Arrow-safe),
     whitespace collapsed, capped at ANCHOR_TEXT_MAX chars. Anchor text
     is the classic target-ranking / retrieval signal (WAT-style link
-    metadata carries it for exactly that reason)."""
+    metadata carries it for exactly that reason).
+
+    ``stripped`` lets a caller that already holds the comment/CDATA/
+    script-stripped page (the per-document pipeline strips once and
+    shares it with head_metadata) skip this function's own strip pass —
+    it MUST equal ``_LINK_STRIP_RX.sub("", page)`` verbatim."""
     resolve = _make_resolver(base_url)
-    stripped = _LINK_STRIP_RX.sub("", page)
+    if stripped is None:
+        stripped = _LINK_STRIP_RX.sub("", page)
     out: list[tuple[str, str]] = []
     for m in _A_HREF_RX.finditer(stripped):
         raw = (m.group(2) or m.group(3) or m.group(4) or "").strip()
@@ -1373,7 +1380,8 @@ def _resolve_head_url(base_url: str, raw: str) -> str | None:
     return resolved
 
 
-def head_metadata(base_url: str, page: str) -> dict:
+def head_metadata(base_url: str, page: str,
+                  stripped: str | None = None) -> dict:
     """Head-region metadata of one page: ``title`` (first <title>, text
     rule, whitespace-collapsed, TITLE_MAX cap), ``canonical_url`` (first
     <link rel~=canonical>, og:url fallback — resolved, http(s) only).
@@ -1384,8 +1392,13 @@ def head_metadata(base_url: str, page: str) -> dict:
     canonical inside a comment is not a declaration. Boundary: first
     '<body' tag, else '</head>', else (tag-less fragment) the whole
     page — so a body-embedded rel=canonical cannot hijack dedup on any
-    page that declares either boundary tag."""
-    stripped = _LINK_STRIP_RX.sub("", page)
+    page that declares either boundary tag.
+
+    ``stripped``, when the caller already holds it, MUST equal
+    ``_LINK_STRIP_RX.sub("", page)`` verbatim (shared strip pass with
+    extract_links)."""
+    if stripped is None:
+        stripped = _LINK_STRIP_RX.sub("", page)
     body_at = _HEAD_BODY_RX.search(stripped) or _HEAD_END_RX.search(stripped)
     head = stripped[: body_at.start()] if body_at else stripped
     out: dict = {}
@@ -1609,8 +1622,11 @@ def _extract_inner(url: str, html: bytes, lang: str) -> dict:
     res = _analyze(url, text, table_rows, cells)
     # Crawl-frontier output: every fetchable anchor target on the page
     # (whole DOM, not just main content — nav links feed the frontier
-    # too), document-ordered and resolved against the page url.
-    res["links"] = extract_links(url, page)
+    # too), document-ordered and resolved against the page url. The
+    # comment/CDATA/script strip is ONE pass shared with head_metadata —
+    # both consume the identical _LINK_STRIP_RX.sub("", page).
+    stripped_page = _LINK_STRIP_RX.sub("", page)
+    res["links"] = extract_links(url, page, stripped_page)
     # Robots-meta directives (crawl-pipeline signal, not in the synthetic
     # corpus): pages declaring noindex/none must be droppable downstream;
     # surfaced as a field so the job's fields table carries it without a
@@ -1621,7 +1637,7 @@ def _extract_inner(url: str, html: bytes, lang: str) -> dict:
     # Head metadata (title / canonical target): generic fields rows, so
     # the job's fields table carries them without a schema change — the
     # canonical-collapse dedup query groups on them downstream.
-    res["fields"].update(head_metadata(url, page))
+    res["fields"].update(head_metadata(url, page, stripped_page))
     return res
 
 
