@@ -114,3 +114,86 @@ def hll_stream(events: DataFrame, key_col: str = "k",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- 64-bit-hash streaming mode ------------------------------------------
+# The streaming twin of sketch.hll_cardinality64: same hash split (top 12
+# bits from md5 hex chars 1-3, low 52 from chars 4-16 — here the Python
+# int IS 64-bit so the split is just shifts), same INTEGER-scaled fold
+# (the scaled sum is an exact Python int, like the batch side's
+# decimal(38,0) sum; one int->float conversion + one divide, both
+# correctly rounded, keep stream == batch bit-identical). p is the same
+# geometry parameter the batch family takes.
+
+def _bucket_rho64(key: str, p: int) -> tuple[int, int]:
+    rest_bits = 64 - p
+    h = int(hashlib.md5(key.encode("utf-8")).hexdigest()[:16], 16)
+    rest = h & ((1 << rest_bits) - 1)
+    if rest == 0:
+        return h >> rest_bits, rest_bits + 1
+    return h >> rest_bits, rest_bits - rest.bit_length() + 1
+
+
+def hll_estimate64(regs: list[int], p: int) -> tuple[float, int]:
+    """(estimate rounded like round_he(_, 4), occupied registers) — the
+    integer-scaled fold of sketch.hll_fold64, term for term: each
+    occupied register contributes the exact int 2^(R - rho)."""
+    from ..operators.sketch import _hll64_geometry
+
+    m, rest_bits, alpha = _hll64_geometry(p)
+    r_max = rest_bits + 1
+    n_regs = sum(1 for r in regs if r > 0)
+    zeros_i = m - n_regs
+    scaled = sum(1 << (r_max - r) for r in regs if r > 0)
+    denom = scaled + (zeros_i << r_max)
+    raw = (alpha * m * m * float(2 ** r_max)) / float(denom)
+    if raw <= 2.5 * m and zeros_i > 0:
+        est = float(m) * math.log(float(m) / float(zeros_i))
+    else:
+        est = raw
+    return math.floor(est * 1e4 + 0.5) / 1e4, n_regs
+
+
+def hll_stream64(events: DataFrame, key_col: str = "k",
+                 group_col: str = "grp", p: int = 10) -> DataFrame:
+    """hll_stream at the 10^12-design-point estimator range: same
+    changelog contract (grp, hll_est, n_regs, n_rows; compact by max
+    n_rows), state |groups| x (2^p ints + 1 long)."""
+    from ..operators.sketch import _hll64_geometry
+
+    m, _rest_bits, _alpha = _hll64_geometry(p)
+
+    def update(key: tuple, pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (grp,) = key
+        if state.exists:
+            regs_stored, n_rows = state.get
+            regs = list(regs_stored)
+        else:
+            regs, n_rows = [0] * m, 0
+        changed = False
+        for pdf in pdfs:
+            for k in pdf["k"].astype(str):
+                b, rho = _bucket_rho64(k, p)
+                n_rows += 1
+                changed = True
+                if rho > regs[b]:
+                    regs[b] = rho
+        state.update((regs, n_rows))
+        if changed:
+            est, n_regs = hll_estimate64(regs, p)
+            yield pd.DataFrame(
+                {"grp": [grp], "hll_est": [est], "n_regs": [n_regs],
+                 "n_rows": [n_rows]}
+            )
+
+    cols = events.select(
+        events[group_col].alias("grp"), events[key_col].alias("k")
+    )
+    return cols.groupBy("grp").applyInPandasWithState(
+        update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

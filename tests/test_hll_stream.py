@@ -86,3 +86,56 @@ def test_hll_stream_matches_batch_and_survives_restart(spark, tmp_path):
                  spark.createDataFrame(batch2, SCHEMA), "k", "grp"
              ).collect()}
     assert {g: v[:2] for g, v in got2.items()} == want2
+
+
+def test_hll_stream64_matches_batch64_bit_identically(spark, tmp_path):
+    """The 64-bit streaming mode at non-default p=11 must equal
+    sketch.hll_cardinality64's estimates bit for bit (the integer-scaled
+    fold makes both sides divide identical doubles), across micro-batch
+    splits and duplicate delivery."""
+    from ocr_cezam_spark.streaming.hll_stream import hll_stream64
+
+    pdf = _events_pdf()
+    src = tmp_path / "src"
+    src.mkdir()
+    step = (len(pdf) + 1) // 2
+    for i in range(2):
+        pdf.iloc[i * step: (i + 1) * step].to_parquet(
+            src / f"part-{i:02d}.parquet", index=False
+        )
+        time.sleep(1.1)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    run_available_now(hll_stream64(stream, p=11), ckpt, out)
+    got = _final_state(spark, out)
+    batch = spark.createDataFrame(pdf, SCHEMA)
+    want = {r["grp"]: (r["hll_est"], r["n_regs"]) for r in
+            sketch.hll_cardinality64(batch, "k", "grp", p=11).collect()}
+    assert {g: v[:2] for g, v in got.items()} == want
+    assert got["a"][2] == 600 and got["b"][2] == 80
+
+
+def test_hll_estimate64_synthetic_past_2_32():
+    """The streaming fold, like the batch fold, keeps estimating past
+    the 32-bit ceiling: constructed registers for n = 10^10 distinct."""
+    import math as _math
+    import random
+
+    from ocr_cezam_spark.streaming.hll_stream import hll_estimate64
+
+    n, p = 10_000_000_000, 10
+    m, rest_bits = 1 << p, 54
+    k = n / m
+    rng = random.Random(20260818)
+    regs = []
+    for _ in range(m):
+        x = 1.0 - rng.random() ** (1.0 / k)
+        r = max(1, _math.ceil(-_math.log2(x))) if x > 0 else rest_bits + 1
+        regs.append(min(r, rest_bits + 1))
+    est, n_regs = hll_estimate64(regs, p)
+    assert n_regs == m
+    assert est > 1 << 32 and abs(est - n) / n < 0.10
