@@ -111,6 +111,8 @@ HEADLINE = [
     "semantic_dedup_trained",
     "build_training_corpus",
     "dsir_select",
+    "hdr_quantiles",
+    "hdr_merge",
 ]
 
 

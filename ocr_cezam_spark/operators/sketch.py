@@ -51,7 +51,7 @@ one argument, not a second implementation.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.numeric import round_he
 
@@ -540,3 +540,189 @@ def cm_merge(df: DataFrame, key_col: str, shard_col: str,
         F.max("d").cast("long").alias("max_abs_diff"),
         (F.max("d") == 0).alias("merge_lossless"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram quantile sketch: the distribution member of the sketch
+# family (HLL = distinct, CM = frequency, HDR = quantiles). DDSketch
+# (Masson et al. 2019) gives relative-error quantiles from log-gamma
+# buckets, but float log makes bucket indices engine-fragile at
+# boundaries; the HDR-histogram formulation (Tene's HdrHistogram) gets
+# the same guarantee for INTEGER inputs with pure integer ops — exponent
+# e = floor(log2 v) via bit length, plus the top `sub_bits` mantissa
+# bits — so both engines compute identical buckets with no rounding gate
+# at all. Relative error <= 2^-sub_bits within a bucket; bucket count is
+# O(64 * 2^sub_bits) regardless of input size; merge is counter addition
+# (same contract as Count-Min).
+# ---------------------------------------------------------------------------
+
+_HDR_SUB_BITS = 3  # default: 8 sub-buckets per octave, <= 12.5% rel. err
+
+
+def _hdr_bucket(v: F.Column, sub_bits: int) -> F.Column:
+    """Integer HDR bucket index of a POSITIVE integer value: values below
+    2^sub_bits are exact (their own bucket); above, index = (e <<
+    sub_bits) | top sub_bits mantissa bits, e = bit_length - 1. Pure
+    integer/string ops (length(bin()) for the exponent), no float."""
+    b = F.bin(v)
+    e = (F.length(b) - 1).cast("long")
+    small = v < (1 << sub_bits)
+    # Spark's shift builtins take only literal shift amounts; the top
+    # mantissa bits come off the binary STRING instead (chars 2..1+sub —
+    # char 1 is the leading 1) — the same exact integer/string idiom the
+    # HLL rho uses, so no float division can straddle a bucket boundary.
+    mant = F.conv(F.substring(b, 2, sub_bits), 2, 10).cast("long")
+    return F.when(small, v.cast("long")).otherwise(
+        e * (1 << sub_bits) + mant
+    )
+
+
+def hdr_sketch(df: DataFrame, value_col: str, group_col: str | None = None,
+               sub_bits: int = _HDR_SUB_BITS) -> DataFrame:
+    """The bounded histogram itself: (grp?, bucket, cnt) from ONE
+    aggregation — at most 64 * 2^sub_bits buckets per group cross the
+    shuffle no matter how many trillions of rows stream through.
+    Values < 1 (and NULLs) are counted in bucket -1 (underflow), so the
+    sketch is total over arbitrary long inputs."""
+    v = F.col(value_col).cast("long")
+    bucket = F.when(
+        v.isNull() | (v < 1), F.lit(-1).cast("long")
+    ).otherwise(_hdr_bucket(v, sub_bits))
+    keys = ([F.col(group_col).alias("grp")] if group_col else []) + [
+        bucket.alias("bucket")
+    ]
+    return df.select(*keys).groupBy(
+        *(["grp"] if group_col else []), "bucket"
+    ).agg(F.count("*").alias("cnt"))
+
+
+def hdr_quantiles(df: DataFrame, value_col: str,
+                  qs: tuple = (0.5, 0.9, 0.99),
+                  group_col: str | None = None,
+                  sub_bits: int = _HDR_SUB_BITS) -> DataFrame:
+    """Quantile estimates from the HDR sketch. The q-th estimate is the
+    LOWER BOUND of the first bucket whose cumulative count reaches
+    ceil(q * n) — an integer, never exceeding the true rank-quantile
+    (the bucket function is monotone, so the rank-th smallest value
+    lands in exactly that bucket), within 2^-sub_bits relative error
+    below it (pytest asserts both sides against the exact quantile).
+
+    Plan: the bounded sketch (one agg), a window over the <= 64 *
+    2^sub_bits bucket rows (tiny by construction — this window's input
+    is the SKETCH, not the data), one filter per quantile. The exact
+    twin (percentile_disc) exists only for the error column; drop it at
+    production scale.
+    """
+    m = 1 << sub_bits
+    sk = hdr_sketch(df, value_col, group_col, sub_bits)
+    gcols = ["grp"] if group_col else []
+    w = (
+        Window.partitionBy(*gcols).orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy(*gcols)
+    cum = sk.select(
+        *gcols, "bucket", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(tot_w).alias("total"),
+    )
+    e = F.floor(F.col("bucket") / m).cast("int")
+    mant = F.col("bucket") % m
+    lower = F.when(F.col("bucket") < m, F.col("bucket")).otherwise(
+        (mant + m) * F.pow(F.lit(2.0), (e - sub_bits).cast("double"))
+        .cast("long")
+    ).cast("long")
+    outs = []
+    for q in qs:
+        rank = F.ceil(F.col("total") * F.lit(q)).cast("long")
+        hit = (
+            cum.filter(
+                (F.col("cum") >= rank)
+                & ((F.col("cum") - F.col("cnt")) < rank)
+            )
+            .select(
+                *gcols,
+                F.lit(float(q)).alias("q"),
+                lower.alias("est"),
+                F.col("total").cast("long").alias("n_rows"),
+            )
+        )
+        outs.append(hit)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy(*gcols, "q")
+
+
+def hdr_merge(df: DataFrame, value_col: str, shard_col: str,
+              sub_bits: int = _HDR_SUB_BITS) -> DataFrame:
+    """HDR mergeability (counter addition, like cm_merge): per-shard
+    histograms sum-merged must equal the whole-stream histogram —
+    asserted in-plan. ONE output row (n_buckets, max_abs_diff,
+    merge_lossless)."""
+    v = F.col(value_col).cast("long")
+    bucket = F.when(
+        v.isNull() | (v < 1), F.lit(-1).cast("long")
+    ).otherwise(_hdr_bucket(v, sub_bits))
+    rows = df.select(F.col(shard_col).alias("shard"), bucket.alias("bucket"))
+    shard_cnt = rows.groupBy("shard", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    merged = shard_cnt.groupBy("bucket").agg(F.sum("cnt").alias("m_cnt"))
+    whole = rows.groupBy("bucket").agg(F.count("*").alias("w_cnt"))
+    diff = merged.join(whole, ["bucket"], "full").select(
+        (F.abs(F.coalesce("m_cnt", F.lit(0))
+               - F.coalesce("w_cnt", F.lit(0)))).alias("d")
+    )
+    return diff.groupBy().agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.max("d").cast("long").alias("max_abs_diff"),
+        (F.max("d") == 0).alias("merge_lossless"),
+    )
+
+
+def hdr_quantiles_sql(value_sql: str, qs: tuple = (0.5, 0.9, 0.99),
+                      group_sql: str | None = None,
+                      sub_bits: int = _HDR_SUB_BITS,
+                      table: str = "documents") -> str:
+    """DuckDB twin of hdr_quantiles — emitted from the same (qs,
+    sub_bits) arguments; bucket math is the identical integer/bin()
+    expression, so there is no rounding gate anywhere."""
+    m = 1 << sub_bits
+    g = f"{group_sql} AS grp, " if group_sql else ""
+    gcol = "grp, " if group_sql else ""
+    part = "PARTITION BY grp " if group_sql else ""
+    sel_q = []
+    for q in qs:
+        sel_q.append(f"""
+      SELECT {gcol}CAST({float(q)!r} AS DOUBLE) AS q,
+             CASE WHEN bucket < {m} THEN bucket
+                  ELSE ((bucket % {m}) + {m})
+                       * CAST(power(2, (bucket // {m}) - {sub_bits})
+                              AS BIGINT) END AS est,
+             CAST(total AS BIGINT) AS n_rows
+      FROM cum
+      WHERE cum >= ceil(total * {float(q)!r})
+        AND cum - cnt < ceil(total * {float(q)!r})""")
+    u = "\n      UNION ALL\n".join(sel_q)
+    return f"""
+    WITH vals AS (SELECT {g}CAST({value_sql} AS BIGINT) AS v FROM {table}),
+    b AS (
+      SELECT {gcol}CASE WHEN v IS NULL OR v < 1 THEN -1
+                  WHEN v < {m} THEN v
+                  ELSE (length(bin(v)) - 1) * {m}
+                       + ((v >> (length(bin(v)) - 1 - {sub_bits})) & {m - 1})
+             END AS bucket
+      FROM vals
+    ),
+    sk AS (SELECT {gcol}bucket, count(*) AS cnt FROM b GROUP BY {gcol}bucket),
+    cum AS (
+      SELECT {gcol}bucket, cnt,
+             sum(cnt) OVER ({part}ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER ({part.rstrip() or ""}) AS total
+      FROM sk
+    )
+    SELECT * FROM ({u})
+    ORDER BY {gcol}q
+    """

@@ -5032,6 +5032,60 @@ _register(
 )
 
 
+# ===========================================================================
+# HDR-histogram quantile sketch — the distribution member of the sketch
+# family (HLL = distinct, CM = frequency, HDR = quantiles). Pure integer
+# bucket math (exponent via length(bin()), top-3 mantissa bits), so the
+# DuckDB twin — emitted from the same (qs, sub_bits) — matches with no
+# rounding gate at all.
+# ===========================================================================
+
+_register(
+    "hdr_quantiles",
+    lambda s, d: sketch.hdr_quantiles(
+        _t(s, d, "documents"), "n_chars", qs=(0.5, 0.9, 0.99),
+        group_col="source",
+    ),
+    sketch.hdr_quantiles_sql("n_chars", qs=(0.5, 0.9, 0.99),
+                             group_sql="source"),
+)
+
+
+# Counter-addition mergeability, same contract as cm_merge: per-shard
+# histograms sum-merged == whole-stream histogram, asserted in-plan.
+_register(
+    "hdr_merge",
+    lambda s, d: sketch.hdr_merge(
+        _t(s, d, "documents").withColumn("shard", F.col("doc_id") % 3),
+        "n_chars", "shard",
+    ),
+    f"""
+    WITH rows AS (
+      SELECT doc_id % 3 AS shard,
+             CASE WHEN n_chars IS NULL OR n_chars < 1 THEN -1
+                  WHEN n_chars < 8 THEN n_chars
+                  ELSE (length(bin(CAST(n_chars AS BIGINT))) - 1) * 8
+                       + ((n_chars >> (length(bin(CAST(n_chars AS BIGINT))) - 4)) & 7)
+             END AS bucket
+      FROM documents
+    ), shard_cnt AS (
+      SELECT shard, bucket, count(*) AS cnt FROM rows GROUP BY 1, 2
+    ), merged AS (
+      SELECT bucket, sum(cnt) AS m_cnt FROM shard_cnt GROUP BY 1
+    ), whole AS (
+      SELECT bucket, count(*) AS w_cnt FROM rows GROUP BY 1
+    ), diff AS (
+      SELECT abs(coalesce(m_cnt, 0) - coalesce(w_cnt, 0)) AS d
+      FROM merged FULL JOIN whole USING (bucket)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(d) AS BIGINT) AS max_abs_diff,
+           max(d) = 0 AS merge_lossless
+    FROM diff
+    """,
+)
+
+
 # SemDeDup over the cloned-embedding fixture: single-probe cluster
 # assignment (rn=1 — the published within-cluster semantics; boundary
 # pairs belong to near-dup detection, nprobe=2 there), drop-if-lower-id-
@@ -5509,6 +5563,12 @@ _WINDOW_TAIL = [
     # and clean_corpus (keep_text option, default output identical):
     "winnowing_fingerprints", "winnowing_pairs", "asof_click_attribution",
     "fetch_join", "crawl_churn",
+    # rotated out as hdr_quantiles / hdr_merge entered (both r6-driver-
+    # green; dup_ngram_fraction's chain lives in textstats.py/dedup.py —
+    # zero r7 diff — and robots_filter_agent's in robots.py, untouched
+    # this round; robots_filter stays IN the window covering that
+    # family):
+    "dup_ngram_fraction", "robots_filter_agent",
 ]
 
 

@@ -1753,3 +1753,64 @@ def test_semantic_dedup_trained_bucket_bound(spark):
     # cross-cluster vectors never compare (cosine across anchors ~ 0.01)
     kept = [r for r in out if r["kept"]]
     assert len(kept) >= 3  # at least one exemplar per cluster survives
+
+
+def test_hdr_quantiles_error_bound(spark):
+    """HDR quantile estimates against the exact rank-quantile on a
+    deterministic long-tailed distribution: est <= true (lower-bound
+    rule over a monotone bucket map) and est >= true / (1 + 2^-3)
+    (within-bucket relative width at sub_bits=3)."""
+    import math
+
+    from ocr_cezam_spark.operators import sketch
+
+    vals = [int(math.exp(i / 150.0)) + (i % 97) for i in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r["q"]: r["est"] for r in
+           sketch.hdr_quantiles(df, "v", qs=(0.5, 0.9, 0.99)).collect()}
+    sv = sorted(vals)
+    for q in (0.5, 0.9, 0.99):
+        true_q = sv[math.ceil(q * len(sv)) - 1]
+        est = got[q]
+        assert est <= true_q, (q, est, true_q)
+        assert est >= true_q / (1 + 2 ** -3) - 1, (q, est, true_q)
+
+
+def test_hdr_bucket_monotone_and_exact_small(spark):
+    """The bucket map must be monotone non-decreasing (the correctness
+    premise of the lower-bound rule) and exact below 2^sub_bits."""
+    from ocr_cezam_spark.operators import sketch
+
+    df = spark.range(1, 5000).select(F.col("id").alias("v"))
+    rows = df.select(
+        "v", sketch._hdr_bucket(F.col("v"), 3).alias("b")
+    ).orderBy("v").collect()
+    last = -1
+    for r in rows:
+        assert r["b"] >= last
+        last = r["b"]
+        if r["v"] < 8:
+            assert r["b"] == r["v"]
+    # bounded bucket count regardless of value range
+    assert len({r["b"] for r in rows}) <= 64 * 8
+
+
+def test_hdr_merge_lossless_and_sub_bits_param(spark):
+    from ocr_cezam_spark.operators import sketch
+
+    df = spark.range(1, 2001).select(
+        (F.col("id") % 5).alias("shard"),
+        (F.col("id") * F.col("id") % 7919 + 1).alias("v"),
+    )
+    row = sketch.hdr_merge(df, "v", "shard").collect()[0]
+    assert row["merge_lossless"] and row["max_abs_diff"] == 0
+    # sub_bits is a real parameter: finer geometry -> estimate at least
+    # as close to the true median, never above it
+    import math
+    vals = sorted((i * i % 7919 + 1) for i in range(1, 2001))
+    true_med = vals[math.ceil(0.5 * len(vals)) - 1]
+    e3 = sketch.hdr_quantiles(df, "v", qs=(0.5,)).collect()[0]["est"]
+    e6 = sketch.hdr_quantiles(df, "v", qs=(0.5,),
+                              sub_bits=6).collect()[0]["est"]
+    assert e3 <= true_med and e6 <= true_med
+    assert e6 >= e3
