@@ -130,12 +130,6 @@ def host_suffix(u: Column, levels: int = 2) -> Column:
 # carries ONLY the rules of that exact label count, so the plan embeds
 # each rule once (~10k strings total; Catalyst folds isin lists this
 # long into an InSet hash lookup, constant-time per row).
-import os as _os
-
-_PSL_PATH = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-    "data", "public_suffix_list.dat",
-)
 
 
 def _punycode_rule(rule: str) -> str | None:
@@ -154,18 +148,28 @@ def _punycode_rule(rule: str) -> str | None:
     return prefix + ace
 
 
-def _load_psl_rules(path: str = _PSL_PATH) -> tuple[str, ...]:
+def _load_psl_rules() -> tuple[str, ...]:
+    # importlib.resources, not open(__file__-relative): the package is
+    # deployed via spark-submit --py-files as a ZIP (tools/package.py),
+    # where a filesystem path into the package does not exist but the
+    # resources API reads through the archive.
+    from importlib.resources import files
+
+    text = (
+        files("ocr_cezam_spark")
+        .joinpath("data/public_suffix_list.dat")
+        .read_text(encoding="utf-8")
+    )
     rules: list[str] = []
-    with open(path, encoding="utf-8") as fh:
-        for line in fh:
-            line = line.strip()
-            if not line or line.startswith("//"):
-                continue
-            rules.append(line)
-            if not line.isascii():
-                ace = _punycode_rule(line)
-                if ace is not None and ace != line:
-                    rules.append(ace)
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        rules.append(line)
+        if not line.isascii():
+            ace = _punycode_rule(line)
+            if ace is not None and ace != line:
+                rules.append(ace)
     return tuple(rules)
 
 
@@ -233,16 +237,18 @@ def _spark_psl_len_sql(h: str) -> str:
     return ps
 
 
-def _ensure_psl_fns() -> None:
-    """Idempotently register the PSL SQL functions on the active session
-    (tagged on the session object so re-registration is skipped)."""
-    from pyspark.sql import SparkSession
+def register_psl_functions(s) -> None:
+    """Idempotently register the PSL SQL functions on session ``s``
+    (tagged on the session object so re-registration is skipped).
 
-    s = SparkSession.getActiveSession()
-    if s is None:
-        raise RuntimeError(
-            "registered_domain/public_suffix_len need an active SparkSession"
-        )
+    Session-binding contract: TEMPORARY functions live on ONE session.
+    `registered_domain`/`public_suffix_len` auto-register on whichever
+    session is ACTIVE when the Column is built — correct whenever the
+    Column is built and executed on the same session (every call path
+    in this repo). A multi-session application that builds Columns
+    under session A and executes them on session B must call this
+    function on B explicitly, and Columns cannot be built before any
+    session exists at all (the builders raise a clear RuntimeError)."""
     if getattr(s, "_ocr_psl_fns_ready", False):
         return
     s.sql(
@@ -259,6 +265,19 @@ def _ensure_psl_fns() -> None:
         f"array_join(slice({ls}, {n} - {ps}, {ps} + 1), '.') END"
     )
     s._ocr_psl_fns_ready = True
+
+
+def _ensure_psl_fns() -> None:
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError(
+            "registered_domain/public_suffix_len need an active "
+            "SparkSession (or call register_psl_functions(session) "
+            "explicitly — see its session-binding contract)"
+        )
+    register_psl_functions(s)
 
 
 def public_suffix_len(host: Column) -> Column:

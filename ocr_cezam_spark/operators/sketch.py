@@ -10,6 +10,13 @@ hashes derive from md5 of the key text, never from RNG or partition
 layout — so a DuckDB twin reproduces every register and every counter
 bit-for-bit and the driver's hash gate applies end to end.
 
+Null keys are IGNORED by every sketch in this module — the same
+convention as count(DISTINCT) — enforced by an explicit filter on both
+the Spark side and the emitted DuckDB twins (without it, a NULL key
+md5-hashes to NULL and materializes a phantom register/counter row that
+inflates estimates, and the streaming twins would stringify None into a
+real key — the r7 review caught exactly that divergence).
+
 Scale shape, by construction:
 
 - The HLL register table is `groups x m` rows MAX (m = 1024 here), built
@@ -85,6 +92,7 @@ def hll_cardinality(df: DataFrame, key_col: str, group_col: str) -> DataFrame:
     + instr), never float log2, so register values can't straddle an
     engine's rounding boundary.
     """
+    df = df.filter(F.col(key_col).isNotNull())
     h = _h32(F.col(key_col))
     rest = h.bitwiseAND(F.lit((1 << _HLL_REST_BITS) - 1))
     rho = F.when(rest == 0, F.lit(_HLL_REST_BITS + 1)).otherwise(
@@ -209,6 +217,7 @@ def hll_cardinality64(df: DataFrame, key_col: str, group_col: str,
     range ~2^64: registers cannot saturate at the 10^12 design point.
     The exact count rides alongside for error visibility at test scale;
     at 100 TB you would drop it — the sketch is the point."""
+    df = df.filter(F.col(key_col).isNotNull())
     bucket, rho = _h64_parts(F.col(key_col), p)
     regs = (
         df.select(
@@ -236,6 +245,7 @@ def hll_merge64(df: DataFrame, key_col: str, shard_col: str,
     family: per-shard registers max-merged must fold to the whole-stream
     estimate, asserted in-plan (merge_lossless). Same two bounded
     register aggregations + two single-row folds."""
+    df = df.filter(F.col(key_col).isNotNull())
     bucket, rho = _h64_parts(F.col(key_col), p)
     rows = df.select(
         F.col(shard_col).alias("shard"),
@@ -266,9 +276,10 @@ def hll_merge64(df: DataFrame, key_col: str, shard_col: str,
 # geometry arguments the Spark side takes, so changing p (or CM w/d)
 # changes both engines from one call site. -------------------------------
 
-def hll64_parts_sql(key_sql: str, p: int) -> tuple[str, str]:
+def hll64_parts_sql(p: int) -> tuple[str, str]:
     """(bucket_expr, rho_expr) over an `h12`/`l52` pair the caller
-    selects via `hll64_hash_sql`."""
+    selects via `hll64_hash_sql` — the key is named ONCE, there (a key
+    parameter here was unused and could silently disagree with it)."""
     _, rest_bits, _ = _hll64_geometry(p)
     rest = f"((h12 % {1 << (12 - p)}) * {_LO52} + l52)"
     bucket = f"(h12 // {1 << (12 - p)})"
@@ -315,7 +326,7 @@ def hll64_branch_sql(key_sql: str, grp_sql: str, p: int,
     n_regs) — emitted from the same geometry as the Spark plan."""
     m, rest_bits, alpha = _hll64_geometry(p)
     r_max = rest_bits + 1
-    bucket, rho = hll64_parts_sql(key_sql, p)
+    bucket, rho = hll64_parts_sql(p)
     return f"""
     SELECT grp, n_exact, floor(e * 1e4 + 0.5) / 1e4 AS hll_est, n_regs
     FROM (
@@ -335,14 +346,14 @@ def hll64_branch_sql(key_sql: str, grp_sql: str, p: int,
           FROM (
             SELECT grp, {bucket} AS bucket, max({rho}) AS m_j
             FROM (SELECT {grp_sql} AS grp, {hll64_hash_sql(key_sql)}
-                  FROM {table})
+                  FROM {table} WHERE {key_sql} IS NOT NULL)
             GROUP BY grp, {bucket}
           ) GROUP BY grp
         )
       )
     ) JOIN (
       SELECT {grp_sql} AS grp, count(DISTINCT {key_sql}) AS n_exact
-      FROM {table} GROUP BY 1
+      FROM {table} WHERE {key_sql} IS NOT NULL GROUP BY 1
     ) USING (grp)
     """
 
@@ -358,6 +369,7 @@ def cm_sketch(df: DataFrame, key_col: str, w: int = _CM_W,
     table IS the bounded-memory artifact a 100 TB stream keeps. w and d
     are real parameters (eps ~ e/w of stream total, delta ~ e^-d) —
     size them to the tolerance, e.g. w=2718 for eps=0.1%."""
+    df = df.filter(F.col(key_col).isNotNull())
     buckets = F.array(*[
         (_h32(F.col(key_col), f"cm{i}:") % w) for i in range(d)
     ])
@@ -383,6 +395,7 @@ def cm_heavy_hitters(df: DataFrame, key_col: str,
     which is exactly this join. All integer counts: the DuckDB twin
     matches bit-for-bit with no rounding gate at all.
     """
+    df = df.filter(F.col(key_col).isNotNull())
     sketch = cm_sketch(df, key_col, w, d)
     true_cnt = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count("*").alias("true_cnt")
@@ -420,7 +433,8 @@ def cm_hh_sql(key_sql: str, threshold_frac: float,
     h = ("CAST(concat('0x', substring(md5("
          f"'cm' || CAST(i AS VARCHAR) || ':' || key), 1, 8)) AS BIGINT)")
     return f"""
-    WITH keyed AS (SELECT {key_sql} AS key FROM {table}),
+    WITH keyed AS (SELECT {key_sql} AS key FROM {table}
+                   WHERE {key_sql} IS NOT NULL),
     dims AS (SELECT unnest(range({d})) AS i),
     sk AS (
       SELECT i, {h} % {w} AS bucket, count(*) AS cnt
@@ -459,6 +473,7 @@ def hll_merge(df: DataFrame, key_col: str, shard_col: str) -> DataFrame:
     max across the shuffle) + two single-row folds broadcast-crossed —
     input size never crosses a shuffle twice.
     """
+    df = df.filter(F.col(key_col).isNotNull())
     h = _h32(F.col(key_col))
     rest = h.bitwiseAND(F.lit((1 << _HLL_REST_BITS) - 1))
     rho = F.when(rest == 0, F.lit(_HLL_REST_BITS + 1)).otherwise(
@@ -517,6 +532,7 @@ def cm_merge(df: DataFrame, key_col: str, shard_col: str,
     plus a 256-row join — input crosses a shuffle once per aggregation,
     all integer-exact.
     """
+    df = df.filter(F.col(key_col).isNotNull())
     buckets = F.array(*[
         (_h32(F.col(key_col), f"cm{i}:") % w) for i in range(d)
     ])
@@ -583,7 +599,11 @@ def hdr_sketch(df: DataFrame, value_col: str, group_col: str | None = None,
     aggregation — at most 64 * 2^sub_bits buckets per group cross the
     shuffle no matter how many trillions of rows stream through.
     Values < 1 (and NULLs) are counted in bucket -1 (underflow), so the
-    sketch is total over arbitrary long inputs."""
+    sketch is total over arbitrary long inputs. Non-integer value
+    columns TRUNCATE toward zero (Spark's cast semantics; the emitted
+    DuckDB twin applies trunc() explicitly because DuckDB's CAST rounds
+    half-away — without it a latency of 2.5 would land in different
+    buckets per engine)."""
     v = F.col(value_col).cast("long")
     bucket = F.when(
         v.isNull() | (v < 1), F.lit(-1).cast("long")
@@ -613,6 +633,8 @@ def hdr_quantiles(df: DataFrame, value_col: str,
     twin (percentile_disc) exists only for the error column; drop it at
     production scale.
     """
+    if not qs:
+        raise ValueError("qs must be non-empty")
     m = 1 << sub_bits
     sk = hdr_sketch(df, value_col, group_col, sub_bits)
     gcols = ["grp"] if group_col else []
@@ -706,7 +728,8 @@ def hdr_quantiles_sql(value_sql: str, qs: tuple = (0.5, 0.9, 0.99),
         AND cum - cnt < ceil(total * {float(q)!r})""")
     u = "\n      UNION ALL\n".join(sel_q)
     return f"""
-    WITH vals AS (SELECT {g}CAST({value_sql} AS BIGINT) AS v FROM {table}),
+    WITH vals AS (SELECT {g}CAST(trunc({value_sql}) AS BIGINT) AS v
+                  FROM {table}),
     b AS (
       SELECT {gcol}CASE WHEN v IS NULL OR v < 1 THEN -1
                   WHEN v < {m} THEN v

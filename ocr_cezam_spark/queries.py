@@ -4483,14 +4483,15 @@ def _hll_branch_sql(key_expr: str, grp_expr: str) -> str:
                    max(CASE WHEN h % 4194304 = 0 THEN 23
                             ELSE instr(lpad(bin(h % 4194304), 22, '0'),
                                        '1') END) AS m_j
-            FROM (SELECT {grp_expr} AS grp, {h} AS h FROM events)
+            FROM (SELECT {grp_expr} AS grp, {h} AS h FROM events
+                  WHERE {key_expr} IS NOT NULL)
             GROUP BY grp, h // 4194304
           ) GROUP BY grp
         )
       )
     ) JOIN (
       SELECT {grp_expr} AS grp, count(DISTINCT {key_expr}) AS n_exact
-      FROM events GROUP BY 1
+      FROM events WHERE {key_expr} IS NOT NULL GROUP BY 1
     ) USING (grp)
     """
 
@@ -4536,7 +4537,7 @@ _register(
     WITH rows AS (
       SELECT event_id % 2 AS shard,
              {_H32.format(expr="CAST(user_id AS VARCHAR)")} AS h
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ), rb AS (
       SELECT shard, h // 4194304 AS bucket, max({_HLL_RHO_SQL}) AS m_j
       FROM rows GROUP BY 1, 2
@@ -4568,6 +4569,7 @@ _register(
       SELECT event_id % 3 AS shard, r.i AS row,
              {_H32.format(expr="concat('cm' || r.i || ':', CAST(user_id AS VARCHAR))")} % 64 AS bucket
       FROM events, (SELECT unnest(range(4)) AS i) r
+      WHERE user_id IS NOT NULL
     ), shard_cnt AS (
       SELECT shard, row, bucket, count(*) AS cnt
       FROM rows GROUP BY 1, 2, 3
@@ -4679,12 +4681,12 @@ _register(
 def _hll64_merge_sql(p: int) -> str:
     """hll_merge64 twin at precision p — register build + two folds,
     all emitted from the shared geometry helpers."""
-    bucket, rho = sketch.hll64_parts_sql("CAST(user_id AS VARCHAR)", p)
+    bucket, rho = sketch.hll64_parts_sql(p)
     return f"""
     WITH rows AS (
       SELECT event_id % 2 AS shard,
              {sketch.hll64_hash_sql("CAST(user_id AS VARCHAR)")}
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ), rb AS (
       SELECT shard, {bucket} AS bucket, max({rho}) AS m_j
       FROM rows GROUP BY 1, 2

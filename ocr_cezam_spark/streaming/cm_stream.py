@@ -100,7 +100,9 @@ def _update_cm(
         counters, mg, n_rows = [0] * (_CM_D * _CM_W), {}, 0
     changed = False
     for pdf in pdfs:
-        for k in pdf["k"].astype(str):
+        # dropna BEFORE astype(str): null keys are ignored (the batch
+        # cm_sketch convention), never stringified into a 'None' key
+        for k in pdf["k"].dropna().astype(str):
             n_rows += 1
             changed = True
             for i, b in enumerate(_cm_buckets(k)):

@@ -80,7 +80,10 @@ def _update_hll(
         regs, n_rows = [0] * _HLL_M, 0
     changed = False
     for pdf in pdfs:
-        for k in pdf["k"].astype(str):
+        # dropna BEFORE astype(str): the sketches ignore null keys (the
+        # batch convention); stringifying first would turn None into the
+        # real key 'None' and diverge from the batch answer
+        for k in pdf["k"].dropna().astype(str):
             b, rho = _bucket_rho(k)
             n_rows += 1
             changed = True
@@ -173,7 +176,7 @@ def hll_stream64(events: DataFrame, key_col: str = "k",
             regs, n_rows = [0] * m, 0
         changed = False
         for pdf in pdfs:
-            for k in pdf["k"].astype(str):
+            for k in pdf["k"].dropna().astype(str):
                 b, rho = _bucket_rho64(k, p)
                 n_rows += 1
                 changed = True

@@ -1814,3 +1814,56 @@ def test_hdr_merge_lossless_and_sub_bits_param(spark):
                               sub_bits=6).collect()[0]["est"]
     assert e3 <= true_med and e6 <= true_med
     assert e6 >= e3
+
+
+def test_sketches_ignore_null_keys(spark):
+    """Null keys must be IGNORED by every sketch (the count(DISTINCT)
+    convention) — r7 review finding: a NULL key md5-hashes to NULL and
+    used to materialize a phantom register (n_regs=3 for 2 distinct
+    keys), while the streaming twin stringified None into a real key
+    'None', so batch and stream diverged on null-bearing input."""
+    from ocr_cezam_spark.operators import sketch
+
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", "b"), ("g", None)], "g string, k string"
+    )
+    clean = spark.createDataFrame(
+        [("g", "a"), ("g", "b")], "g string, k string"
+    )
+    for fn in (sketch.hll_cardinality,
+               lambda d, k, g: sketch.hll_cardinality64(d, k, g)):
+        got = fn(df, "k", "g").collect()[0]
+        want = fn(clean, "k", "g").collect()[0]
+        assert (got["hll_est"], got["n_regs"], got["n_exact"]) == (
+            want["hll_est"], want["n_regs"], 2)
+    hh = sketch.cm_heavy_hitters(df, "k", 0.0).collect()
+    assert sorted(r["key"] for r in hh) == ["a", "b"]
+    assert all(r["true_cnt"] == 1 and r["cm_est"] == 1 for r in hh)
+    m = sketch.hll_merge64(
+        df.withColumn("shard", F.lit(0)), "k", "shard").collect()[0]
+    assert m["merge_lossless"]
+
+
+def test_hll_stream64_ignores_null_keys(spark, tmp_path):
+    import pandas as pd
+
+    from ocr_cezam_spark.operators import sketch
+    from ocr_cezam_spark.streaming.events import run_available_now
+    from ocr_cezam_spark.streaming.hll_stream import hll_stream64
+
+    pdf = pd.DataFrame(
+        [("g", "a"), ("g", None), ("g", "b"), ("g", None)],
+        columns=["grp", "k"],
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf.to_parquet(src / "p.parquet", index=False)
+    stream = spark.readStream.schema("grp string, k string").parquet(str(src))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_available_now(hll_stream64(stream), ckpt, out)
+    row = spark.read.parquet(out).collect()[0]
+    batch = spark.createDataFrame(pdf, "grp string, k string")
+    want = sketch.hll_cardinality64(batch, "k", "grp").collect()[0]
+    assert (row["hll_est"], row["n_regs"]) == (want["hll_est"],
+                                               want["n_regs"])
+    assert row["n_rows"] == 2  # nulls skipped, not counted

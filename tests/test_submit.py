@@ -24,7 +24,14 @@ docs = corpus_df(spark, 40).unionByName(pdf_corpus_df(spark, 20))
 out = X.run_extract(docs, num_partitions=4)
 n = X.extracted_text(out).count()
 errs = out.filter("error IS NOT NULL").count()
-print("SUBMIT_RESULT " + json.dumps({"n": n, "errs": errs}))
+# the PSL loads its packaged .dat through importlib.resources — this
+# import+use is what catches a zip that ships only .py files (r7 bug:
+# the data file was missing and open() could not read through the zip)
+from pyspark.sql import functions as F
+from ocr_cezam_spark.functions.url import registered_domain
+rd = (spark.createDataFrame([("https://a.b.site.co.uk/x",)], "u string")
+      .select(registered_domain(F.col("u")).alias("rd")).collect()[0]["rd"])
+print("SUBMIT_RESULT " + json.dumps({"n": n, "errs": errs, "rd": rd}))
 spark.stop()
 """
 
@@ -47,4 +54,4 @@ def test_spark_submit_py_files(tmp_path):
     line = [l for l in out.stdout.splitlines() if l.startswith("SUBMIT_RESULT")]
     assert line, (out.stdout[-1000:], out.stderr[-1000:])
     r = json.loads(line[-1].split(" ", 1)[1])
-    assert r == {"n": 60, "errs": 0}
+    assert r == {"n": 60, "errs": 0, "rd": "site.co.uk"}

@@ -23,7 +23,10 @@ def main() -> None:
             if "__pycache__" in root:
                 continue
             for fn in files:
-                if fn.endswith(".py"):
+                # .py modules plus packaged data (the Public Suffix List
+                # .dat — functions/url.py loads it through
+                # importlib.resources, which reads through the zip)
+                if fn.endswith((".py", ".dat")):
                     full = os.path.join(root, fn)
                     zf.write(full, os.path.relpath(full, REPO))
     print(f"wrote {out}")
