@@ -456,3 +456,30 @@ def test_build_training_corpus_plan_shape(spark):
     for frag in p.split("windowspecdefinition(")[1:]:
         head = frag.split(",")[0]
         assert " ASC" not in head and " DESC" not in head, frag[:80]
+
+
+def test_sketch64_and_hdr_plans_partial_aggs(spark):
+    """The r7 sketch additions keep the mergeable-sketch plan contract:
+    64-bit HLL registers fold map-side (partial_max), the HDR histogram
+    folds map-side (partial_count), and the HDR quantile window runs
+    over the BOUNDED sketch, partitioned when grouped — no Python, no
+    cartesian products anywhere."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ocr_cezam_spark.operators import sketch
+
+    df = spark.range(200).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("string").alias("k"),
+        (F.col("id") * 7 % 997 + 1).alias("v"),
+    )
+    p1 = formatted_plan(sketch.hll_cardinality64(df, "k", "g"))
+    assert "partial_max" in p1
+    assert "Window" not in p1 and "BatchEvalPython" not in p1
+    p2 = formatted_plan(sketch.hdr_quantiles(df, "v", group_col="g"))
+    assert "partial_count" in p2 or "count" in p2
+    assert "BatchEvalPython" not in p2 and "CartesianProduct" not in p2
+    # grouped: every window partitions (by grp) — no global sort funnel
+    for frag in p2.split("windowspecdefinition(")[1:]:
+        head = frag.split(",")[0]
+        assert " ASC" not in head and " DESC" not in head, frag[:80]
