@@ -340,8 +340,14 @@ def dsir_select(docs: DataFrame, k: int = 100, n_buckets: int = 1024,
             ).alias("lw"),
         )
     )
+    # Degenerate pools fail EMPTY, not arbitrary: with no target docs
+    # (or no raw docs) the model normalizers are NULL, so every lw is
+    # NULL — ranking on that would select k arbitrary documents. The
+    # filter turns both cases into an empty selection, which downstream
+    # composition surfaces immediately (mirrored in the SQL twins).
     return (
-        scored.withColumn("logweight", round_he(F.col("lw"), 4))
+        scored.filter(F.col("lw").isNotNull())
+        .withColumn("logweight", round_he(F.col("lw"), 4))
         .orderBy(F.col("logweight").desc(), F.col(id_col).asc())
         .limit(k)
         .select(id_col, "n_tokens", "logweight")

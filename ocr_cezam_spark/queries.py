@@ -825,7 +825,7 @@ _register(
     )
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
            floor(lw * 1e4 + 0.5) / 1e4 AS logweight
-    FROM scored
+    FROM scored WHERE lw IS NOT NULL
     ORDER BY floor(lw * 1e4 + 0.5) / 1e4 DESC, doc_id ASC LIMIT 100
     """,
 )
@@ -4983,7 +4983,7 @@ _BTC_ORACLE = f"""
       GROUP BY d.doc_id
     ),
     dsel AS (
-      SELECT doc_id FROM dscored
+      SELECT doc_id FROM dscored WHERE lw IS NOT NULL
       ORDER BY floor(lw * 1e4 + 0.5) / 1e4 DESC, doc_id ASC LIMIT {_BTC_K}
     ),
     chosen AS MATERIALIZED (SELECT s.doc_id, s.text FROM survivors s

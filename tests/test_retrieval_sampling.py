@@ -250,3 +250,21 @@ def test_pagerank_empty_links_returns_empty(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     out = graph.pagerank(empty)
     assert out.count() == 0 and out.columns == ["host", "rank"]
+
+
+def test_dsir_degenerate_pools_select_nothing(spark):
+    """An empty surviving TARGET pool (or raw pool) must yield an EMPTY
+    selection, never an arbitrary one: with no model to rank against,
+    every log-weight is NULL and ranking on NULL used to pick k
+    arbitrary documents silently."""
+    from ocr_cezam_spark.operators.sampling import dsir_select
+
+    no_target = spark.createDataFrame(
+        [(1, "a b c", False), (2, "b c d", False)],
+        "doc_id long, text string, is_target boolean",
+    )
+    assert dsir_select(no_target, k=5).count() == 0
+    all_target = spark.createDataFrame(
+        [(1, "a b c", True)], "doc_id long, text string, is_target boolean"
+    )
+    assert dsir_select(all_target, k=5).count() == 0
