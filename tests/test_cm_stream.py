@@ -104,3 +104,32 @@ def test_cm_stream_matches_batch_and_survives_restart(spark, tmp_path):
             assert got[k] == batch_hitters[k]
             assert got[k] >= true_cnt[k]  # CM one-sided error
     assert {h["key"] for h in fin["a"]["hitters"]} >= {"hot0", "hot1"}
+
+
+def test_cm_stream_ignores_null_keys(spark, tmp_path):
+    """Null keys are skipped (the batch cm_sketch convention) — never
+    stringified into a real 'None' key, never counted in n_rows."""
+    from ocr_cezam_spark.streaming.events import run_available_now
+
+    pdf = pd.DataFrame(
+        [("a", "x"), ("a", None), ("a", "x"), ("a", None), ("a", "y")],
+        columns=["grp", "k"],
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf.to_parquet(src / "p.parquet", index=False)
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_available_now(cm_stream(stream), ckpt, out)
+    row = _final(spark, out)["a"]
+    assert row["n_rows"] == 3
+    batch = spark.createDataFrame(
+        pdf.dropna(), SCHEMA
+    )
+    want = {(r["row"], r["bucket"]): r["cnt"]
+            for r in cm_sketch(batch, "k").collect()}
+    got = {}
+    for i, c in enumerate(row["counters"]):
+        if c:
+            got[(i // _CM_W, i % _CM_W)] = c
+    assert got == want
