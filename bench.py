@@ -110,9 +110,16 @@ HEADLINE = [
     "registered_domain_stats",
     "semantic_dedup_trained",
     "build_training_corpus",
-    "dsir_select",
     "hdr_quantiles",
     "hdr_merge",
+    # round-7 continuation batch
+    "host_hits",
+    "kmv_distinct",
+    "kmv_merge",
+    "kmv_crawl_overlap",
+    "containment_pairs",
+    "chunk_passages",
+    "chunk_dedup_stats",
 ]
 
 

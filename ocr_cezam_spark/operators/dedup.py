@@ -1098,3 +1098,70 @@ def winnowing_pairs(docs: DataFrame, k: int = 4, w: int = 5,
         .agg(F.count("*").cast("int").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      max_df: int = 20,
+                      threshold: float = 0.5) -> DataFrame:
+    """ASYMMETRIC containment near-dup (Broder 1997's second resemblance
+    measure): c(A->B) = |S(A) n S(B)| / |S(A)| over word n-gram shingle
+    SETS. The duplication shape Jaccard structurally misses: a short doc
+    fully quoted inside a long one (excerpt pages, syndicated snippets,
+    quote farms) has containment ~ 1.0 while Jaccard ~ |A|/|B| falls
+    under any sane near-dup threshold. A curation pipeline drops the
+    contained side (it adds no novel text); MinHash/SimHash would keep
+    both.
+
+    Candidate generation is an inverted-index equi-join on the shingle
+    with a document-frequency cap: shingles appearing in more than
+    ``max_df`` docs (boilerplate phrases — the web's stop-shingles) are
+    dropped BEFORE the self-join, which is what bounds the join fan-out:
+    cost <= sum over kept shingles of df^2 <= max_df * |postings|,
+    linear in corpus size for fixed max_df. Containment is then computed
+    over the CAPPED shingle space (numerator and denominator drop the
+    same stop-shingles — the MOSS/winnowing convention), so the metric
+    stays a true ratio in [0, 1] and boilerplate cannot inflate it.
+
+    Returns (a, b, n_common, containment_a, containment_b, jaccard) for
+    unordered pairs a < b where max(c_a, c_b) >= threshold on the
+    UNROUNDED value; emitted ratios rounded 4 dp. Both directions are
+    reported from the one unordered pair — the join never runs twice.
+
+    Scale: two hash aggregations (per-doc distinct shingles ride the
+    explode; df count is map-side partial), one self-equi-join on the
+    capped shingle, one pair aggregation. No windows, no cartesian; a
+    hot shingle is impossible by the df cap. Reference analog: none
+    (pipeline extension, like minhash_lsh_pairs above).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("sh"),
+    )
+    dfc = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    kept = sh.join(dfc.filter(F.col("df") <= max_df).select("sh"), "sh")
+    sizes = kept.groupBy("id").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        kept.alias("l")
+        .join(kept.alias("r"), "sh")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .groupBy(
+            F.col("l.id").alias("a"), F.col("r.id").alias("b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("n_b"))
+    ca = F.col("n_common") / F.col("n_a")
+    cb = F.col("n_common") / F.col("n_b")
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        pairs.join(sa, "a").join(sb, "b")
+        .filter(F.greatest(ca, cb) >= threshold)
+        .select(
+            "a", "b", "n_common",
+            round_he(ca, 4).alias("containment_a"),
+            round_he(cb, 4).alias("containment_b"),
+            round_he(jac, 4).alias("jaccard"),
+        )
+    )

@@ -236,3 +236,83 @@ def anchor_text_topk(links: DataFrame, href_col: str = "href",
         )
         .orderBy(F.desc("n_inlinks"), "target")
     )
+
+
+def hits(links: DataFrame, iters: int = 3,
+         src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """HITS hubs & authorities over the host link graph (Kleinberg 1999)
+    — the companion ranking signal to PageRank: authorities are hosts
+    many good hubs point AT (content sites), hubs are hosts that point
+    at many good authorities (directories, link lists). A crawl
+    prioritizer reads both: PageRank for global importance, authority
+    for topical endorsement, and a high hub / low authority host is the
+    classic link-farm shape worth down-weighting.
+
+    Fixed unrolled iterations with L1 normalization after each half-step
+    (the rank ORDER is what callers consume; L1 keeps the oracle twin a
+    plain sum instead of a sqrt whose cross-engine bit pattern is not
+    guaranteed). Parallel edges collapse to one (adjacency-matrix
+    semantics, matching the published algorithm) — a distinct on (src,
+    dst), one shuffle, reused by every iteration.
+
+    Scale shape, per iteration: two |edges|-sized equi-joins (edges to
+    the |hosts|-sized score frame — broadcast when hosts fit, sort-merge
+    otherwise) + two aggregations on the opposite endpoint, plus two
+    single-row normalization aggregates attached by crossJoin so the
+    whole unrolled computation stays ONE Catalyst plan (no per-iteration
+    driver actions — the pagerank_converged contrast). The edge
+    partitioning is reused across iterations. Scores rounded to 8 dp,
+    far above float accumulation error for web-sized sums.
+
+    Reference analog: none (ocr-cezam is per-document); pipeline
+    extension like pagerank above.
+    """
+    hosts = _hosts(links, src_col, dst_col)
+    if links.isEmpty():
+        return links.sparkSession.createDataFrame(
+            [], "host string, auth double, hub double"
+        )
+    edges = links.select(
+        F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst")
+    ).distinct()
+
+    def _l1(scores: DataFrame, col: str) -> DataFrame:
+        total = scores.agg(F.sum(col).alias("_t"))
+        return scores.crossJoin(total).select(
+            "host", (F.col(col) / F.col("_t")).alias(col)
+        )
+
+    hub = hosts.select("host", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(iters):
+        a = (
+            edges.join(hub, edges["e_src"] == hub["host"])
+            .groupBy(F.col("e_dst").alias("host"))
+            .agg(F.sum("hub").alias("s"))
+        )
+        auth = _l1(
+            hosts.join(a, "host", "left").select(
+                "host", F.coalesce("s", F.lit(0.0)).alias("auth")
+            ),
+            "auth",
+        )
+        h = (
+            edges.join(auth, edges["e_dst"] == auth["host"])
+            .groupBy(F.col("e_src").alias("host"))
+            .agg(F.sum("auth").alias("s"))
+        )
+        hub = _l1(
+            hosts.join(h, "host", "left").select(
+                "host", F.coalesce("s", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        )
+    return (
+        auth.join(hub, "host")
+        .select(
+            "host",
+            round_he("auth", 8).alias("auth"),
+            round_he("hub", 8).alias("hub"),
+        )
+        .orderBy("host")
+    )

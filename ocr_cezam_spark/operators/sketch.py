@@ -749,3 +749,318 @@ def hdr_quantiles_sql(value_sql: str, qs: tuple = (0.5, 0.9, 0.99),
     SELECT * FROM ({u})
     ORDER BY {gcol}q
     """
+
+
+# ===========================================================================
+# KMV (K-minimum-values) distinct sketch — Bar-Yossef et al. 2002 /
+# Beyer et al. 2007 ("On synopses for distinct-value estimation under
+# multiset operations", SIGMOD'07). The set-OPERATION member of the
+# sketch family: HLL answers |A| and |A u B| (register max-merge) but
+# cannot answer |A n B| or Jaccard without the inclusion-exclusion
+# blowup; a KMV synopsis supports union, intersection and Jaccard
+# directly, which is what a crawl operator actually asks ("how much of
+# snapshot N+1 did we already have in snapshot N?") without joining two
+# 10^12-row url sets.
+#
+# Determinism contract (same as the HLL/CM families): the sketch is the
+# k smallest DISTINCT 60-bit integer hashes per group, hash = first 15
+# md5 hex chars of the key text — 60 bits fits a signed long in both
+# engines with no 64-bit parse, and every comparison up to the final
+# estimator divide is INTEGER-exact, so the DuckDB twin reproduces the
+# sketch bit-for-bit regardless of partitioning. 60 bits puts the
+# birthday bound near 2^30 sketch collisions only past ~10^9 *sampled*
+# values (k, not n, values are retained) — the estimator degrades only
+# if two of the k minima collide, vanishingly rare for k <= 4096.
+#
+# Estimator: with U_(k) the k-th smallest hash normalized to (0,1],
+# D_hat = (k-1)/U_(k) (unbiased; relative error ~ 1/sqrt(k-2), so
+# k=256 gives ~6%). When a group holds FEWER than k distinct hashes the
+# sketch is the whole set and the count is exact — the small-range
+# regime needs no bias correction at all.
+#
+# Scale shape: one distinct on (group, hash) — the only |data|-sized
+# shuffle, map-side partial — then a rank<=k filter that Spark plans as
+# WindowGroupLimit (partial per-partition top-k BEFORE the shuffle, the
+# same physical shape frontier_next's per-host top-k rides). The sketch
+# itself is k rows per group; every set operation after that (merge =
+# k-smallest-of-union, intersect membership) runs on k-sized inputs.
+_KMV_SCALE = 1 << 60  # hash domain size: 15 md5 hex chars
+
+
+def _h60(col: F.Column) -> F.Column:
+    """Deterministic 60-bit hash: first 15 hex chars of md5(key). DuckDB
+    twin: ('0x' || substr(md5(key), 1, 15))::BIGINT."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(df: DataFrame, key_col: str, group_col: str,
+               k: int = 256) -> DataFrame:
+    """(group, h, rnk) rows: the k smallest distinct 60-bit key hashes
+    per group, rnk in [1, k]. Null keys ignored (module convention)."""
+    dist = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            F.col(group_col).alias("group"),
+            _h60(F.col(key_col)).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("group").orderBy("h")
+    return (
+        dist.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def _kmv_estimate(kth: F.Column, n_hashes: F.Column, k: int) -> F.Column:
+    """KMV estimate from the sketch's max hash and row count: exact when
+    the group holds < k distinct keys (the sketch IS the set), else
+    (k-1) * 2^60 / kth. (k-1)*2^60 is a <=68-bit integer with <=12
+    significant bits — exactly representable as a double — so the single
+    divide is the only rounded op, correctly-rounded identically in both
+    engines."""
+    return F.when(
+        n_hashes < k, n_hashes.cast("double")
+    ).otherwise(
+        F.lit(float(k - 1) * float(_KMV_SCALE)) / kth.cast("double")
+    )
+
+
+def kmv_distinct(df: DataFrame, key_col: str, group_col: str,
+                 k: int = 256) -> DataFrame:
+    """Per-group distinct-count estimate from a k=``k`` KMV sketch:
+    (group, n_hashes, est_distinct) ordered by group. est rounded 4 dp."""
+    sk = kmv_sketch(df, key_col, group_col, k)
+    agg = sk.groupBy("group").agg(
+        F.count("*").alias("n_hashes"), F.max("h").alias("kth")
+    )
+    return agg.select(
+        "group",
+        "n_hashes",
+        round_he(
+            _kmv_estimate(F.col("kth"), F.col("n_hashes"), k), 4
+        ).alias("est_distinct"),
+    ).orderBy("group")
+
+
+def kmv_merge(df: DataFrame, key_col: str, shard_col: str,
+              k: int = 256) -> DataFrame:
+    """Mergeability as a driver-visible invariant (the hll_merge /
+    cm_merge pattern): per-shard KMV sketches merged by
+    k-smallest-of-union must equal the whole-stream sketch — KMV's merge
+    is closed because the k global minima are always among the per-shard
+    minima. Returns one row: (est_merged, est_whole, n_shards,
+    sketches_equal) where sketches_equal (1/0 — INT, the gate convention
+    for flags) tests hash-set symmetric difference == 0: bit-identical
+    sketches, not just close estimates."""
+    per_shard = kmv_sketch(df, key_col, shard_col, k).select("h").distinct()
+    w = Window.orderBy("h")
+    merged = (
+        per_shard.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+    whole = kmv_sketch(
+        df.select(F.col(key_col), F.lit("all").alias("_g")),
+        key_col, "_g", k,
+    ).select("h", "rnk")
+    m_agg = merged.agg(
+        F.count("*").alias("n_m"), F.max("h").alias("kth_m")
+    )
+    w_agg = whole.agg(
+        F.count("*").alias("n_w"), F.max("h").alias("kth_w")
+    )
+    diff = (
+        merged.select("h").unionByName(whole.select("h"))
+        .groupBy("h").agg(F.count("*").alias("c"))
+        .filter(F.col("c") != 2)
+        .agg(F.count("*").alias("n_diff"))
+    )
+    # countDistinct (not .distinct().count()): ignores a NULL shard the
+    # way the twin's count(DISTINCT ..) does.
+    n_shards = df.agg(F.countDistinct(shard_col).alias("n_shards"))
+    return (
+        m_agg.crossJoin(w_agg).crossJoin(diff).crossJoin(n_shards)
+        .select(
+            round_he(_kmv_estimate(F.col("kth_m"), F.col("n_m"), k), 4)
+            .alias("est_merged"),
+            round_he(_kmv_estimate(F.col("kth_w"), F.col("n_w"), k), 4)
+            .alias("est_whole"),
+            F.col("n_shards"),
+            (F.col("n_diff") == 0).cast("int").alias("sketches_equal"),
+        )
+    )
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, key_col: str,
+                k: int = 256) -> DataFrame:
+    """Set-operation estimates between two keyed relations from their
+    KMV sketches (Beyer et al. 2007 section 4): one row with
+    est_a, est_b, est_union, est_intersection, jaccard_est.
+
+    Method: sketch each side (k rows each); L = the k smallest hashes of
+    the sketch UNION (a valid KMV sketch of A u B by closure under
+    union); rho = |L n K_A n K_B| / |L| estimates Jaccard;
+    |A n B|_hat = rho * |A u B|_hat. When the union sketch holds fewer
+    than k hashes every quantity is EXACT (both sets fit the synopsis).
+    All set logic is integer equality on 60-bit hashes — cross-engine
+    deterministic; the only rounded ops are the final estimator divides.
+
+    Scale shape: each side pays one distinct + WindowGroupLimit top-k;
+    everything after runs on <= 2k rows (a full outer join on h and one
+    global top-k over 2k rows — driver-trivial but kept in-plan)."""
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return kmv_sketch(
+            df.select(F.col(key_col), F.lit(tag).alias("_g")),
+            key_col, "_g", k,
+        ).select("h", F.lit(True).alias(f"in_{tag}"))
+
+    sa, sb = side(a, "a"), side(b, "b")
+    both = sa.join(sb, "h", "full_outer").select(
+        "h",
+        F.coalesce("in_a", F.lit(False)).alias("in_a"),
+        F.coalesce("in_b", F.lit(False)).alias("in_b"),
+    )
+    w = Window.orderBy("h")
+    sketch_l = (
+        both.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+    stats = sketch_l.agg(
+        F.count("*").alias("n_l"),
+        F.max("h").alias("kth_l"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long")).alias("n_common"),
+    )
+    side_stats = sa.agg(
+        F.count("*").alias("n_a"), F.max("h").alias("kth_a")
+    ).crossJoin(
+        sb.agg(F.count("*").alias("n_b"), F.max("h").alias("kth_b"))
+    )
+    est_union = _kmv_estimate(F.col("kth_l"), F.col("n_l"), k)
+    jac = F.col("n_common").cast("double") / F.col("n_l").cast("double")
+    return stats.crossJoin(side_stats).select(
+        round_he(_kmv_estimate(F.col("kth_a"), F.col("n_a"), k), 4)
+        .alias("est_a"),
+        round_he(_kmv_estimate(F.col("kth_b"), F.col("n_b"), k), 4)
+        .alias("est_b"),
+        round_he(est_union, 4).alias("est_union"),
+        round_he(jac * est_union, 4).alias("est_intersection"),
+        round_he(jac, 4).alias("jaccard_est"),
+    )
+
+
+# --- KMV DuckDB twin emitters: the oracle SQL is generated from the SAME
+# k / hash-width / estimator constants as the Spark plan (the cm_hh_sql /
+# hll64_branch_sql discipline), so geometry and estimator form cannot
+# drift between engines.
+
+def kmv_hash_sql(key_sql: str) -> str:
+    return f"('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+def kmv_est_sql(n_sql: str, kth_sql: str, k: int) -> str:
+    scale = repr(float((k - 1) * _KMV_SCALE))
+    return (f"CASE WHEN {n_sql} < {k} THEN CAST({n_sql} AS DOUBLE) "
+            f"ELSE {scale} / CAST({kth_sql} AS DOUBLE) END")
+
+
+def kmv_distinct_sql(src: str, key_sql: str, grp_sql: str,
+                     k: int = 256) -> str:
+    """DuckDB twin of kmv_distinct over source body ``src``."""
+    est = kmv_est_sql("n_hashes", "kth", k)
+    return f"""
+    WITH dist AS (
+      SELECT DISTINCT {grp_sql} AS grp, {kmv_hash_sql(key_sql)} AS h
+      FROM ({src}) WHERE {key_sql} IS NOT NULL
+    ),
+    sk AS (SELECT grp, h,
+                  row_number() OVER (PARTITION BY grp ORDER BY h) AS rnk
+           FROM dist),
+    agg AS (SELECT grp, count(*) AS n_hashes, max(h) AS kth
+            FROM sk WHERE rnk <= {k} GROUP BY grp)
+    SELECT grp AS "group", n_hashes,
+           floor(({est}) * 1e4 + 0.5) / 1e4 AS est_distinct
+    FROM agg ORDER BY "group"
+    """
+
+
+def kmv_merge_sql(src: str, key_sql: str, shard_sql: str,
+                  k: int = 256) -> str:
+    """DuckDB twin of kmv_merge over source body ``src``."""
+    est_m = kmv_est_sql("n_m", "kth_m", k)
+    est_w = kmv_est_sql("n_w", "kth_w", k)
+    return f"""
+    WITH dist AS (
+      SELECT DISTINCT {shard_sql} AS grp, {kmv_hash_sql(key_sql)} AS h
+      FROM ({src}) WHERE {key_sql} IS NOT NULL
+    ),
+    shard_sk AS (SELECT grp, h,
+                        row_number() OVER (PARTITION BY grp ORDER BY h)
+                          AS rnk
+                 FROM dist),
+    pooled AS (SELECT DISTINCT h FROM shard_sk WHERE rnk <= {k}),
+    merged AS (SELECT h FROM (
+                 SELECT h, row_number() OVER (ORDER BY h) AS rnk
+                 FROM pooled) WHERE rnk <= {k}),
+    whole0 AS (SELECT DISTINCT h FROM dist),
+    whole AS (SELECT h FROM (
+                SELECT h, row_number() OVER (ORDER BY h) AS rnk
+                FROM whole0) WHERE rnk <= {k}),
+    m_agg AS (SELECT count(*) AS n_m, max(h) AS kth_m FROM merged),
+    w_agg AS (SELECT count(*) AS n_w, max(h) AS kth_w FROM whole),
+    diff AS (SELECT count(*) AS n_diff FROM (
+               SELECT h, count(*) AS c FROM (
+                 SELECT h FROM merged UNION ALL SELECT h FROM whole)
+               GROUP BY h) WHERE c <> 2),
+    ns AS (SELECT count(DISTINCT {shard_sql}) AS n_shards FROM ({src}))
+    SELECT floor(({est_m}) * 1e4 + 0.5) / 1e4 AS est_merged,
+           floor(({est_w}) * 1e4 + 0.5) / 1e4 AS est_whole,
+           n_shards,
+           CAST(n_diff = 0 AS INT) AS sketches_equal
+    FROM m_agg CROSS JOIN w_agg CROSS JOIN diff CROSS JOIN ns
+    """
+
+
+def kmv_overlap_sql(a_src: str, b_src: str, key_sql: str,
+                    k: int = 256) -> str:
+    """DuckDB twin of kmv_overlap over side bodies ``a_src`` / ``b_src``."""
+    est_a = kmv_est_sql("n_a", "kth_a", k)
+    est_b = kmv_est_sql("n_b", "kth_b", k)
+    est_u = kmv_est_sql("n_l", "kth_l", k)
+    jac = "CAST(n_common AS DOUBLE) / CAST(n_l AS DOUBLE)"
+    return f"""
+    WITH da AS (SELECT DISTINCT {kmv_hash_sql(key_sql)} AS h
+                FROM ({a_src}) WHERE {key_sql} IS NOT NULL),
+    sa AS (SELECT h FROM (
+             SELECT h, row_number() OVER (ORDER BY h) AS rnk FROM da)
+           WHERE rnk <= {k}),
+    db AS (SELECT DISTINCT {kmv_hash_sql(key_sql)} AS h
+           FROM ({b_src}) WHERE {key_sql} IS NOT NULL),
+    sb AS (SELECT h FROM (
+             SELECT h, row_number() OVER (ORDER BY h) AS rnk FROM db)
+           WHERE rnk <= {k}),
+    ab AS (
+      SELECT coalesce(sa.h, sb.h) AS h,
+             sa.h IS NOT NULL AS in_a, sb.h IS NOT NULL AS in_b
+      FROM sa FULL OUTER JOIN sb ON sa.h = sb.h
+    ),
+    l AS (SELECT h, in_a, in_b FROM (
+            SELECT *, row_number() OVER (ORDER BY h) AS rnk FROM ab)
+          WHERE rnk <= {k}),
+    stats AS (SELECT count(*) AS n_l, max(h) AS kth_l,
+                     sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+                       AS n_common
+              FROM l),
+    sides AS (SELECT (SELECT count(*) FROM sa) AS n_a,
+                     (SELECT max(h) FROM sa) AS kth_a,
+                     (SELECT count(*) FROM sb) AS n_b,
+                     (SELECT max(h) FROM sb) AS kth_b)
+    SELECT floor(({est_a}) * 1e4 + 0.5) / 1e4 AS est_a,
+           floor(({est_b}) * 1e4 + 0.5) / 1e4 AS est_b,
+           floor(({est_u}) * 1e4 + 0.5) / 1e4 AS est_union,
+           floor((({jac}) * ({est_u})) * 1e4 + 0.5) / 1e4
+             AS est_intersection,
+           floor(({jac}) * 1e4 + 0.5) / 1e4 AS jaccard_est
+    FROM stats CROSS JOIN sides
+    """

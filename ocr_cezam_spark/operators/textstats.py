@@ -665,3 +665,88 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
         )
         .distinct()
     )
+
+
+def chunk_passages(docs: DataFrame, chunk: int = 64, stride: int = 48,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Fixed-size token-window passage chunking with overlap — the
+    retrieval/packing primitive (RAG passage stores, long-doc embedding
+    inputs, context-window-bounded training examples all consume this
+    shape): every ``stride`` tokens, emit a ``chunk``-token passage, so
+    consecutive chunks overlap by chunk - stride tokens and no token
+    falls in a gap.
+
+    Returns (id, chunk_idx, start_tok, n_tokens, chunk_md5, chunk_text).
+    The final chunk is the remainder (>= 1 token, <= chunk tokens); a
+    doc shorter than ``chunk`` yields exactly one chunk. chunk_idx is
+    0-based; start_tok is the 0-based token offset (= chunk_idx *
+    stride). chunk_md5 keys chunk-level exact dedup — cross-crawl
+    boilerplate passages collapse on it even when their parent documents
+    differ (the shape paragraph_dedup covers for newline paragraphs,
+    here for fixed token geometry).
+
+    Scale shape: MAP-ONLY — one sequence+transform builds every chunk
+    slice JVM-side, one posexplode, zero shuffles, zero UDFs; the plan
+    is a single WholeStageCodegen span over the scan, so it chunks 100
+    TB at scan speed and inherits the input partitioning. Downstream
+    dedup/embedding stages shuffle on chunk_md5, never on raw text.
+
+    Reference analog: none (pipeline extension); the chunk geometry
+    (size/stride in tokens) mirrors standard RAG passage splitters.
+    """
+    if stride <= 0 or chunk <= 0 or stride > chunk:
+        raise ValueError("need 0 < stride <= chunk")
+    words = _words(text_col)
+    nw = F.size(words)
+    # last start: largest multiple of stride strictly below n (so every
+    # token is covered and no empty chunk is emitted); floor((n-1)/stride)
+    starts = F.sequence(
+        F.lit(0), F.floor((nw - 1) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        starts,
+        lambda i: F.array_join(
+            F.slice(words, i * stride + 1, F.lit(chunk)), " "
+        ),
+    )
+    exploded = docs.filter(nw > 0).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    )
+    return exploded.select(
+        "id",
+        "chunk_idx",
+        (F.col("chunk_idx") * stride).alias("start_tok"),
+        F.size(F.split("chunk_text", " ")).alias("n_tokens"),
+        F.md5("chunk_text").alias("chunk_md5"),
+        "chunk_text",
+    )
+
+
+def chunk_dedup_stats(docs: DataFrame, chunk: int = 64, stride: int = 48,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document duplicated-passage fraction over chunk_passages
+    output: (id, n_chunks, n_dup_chunks, dup_frac) where a chunk is dup
+    if its md5 occurs under more than one (id, chunk_idx) corpus-wide.
+    The chunk-geometry twin of window_dedup_stats (which strides
+    non-overlapping hash windows for span detection; this one measures
+    the RAG store's redundancy before embedding spend). One frequency
+    aggregation on chunk_md5 + one join back — linear, AQE-splittable
+    hot hashes, same shape as window_dedup_stats."""
+    ch = chunk_passages(docs, chunk, stride, id_col, text_col)
+    freq = ch.groupBy("chunk_md5").agg(F.count("*").alias("freq"))
+    return (
+        ch.join(freq, "chunk_md5")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("freq") > 1).cast("long")).alias("n_dup_chunks"),
+        )
+        .select(
+            "id", "n_chunks", "n_dup_chunks",
+            round_he(F.col("n_dup_chunks") / F.col("n_chunks"), 4)
+            .alias("dup_frac"),
+        )
+    )

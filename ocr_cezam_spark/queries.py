@@ -5431,6 +5431,266 @@ _register(
 )
 
 
+# ===========================================================================
+# Round-7 continuation: HITS, KMV set-operation sketches, asymmetric
+# containment near-dup, passage chunking.
+# ===========================================================================
+
+def _hits_links(s: SparkSession, d: str) -> DataFrame:
+    """Same synthetic host link fixture as host_pagerank (two
+    deterministic out-links per doc, no self-links) — the two rank
+    signals are gated over the identical graph so their orderings can
+    be compared row-for-row."""
+    doc_id = F.col("doc_id")
+    return (
+        _t(s, d, "documents")
+        .select(
+            F.col("source").alias("src"),
+            F.explode(F.array(
+                F.concat(F.lit("src"), ((doc_id * 7) % 20).cast("string")),
+                F.concat(F.lit("src"), ((doc_id * 13) % 20).cast("string")),
+            )).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+_HITS_ITERS = 3
+
+
+def _hits_oracle(iters: int = _HITS_ITERS) -> str:
+    """Unrolled-HITS CTE twin over the shared link fixture: per
+    iteration, an authority half-step (sum of in-edge hub scores, L1
+    normalized) then a hub half-step (sum of out-edge authority scores,
+    L1 normalized) — the exact op sequence of graph.hits."""
+    sql = f"""
+    WITH links AS ({_PR_DEFAULT_LINKS}),
+    edges AS (SELECT DISTINCT src, dst FROM links),
+    hosts AS (SELECT src AS host FROM links
+              UNION SELECT dst AS host FROM links),
+    h0 AS (SELECT host, 1.0 AS hub FROM hosts)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+    ar{k} AS (SELECT e.dst AS host, sum(h.hub) AS s
+              FROM edges e JOIN h{k - 1} h ON e.src = h.host
+              GROUP BY e.dst),
+    av{k} AS (SELECT h.host, coalesce(a.s, 0.0) AS v
+              FROM hosts h LEFT JOIN ar{k} a USING (host)),
+    a{k} AS (SELECT host, v / (SELECT sum(v) FROM av{k}) AS auth
+             FROM av{k}),
+    hr{k} AS (SELECT e.src AS host, sum(a.auth) AS s
+              FROM edges e JOIN a{k} a ON e.dst = a.host
+              GROUP BY e.src),
+    hv{k} AS (SELECT h.host, coalesce(x.s, 0.0) AS v
+              FROM hosts h LEFT JOIN hr{k} x USING (host)),
+    h{k} AS (SELECT host, v / (SELECT sum(v) FROM hv{k}) AS hub
+             FROM hv{k})"""
+    sql += f"""
+    SELECT a.host,
+           floor((a.auth) * 1e8 + 0.5) / 1e8 AS auth,
+           floor((h.hub) * 1e8 + 0.5) / 1e8 AS hub
+    FROM a{iters} a JOIN h{iters} h USING (host)
+    ORDER BY a.host
+    """
+    return sql
+
+
+_register(
+    "host_hits",
+    lambda s, d: graph.hits(_hits_links(s, d), iters=_HITS_ITERS),
+    _hits_oracle(),
+)
+
+
+# KMV sketches: k=16 on the 20x25-doc fixture so sources sit in the
+# ESTIMATOR regime (25 distinct texts > k) at sf0.01 while the sf0.001
+# gate (fewer docs per source) exercises the exact small-set branch —
+# both estimator branches stay covered on every run.
+_KMV_K = 16
+
+_register(
+    "kmv_distinct",
+    lambda s, d: sketch.kmv_distinct(
+        _t(s, d, "documents"), "text", "source", k=_KMV_K
+    ),
+    sketch.kmv_distinct_sql(
+        "SELECT source, text FROM documents", "text", "source", _KMV_K
+    ),
+)
+
+_register(
+    "kmv_merge",
+    lambda s, d: sketch.kmv_merge(
+        _t(s, d, "documents"), "text", "source", k=_KMV_K
+    ),
+    sketch.kmv_merge_sql(
+        "SELECT source, text FROM documents", "text", "source", _KMV_K
+    ),
+)
+
+# Crawl-overlap fixture: snapshot A holds doc_id % 4 != 0, snapshot B
+# doc_id % 4 != 1 — true Jaccard 0.5 by construction. k=64 puts sf0.01
+# (375 keys/side) in the estimator regime and sf0.001 in the exact one.
+_register(
+    "kmv_crawl_overlap",
+    lambda s, d: sketch.kmv_overlap(
+        _t(s, d, "documents").filter(F.col("doc_id") % 4 != 0),
+        _t(s, d, "documents").filter(F.col("doc_id") % 4 != 1),
+        "text", k=64,
+    ),
+    sketch.kmv_overlap_sql(
+        "SELECT text FROM documents WHERE doc_id % 4 <> 0",
+        "SELECT text FROM documents WHERE doc_id % 4 <> 1",
+        "text", 64,
+    ),
+)
+
+
+# Containment fixture: every doc gets an EXCERPT clone at +3M holding its
+# first ceil(n/2) words — containment(excerpt -> original) ~ 1.0 while
+# Jaccard sits near |A|/|B| ~ 0.5, the asymmetric shape the operator
+# exists to catch (and plain near-dup thresholds at 0.8-0.9 would drop).
+def _containment_docs(s: SparkSession, d: str) -> DataFrame:
+    docs = _t(s, d, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    half = F.ceil(F.size(words) / F.lit(2.0)).cast("int")
+    excerpt = docs.select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.array_join(F.slice(words, F.lit(1), half), " ").alias("text"),
+    )
+    return docs.unionByName(excerpt)
+
+
+_CONTAIN_SQL_CORPUS = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1,
+               CAST(ceil(len(string_split(text, ' ')) / 2.0) AS INT)), ' ')
+               AS text
+      FROM documents"""
+
+_register(
+    "containment_pairs",
+    lambda s, d: dedup.containment_pairs(_containment_docs(s, d)),
+    f"""
+    WITH corpus AS ({_CONTAIN_SQL_CORPUS}),
+    sh0 AS (
+      SELECT doc_id AS id, unnest(list_distinct({_SHINGLE_SQL})) AS sh
+      FROM corpus
+    ),
+    dfc AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 20),
+    kept AS (SELECT id, sh FROM sh0 JOIN dfc USING (sh)),
+    sizes AS (SELECT id, count(*) AS n_sh FROM kept GROUP BY id),
+    pairs AS (
+      SELECT l.id AS a, r.id AS b, count(*) AS n_common
+      FROM kept l JOIN kept r ON l.sh = r.sh AND l.id < r.id
+      GROUP BY l.id, r.id
+    ),
+    j AS (
+      SELECT a, b, n_common,
+             CAST(n_common AS DOUBLE) / sa.n_sh AS ca,
+             CAST(n_common AS DOUBLE) / sb.n_sh AS cb,
+             CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+               AS jr
+      FROM pairs
+      JOIN sizes sa ON a = sa.id
+      JOIN sizes sb ON b = sb.id
+    )
+    SELECT a, b, n_common,
+           floor((ca) * 1e4 + 0.5) / 1e4 AS containment_a,
+           floor((cb) * 1e4 + 0.5) / 1e4 AS containment_b,
+           floor((jr) * 1e4 + 0.5) / 1e4 AS jaccard
+    FROM j WHERE greatest(ca, cb) >= 0.5
+    """,
+)
+
+
+# Passage chunking: 32-token chunks at stride 24 over ~55-token docs
+# gives 2-3 chunks per doc with real overlap at both gate SFs.
+_CHUNK, _CHUNK_STRIDE = 32, 24
+
+
+def _chunk_sql_ex(corpus: str, chunk: int, stride: int) -> str:
+    """Shared CTE chain corpus -> exploded (doc_id, idx, txt) chunks —
+    emitted from the same geometry constants as the Spark operator."""
+    return f"""
+    base AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM ({corpus})
+      WHERE len(string_split(text, ' ')) > 0
+    ),
+    cl AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, CAST(floor((len(words) - 1) / {stride}) AS INT) + 1),
+               i -> {{'idx': i,
+                     'txt': array_to_string(
+                       list_slice(words, i * {stride} + 1,
+                                  i * {stride} + {chunk}), ' ')}}) AS cs
+      FROM base
+    ),
+    ex AS (SELECT doc_id, unnest(cs) AS u FROM cl)"""
+
+
+_register(
+    "chunk_passages",
+    lambda s, d: textstats.chunk_passages(
+        _t(s, d, "documents"), chunk=_CHUNK, stride=_CHUNK_STRIDE
+    ),
+    f"""
+    WITH {_chunk_sql_ex("SELECT doc_id, text FROM documents",
+                        _CHUNK, _CHUNK_STRIDE).lstrip()}
+    SELECT doc_id AS id,
+           CAST(u.idx AS INT) AS chunk_idx,
+           CAST(u.idx * {_CHUNK_STRIDE} AS INT) AS start_tok,
+           CAST(len(string_split(u.txt, ' ')) AS INT) AS n_tokens,
+           md5(u.txt) AS chunk_md5,
+           u.txt AS chunk_text
+    FROM ex
+    """,
+)
+
+
+# chunk_dedup fixture: even doc_ids get a shared 48-token boilerplate
+# prefix — their first 32-token chunk collides corpus-wide while every
+# other chunk stays unique, so dup_frac discriminates (odd docs 0.0,
+# even docs 1/n_chunks).
+_CHUNK_BP = " ".join(f"bp{i}" for i in range(48))
+
+
+def _chunk_docs(s: SparkSession, d: str) -> DataFrame:
+    return _t(s, d, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit(_CHUNK_BP + " "), F.col("text")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+
+
+_register(
+    "chunk_dedup_stats",
+    lambda s, d: textstats.chunk_dedup_stats(
+        _chunk_docs(s, d), chunk=_CHUNK, stride=_CHUNK_STRIDE
+    ),
+    f"""
+    WITH {_chunk_sql_ex(
+        f"SELECT doc_id, CASE WHEN doc_id % 2 = 0 "
+        f"THEN '{_CHUNK_BP} ' || text ELSE text END AS text FROM documents",
+        _CHUNK, _CHUNK_STRIDE).lstrip()},
+    hashed AS (SELECT doc_id, md5(u.txt) AS h FROM ex),
+    freq AS (SELECT h, count(*) AS freq FROM hashed GROUP BY h)
+    SELECT doc_id AS id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           floor((CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*)) * 1e4 + 0.5) / 1e4 AS dup_frac
+    FROM hashed JOIN freq USING (h)
+    GROUP BY doc_id
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering. The driver's artifact records the
 # FIRST 50 registry entries, so entries that most need a driver-green row
@@ -5571,6 +5831,21 @@ _WINDOW_TAIL = [
     # this round; robots_filter stays IN the window covering that
     # family):
     "dup_ngram_fraction", "robots_filter_agent",
+    # rotated out as the r7 continuation batch entered (host_hits,
+    # kmv_distinct, kmv_merge, kmv_crawl_overlap, containment_pairs,
+    # chunk_passages, chunk_dedup_stats). All seven below are r6-driver-
+    # green and this batch touches their modules only as pure function
+    # ADDITIONS (graph.hits, sketch.kmv_*, dedup.containment_pairs,
+    # textstats.chunk_*): crawl_delays/sitemap_urls live in robots.py
+    # (zero diff; robots_filter stays IN covering the family),
+    # latest_crawl_dedup/paragraph_dedup_keep_first in dedup.py (bodies
+    # zero diff; paragraph_dedup stays IN), target_mix_sample/
+    # select_and_pack in sampling.py (zero diff this batch), bigram_pmi
+    # in textstats.py (body zero diff; perplexity_buckets and
+    # quality_ensemble stay IN covering that family):
+    "crawl_delays", "sitemap_urls", "latest_crawl_dedup",
+    "target_mix_sample", "paragraph_dedup_keep_first", "bigram_pmi",
+    "select_and_pack",
 ]
 
 

@@ -483,3 +483,46 @@ def test_sketch64_and_hdr_plans_partial_aggs(spark):
     for frag in p2.split("windowspecdefinition(")[1:]:
         head = frag.split(",")[0]
         assert " ASC" not in head and " DESC" not in head, frag[:80]
+
+
+def test_kmv_sketch_uses_window_group_limit(spark):
+    """The per-group bottom-k must ride Spark's rank-limit pushdown
+    (WindowGroupLimit: partial per-partition top-k BEFORE the shuffle) —
+    the property that makes a KMV sketch one bounded pass at 10^12
+    rows instead of a full per-group sort."""
+    from pyspark.sql import functions as F
+
+    from ocr_cezam_spark.operators import sketch as SK
+
+    df = spark.range(100).select(
+        F.concat(F.lit("k"), "id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+    )
+    p = formatted_plan(SK.kmv_sketch(df, "k", "g", 8))
+    assert "WindowGroupLimit" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_chunk_passages_is_map_only(spark):
+    """Chunking must stay a projection: no shuffle, no window, no
+    Python — 100 TB chunks at scan speed."""
+    from ocr_cezam_spark.operators import textstats as T
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g")], "doc_id long, text string")
+    p = formatted_plan(T.chunk_passages(docs))
+    assert "Exchange" not in p
+    assert "Window" not in p and "BatchEvalPython" not in p
+
+
+def test_containment_pairs_equi_join_no_cartesian(spark):
+    """Candidate generation is the df-capped inverted-index equi-join —
+    never a nested-loop/cartesian pair enumeration."""
+    from ocr_cezam_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i} d e f") for i in range(10)],
+        "doc_id long, text string")
+    p = formatted_plan(D.containment_pairs(docs))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
