@@ -120,6 +120,8 @@ HEADLINE = [
     "containment_pairs",
     "chunk_passages",
     "chunk_dedup_stats",
+    "script_stats",
+    "text_churn",
 ]
 
 

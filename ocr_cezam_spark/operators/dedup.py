@@ -1165,3 +1165,48 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
             round_he(jac, 4).alias("jaccard"),
         )
     )
+
+
+def crawl_text_churn(old: DataFrame, new: DataFrame, url_col: str = "url",
+                     text_col: str = "text", n: int = 3,
+                     drift_below: float = 0.5) -> DataFrame:
+    """Content DRIFT between two crawl snapshots for urls present in
+    both: shingle-set Jaccard between the old and new text of the same
+    url. The graded companion to crawl_churn (which classifies urls as
+    added/removed/changed on the exact digest): a changed page with
+    jaccard 0.98 is a timestamp/counter edit a recrawl scheduler should
+    deprioritize, one at 0.1 is a real rewrite worth refetching often —
+    the signal behind adaptive recrawl policies. Added/removed urls are
+    crawl_churn's domain; this operator inner-joins on survivors by
+    contract.
+
+    Returns (url, n_sh_old, n_sh_new, jaccard, drifted) — drifted (INT)
+    = jaccard (unrounded) < drift_below; jaccard rounded 4 dp.
+
+    Scale shape: ONE equi-join on the url key; both shingle sets are
+    built IN-ROW (array_distinct over the sequence+slice shingle
+    expression — no explode, no second shuffle) and intersect/union are
+    in-row array ops, so the whole comparison is map-side after the
+    join. Skewed hot urls cannot exist (url is unique per snapshot);
+    10^12-row snapshots sort-merge on url, which is exactly the
+    partitioning a crawl store already has.
+    """
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(url_col).alias("url"),
+            F.array_distinct(shingles(text_col, n)).alias(f"sh_{tag}"),
+        )
+
+    inter = F.size(F.array_intersect("sh_old", "sh_new"))
+    union = F.size(F.array_union("sh_old", "sh_new"))
+    j_raw = inter / union
+    return (
+        side(old, "old").join(side(new, "new"), "url")
+        .select(
+            "url",
+            F.size("sh_old").alias("n_sh_old"),
+            F.size("sh_new").alias("n_sh_new"),
+            round_he(j_raw, 4).alias("jaccard"),
+            (j_raw < drift_below).cast("int").alias("drifted"),
+        )
+    )

@@ -750,3 +750,70 @@ def chunk_dedup_stats(docs: DataFrame, chunk: int = 64, stride: int = 48,
             .alias("dup_frac"),
         )
     )
+
+
+# Unicode script ranges used by script_profile — actual characters in the
+# class (not backslash escapes), so the Spark (Java regex) and DuckDB
+# (RE2) twins compile the IDENTICAL class from the identical SQL/Column
+# literal. BMP-only by design: Spark's length() counts codepoints via
+# UTF8String.numChars and DuckDB's counts codepoints too, but keeping to
+# the BMP sidesteps any grapheme-vs-codepoint edge entirely.
+SCRIPT_RANGES = (
+    ("latin", "A-Za-zÀ-ÖØ-öø-ɏ"),  # skips U+00D7/U+00F7 (×÷, not letters)
+    ("cyrillic", "Ѐ-ӿ"),
+    ("cjk", "぀-ヿ一-鿿가-힯"),
+    ("arabic", "؀-ۿ"),
+)
+
+
+def script_profile(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Writing-system profile per document — the language-ID prior that
+    needs no model: per-script letter counts (Latin incl. Latin-1/Ext-A
+    accents, Cyrillic, CJK incl. kana+Hangul, Arabic), fractions over
+    the script-letter total, and the dominant script with a fixed
+    priority tie-break (latin > cyrillic > cjk > arabic — integer
+    comparisons, deterministic in both engines). Docs with no script
+    letters (digits/punctuation only) profile as 'none'.
+
+    A curation pipeline reads this before langid: a doc whose dominant
+    script contradicts its claimed lang metadata is mislabeled, and
+    mixed-script docs (frac_dominant << 1) are the boilerplate/spam
+    shape script-pure corpora want gated.
+
+    Scale shape: MAP-ONLY — four regexp_replace+length passes per row,
+    all codegen'd, no shuffle/UDF; the count expression
+    length(text) - length(regexp_replace(text, '[class]', '')) removes
+    the TARGET class (never negates it), so unpaired surrogates or
+    supplementary codepoints outside the classes cannot skew a count.
+    """
+    n = F.length(F.col(text_col))
+    counts = {
+        name: (n - F.length(
+            F.regexp_replace(F.col(text_col), f"[{cls}]", ""))
+        ).alias(f"n_{name}")
+        for name, cls in SCRIPT_RANGES
+    }
+    base = docs.select(F.col(id_col), *counts.values())
+    total = sum(F.col(f"n_{name}") for name, _ in SCRIPT_RANGES)
+    lat, cyr, cjk, ara = (F.col(f"n_{name}") for name, _ in SCRIPT_RANGES)
+    script = (
+        F.when(total == 0, F.lit("none"))
+        .when((lat >= cyr) & (lat >= cjk) & (lat >= ara), F.lit("latin"))
+        .when((cyr >= cjk) & (cyr >= ara), F.lit("cyrillic"))
+        .when(cjk >= ara, F.lit("cjk"))
+        .otherwise(F.lit("arabic"))
+    )
+    frac_cols = [
+        round_he(
+            F.when(total == 0, F.lit(0.0))
+            .otherwise(F.col(f"n_{name}") / total), 4
+        ).alias(f"frac_{name}")
+        for name, _ in SCRIPT_RANGES
+    ]
+    return base.select(
+        id_col,
+        *[f"n_{name}" for name, _ in SCRIPT_RANGES],
+        *frac_cols,
+        script.alias("script"),
+    )

@@ -5691,6 +5691,154 @@ _register(
 )
 
 
+# Script-profile fixture: every fifth doc rewritten into a different
+# writing system (one mixed-script arabic+latin case, one no-letter
+# case) so the dominant-script chain and every fraction branch are
+# exercised; the rest stay the corpus's latin text.
+_SCRIPT_CYR = "Привет мир это страница с русским текстом для профиля"
+_SCRIPT_CJK = "你好世界 こんにちは これはテストページです 漢字とかなの混在"
+_SCRIPT_AR = "مرحبا web بالعالم هذه صفحة اختبار"
+_SCRIPT_NONE = "12345 67890 --- ::: 42"
+
+
+def _script_docs(s: SparkSession, d: str) -> DataFrame:
+    doc_id = F.col("doc_id")
+    return _t(s, d, "documents").select(
+        "doc_id",
+        F.when(doc_id % 5 == 1, F.lit(_SCRIPT_CYR))
+        .when(doc_id % 5 == 2, F.lit(_SCRIPT_CJK))
+        .when(doc_id % 5 == 3, F.lit(_SCRIPT_AR))
+        .when(doc_id % 5 == 4, F.lit(_SCRIPT_NONE))
+        .otherwise(F.col("text")).alias("text"),
+    )
+
+
+def _script_oracle() -> str:
+    """Twin emitted from textstats.SCRIPT_RANGES — counts, fractions and
+    the dominant-script priority chain share one source of truth with
+    the Spark operator. DuckDB regexp_replace needs the explicit 'g'
+    flag (first-match-only by default; Spark replaces all)."""
+    # CAST to INT: Spark's length() is INT, DuckDB's BIGINT
+    cnt = {
+        name: (f"CAST(length(text) - length(regexp_replace(text, "
+               f"'[{cls}]', '', 'g')) AS INT)")
+        for name, cls in textstats.SCRIPT_RANGES
+    }
+    names = [name for name, _ in textstats.SCRIPT_RANGES]
+    total = " + ".join(f"n_{n}" for n in names)
+    lat, cyr, cjk, ara = (f"n_{n}" for n in names)
+    fracs = ",\n           ".join(
+        f"CASE WHEN {total} = 0 THEN 0.0 ELSE "
+        f"floor((CAST(n_{n} AS DOUBLE) / ({total})) * 1e4 + 0.5) / 1e4 "
+        f"END AS frac_{n}"
+        for n in names
+    )
+    counts_sel = ",\n             ".join(
+        f"{expr} AS n_{name}" for name, expr in cnt.items()
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 1 THEN '{_SCRIPT_CYR}'
+                  WHEN doc_id % 5 = 2 THEN '{_SCRIPT_CJK}'
+                  WHEN doc_id % 5 = 3 THEN '{_SCRIPT_AR}'
+                  WHEN doc_id % 5 = 4 THEN '{_SCRIPT_NONE}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             {counts_sel}
+      FROM corpus
+    )
+    SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic,
+           {fracs},
+           CASE WHEN {total} = 0 THEN 'none'
+                WHEN {lat} >= {cyr} AND {lat} >= {cjk} AND {lat} >= {ara}
+                  THEN 'latin'
+                WHEN {cyr} >= {cjk} AND {cyr} >= {ara} THEN 'cyrillic'
+                WHEN {cjk} >= {ara} THEN 'cjk'
+                ELSE 'arabic' END AS script
+    FROM base
+    """
+
+
+_register(
+    "script_stats",
+    lambda s, d: textstats.script_profile(_script_docs(s, d)),
+    _script_oracle(),
+)
+
+
+# Text-churn fixture: old = the corpus keyed by synthetic url; new =
+# every third doc appended (small drift), every third unchanged
+# (jaccard 1.0), every third rewritten (jaccard ~ 0); doc_id % 7 == 0
+# urls are dropped from the new snapshot (inner-join contract — the
+# added/removed accounting belongs to crawl_churn).
+def _churn_old(s: SparkSession, d: str) -> DataFrame:
+    return _t(s, d, "documents").select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+
+
+def _churn_new(s: SparkSession, d: str) -> DataFrame:
+    doc_id = F.col("doc_id")
+    return (
+        _t(s, d, "documents")
+        .filter(doc_id % 7 != 0)
+        .select(
+            F.concat(F.lit("u"), doc_id.cast("string")).alias("url"),
+            F.when(doc_id % 3 == 0, F.concat("text", F.lit(" churn tail extension appended")))
+            .when(doc_id % 3 == 2,
+                  F.concat(F.lit("completely rewritten r"),
+                           doc_id.cast("string"),
+                           F.lit(" fresh body now entirely new words")))
+            .otherwise(F.col("text")).alias("text"),
+        )
+    )
+
+
+_register(
+    "text_churn",
+    lambda s, d: dedup.crawl_text_churn(_churn_old(s, d), _churn_new(s, d)),
+    f"""
+    WITH old_snap AS (
+      SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+             list_distinct({_SHINGLE_SQL}) AS sh_old
+      FROM documents
+    ),
+    new_src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                    THEN text || ' churn tail extension appended'
+                  WHEN doc_id % 3 = 2
+                    THEN 'completely rewritten r' || CAST(doc_id AS VARCHAR)
+                         || ' fresh body now entirely new words'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 0
+    ),
+    new_snap AS (
+      SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+             list_distinct({_SHINGLE_SQL}) AS sh_new
+      FROM new_src
+    ),
+    j AS (
+      SELECT o.url,
+             CAST(len(sh_old) AS INT) AS n_sh_old,
+             CAST(len(sh_new) AS INT) AS n_sh_new,
+             CAST(len(list_intersect(sh_old, sh_new)) AS DOUBLE)
+               / len(list_distinct(list_concat(sh_old, sh_new))) AS j_raw
+      FROM old_snap o JOIN new_snap n ON o.url = n.url
+    )
+    SELECT url, n_sh_old, n_sh_new,
+           floor((j_raw) * 1e4 + 0.5) / 1e4 AS jaccard,
+           CAST(j_raw < 0.5 AS INT) AS drifted
+    FROM j
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering. The driver's artifact records the
 # FIRST 50 registry entries, so entries that most need a driver-green row
@@ -5846,6 +5994,13 @@ _WINDOW_TAIL = [
     "crawl_delays", "sitemap_urls", "latest_crawl_dedup",
     "target_mix_sample", "paragraph_dedup_keep_first", "bigram_pmi",
     "select_and_pack",
+    # rotated out as script_stats / text_churn entered (both r6-driver-
+    # green; perplexity_buckets' body in textstats.py and
+    # intra_doc_line_dedup's in dedup.py have zero diff this batch —
+    # the diffs are the script_profile / crawl_text_churn ADDITIONS —
+    # and quality_ensemble / paragraph_dedup stay IN covering those
+    # families):
+    "perplexity_buckets", "intra_doc_line_dedup",
 ]
 
 

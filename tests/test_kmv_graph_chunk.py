@@ -226,3 +226,61 @@ def test_chunk_dedup_flags_shared_boilerplate(spark):
     for i in range(4):  # shared 48-token prefix -> first chunk collides
         assert got[i]["n_dup_chunks"] >= 1, i
     assert got[9]["dup_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# script_profile / crawl_text_churn
+# ---------------------------------------------------------------------------
+
+def test_script_profile_dominant_and_fractions(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello plain english words"),
+         (2, "Привет мир русский текст"),
+         (3, "你好世界 こんにちは"),
+         (4, "مرحبا بالعالم"),
+         (5, "1234 5678 --- :::"),
+         (6, "mixed Привет hello world text")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           textstats.script_profile(docs).collect()}
+    assert got[1]["script"] == "latin" and got[1]["frac_latin"] == 1.0
+    assert got[2]["script"] == "cyrillic" and got[2]["n_latin"] == 0
+    assert got[3]["script"] == "cjk"
+    assert got[4]["script"] == "arabic"
+    assert got[5]["script"] == "none"
+    assert got[5]["frac_latin"] == 0.0 and got[5]["n_latin"] == 0
+    # mixed doc: latin letters outnumber the 6 cyrillic ones
+    assert got[6]["script"] == "latin"
+    assert got[6]["n_cyrillic"] == 6
+    assert 0 < got[6]["frac_cyrillic"] < got[6]["frac_latin"]
+
+
+def test_script_profile_accented_latin_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "Voilà déjà naïve œuvre")], "doc_id long, text string")
+    r = textstats.script_profile(docs).first()
+    # à é à ï œ all count as latin; × ÷ would not (excluded from class)
+    assert r["n_latin"] == len("Voilà déjà naïve œuvre") - 3  # 3 spaces
+    assert r["script"] == "latin"
+
+
+def test_crawl_text_churn_grades_drift(spark):
+    base = " ".join(f"w{i}" for i in range(30))
+    old = spark.createDataFrame(
+        [("u1", base), ("u2", base), ("u3", base), ("u4", base)],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("u1", base),                             # unchanged
+         ("u2", base + " tiny appended tail"),     # small drift
+         ("u3", " ".join(f"z{i}" for i in range(30))),  # rewrite
+         ("u5", base)],                            # added url: excluded
+        "url string, text string",
+    )
+    got = {r["url"]: r for r in
+           dedup.crawl_text_churn(old, new).collect()}
+    assert set(got) == {"u1", "u2", "u3"}  # inner-join contract
+    assert got["u1"]["jaccard"] == 1.0 and got["u1"]["drifted"] == 0
+    assert 0.5 < got["u2"]["jaccard"] < 1.0 and got["u2"]["drifted"] == 0
+    assert got["u3"]["jaccard"] == 0.0 and got["u3"]["drifted"] == 1
