@@ -122,6 +122,9 @@ HEADLINE = [
     "chunk_dedup_stats",
     "script_stats",
     "text_churn",
+    "phrase_search",
+    "trustrank",
+    "incremental_near_dup",
 ]
 
 

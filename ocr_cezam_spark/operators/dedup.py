@@ -1210,3 +1210,64 @@ def crawl_text_churn(old: DataFrame, new: DataFrame, url_col: str = "url",
             (j_raw < drift_below).cast("int").alias("drifted"),
         )
     )
+
+
+def incremental_near_dup(new_docs: DataFrame, corpus: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         k: int = MINHASH_K, bands: int = MINHASH_BANDS,
+                         threshold: float = 0.5) -> DataFrame:
+    """NEAR-dup admission for an ingest batch against an existing corpus
+    — the incremental counterpart of minhash_lsh_pairs the same way
+    incremental_dedup is the incremental counterpart of exact_dedup: a
+    daily crawl delta is checked against the 10^12-doc store WITHOUT
+    ever generating corpus x corpus (or new x new) candidates. Band keys
+    equi-join NEW against CORPUS only, so the per-ingest cost is
+    |new| x bands long-rows shuffled against the (pre-computable,
+    persistable) corpus band table — at production the corpus side is a
+    bucketed table written once per epoch and the join is shuffle-free
+    on the new side's repartition.
+
+    Returns (new_id, corpus_id, sim_est) for candidates whose full-
+    signature agreement >= threshold (threshold on the unrounded
+    fraction; emitted value rounded 4 dp), ordered by (new_id,
+    corpus_id). Same MINHASH_COEFFS as the batch pair generator — the
+    two operators' estimates are directly comparable.
+    """
+    r = k // bands
+
+    def banded(docs: DataFrame, tag: str) -> DataFrame:
+        sig = minhash_signature(docs, id_col, text_col, k)
+        band_arr = F.array(*[
+            F.concat_ws("|", *[
+                F.element_at("sig", b * r + j + 1).cast("string")
+                for j in range(r)
+            ])
+            for b in range(bands)
+        ])
+        return sig.select(
+            F.col(id_col).alias(f"{tag}_id"),
+            F.col("sig").alias(f"{tag}_sig"),
+            F.posexplode(band_arr).alias("band_idx", "band_key"),
+        )
+
+    nb = banded(new_docs, "new")
+    cb = banded(corpus, "corpus")
+    cand = (
+        nb.join(cb, ["band_idx", "band_key"])
+        .select("new_id", "corpus_id", "new_sig", "corpus_sig")
+        .distinct()
+    )
+    matches = F.size(F.filter(
+        F.zip_with("new_sig", "corpus_sig", lambda p, q: p == q),
+        lambda v: v,
+    ))
+    sim = matches / float(k)
+    return (
+        cand.select("new_id", "corpus_id", sim.alias("sim_raw"))
+        .filter(F.col("sim_raw") >= threshold)
+        .select(
+            "new_id", "corpus_id",
+            round_he("sim_raw", 4).alias("sim_est"),
+        )
+        .orderBy("new_id", "corpus_id")
+    )

@@ -259,10 +259,15 @@ def hits(links: DataFrame, iters: int = 3,
     the |hosts|-sized score frame — broadcast when hosts fit, sort-merge
     otherwise) + two aggregations on the opposite endpoint, plus two
     single-row normalization aggregates attached by crossJoin so the
-    whole unrolled computation stays ONE Catalyst plan (no per-iteration
-    driver actions — the pagerank_converged contrast). The edge
-    partitioning is reused across iterations. Scores rounded to 8 dp,
-    far above float accumulation error for web-sized sums.
+    unrolled computation needs no per-iteration driver actions (the
+    pagerank_converged contrast). The distinct edge list and the host
+    frame are localCheckpoint'ed before the loop (lazily — nothing
+    materializes until the caller's first action): each is referenced
+    2*iters times in the unrolled plan, and without the cut every
+    reference re-executes the upstream link derivation — 6+ rescans of
+    a corpus-sized input at web scale for iters=3 (the same lesson as
+    connected_components' edge checkpoint). Scores rounded to 8 dp, far
+    above float accumulation error for web-sized sums.
 
     Reference analog: none (ocr-cezam is per-document); pipeline
     extension like pagerank above.
@@ -274,7 +279,8 @@ def hits(links: DataFrame, iters: int = 3,
         )
     edges = links.select(
         F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
+    hosts = hosts.localCheckpoint(eager=False)
 
     def _l1(scores: DataFrame, col: str) -> DataFrame:
         total = scores.agg(F.sum(col).alias("_t"))
@@ -316,3 +322,61 @@ def hits(links: DataFrame, iters: int = 3,
         )
         .orderBy("host")
     )
+
+
+def trustrank(links: DataFrame, seeds: list[str], iters: int = 3,
+              damping: float = DAMPING, src_col: str = "src",
+              dst_col: str = "dst") -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004):
+    PageRank with the teleport vector concentrated on a human-vetted
+    seed set instead of uniform — trust flows out from the seeds along
+    links, so hosts reachable only from spam neighborhoods score near
+    zero no matter how densely they interlink. The spam-demotion prior
+    a crawl scheduler combines with plain PageRank (high PR + low trust
+    = link-farm signature; graph.hits exposes the same shape from the
+    hub side).
+
+    Same fixed-unrolled shape as ``pagerank`` (one |edges|-sized
+    equi-join + agg per iteration, ranks |hosts|-sized, one Catalyst
+    plan) with two deltas: teleport mass (1-d)/|seeds∩hosts| lands on
+    seed hosts only (seeds outside the graph are ignored), and ranks
+    initialize to the teleport vector. Driver state: the present-seed
+    count, one scalar. The degree-annotated edge frame and the host
+    frame are localCheckpoint'ed (lazily) before the loop — each is
+    referenced once per unrolled iteration, and without the cut every
+    reference re-executes the upstream link derivation (the hits /
+    connected_components lesson). Ranks rounded 8 dp; rank mass is NOT
+    1 when dangling hosts exist (same convention as ``pagerank`` —
+    documented there; the converged/dangling-aware variant pattern
+    applies equally if needed).
+    """
+    if not seeds:
+        raise ValueError("need at least one seed host")
+    hosts = _hosts(links, src_col, dst_col).localCheckpoint(eager=False)
+    n_seeds = hosts.filter(F.col("host").isin(seeds)).count()
+    if n_seeds == 0:  # no seed present in the graph: nothing is trusted
+        return hosts.select("host", F.lit(0.0).alias("rank"))
+    tele = F.when(
+        F.col("host").isin(seeds), F.lit((1.0 - damping) / n_seeds)
+    ).otherwise(F.lit(0.0))
+    deg = links.groupBy(src_col).agg(F.count("*").alias("outd"))
+    edges = links.join(deg, src_col).localCheckpoint(eager=False)
+    # init = the teleport vector scaled to unit mass (the standard
+    # TrustRank static score vector start)
+    ranks = hosts.select(
+        "host",
+        F.when(F.col("host").isin(seeds),
+               F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0)).alias("rank"),
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges[src_col] == ranks["host"])
+            .groupBy(F.col(dst_col).alias("host"))
+            .agg(F.sum(F.col("rank") / F.col("outd")).alias("s"))
+        )
+        ranks = hosts.join(contrib, "host", "left").select(
+            "host",
+            (tele + damping * F.coalesce(F.col("s"), F.lit(0.0)))
+            .alias("rank"),
+        )
+    return ranks.select("host", round_he("rank", 8).alias("rank"))

@@ -212,3 +212,61 @@ def bm25_multi_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
 def bm25_idf(n_docs: float, df: float) -> float:
     """Reference scalar for tests."""
     return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def phrase_search(docs: DataFrame, phrase: str,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact PHRASE matching via a positional index — the retrieval
+    capability bag-of-terms BM25 cannot express ("new york" as a unit,
+    quoted-query semantics, n-gram counting for decontamination by
+    phrase rather than by whole-doc digest).
+
+    Algorithm (the classic positional-postings intersection, re-shaped
+    shuffle-free beyond one aggregation): tokenize with positions, keep
+    ONLY tokens appearing in the phrase (the scan-level filter that
+    makes this cheap — phrase terms are a vanishing fraction of a web
+    corpus), and for each phrase slot i map a hit at position p to a
+    CANDIDATE ALIGNMENT (doc, start = p - i). A start where all m slots
+    are present is an exact occurrence: one hash aggregation on (doc,
+    start) counting distinct slots — no self-joins, no m-way join chain
+    (the textbook plan), no window. Repeated words in the phrase are
+    handled by the slot-distinct count (the same token hit can serve
+    two slots only at two different starts).
+
+    Returns (id, n_hits, first_start) per matching document, ordered by
+    id. Position arithmetic is on the whitespace token stream — the
+    same tokenization every other text operator here uses.
+    """
+    terms = [t for t in phrase.split(" ") if t != ""]
+    if not terms:
+        raise ValueError("empty phrase")
+    m = len(terms)
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    ).filter(F.col("tok").isin(terms))
+    # each phrase slot this token could fill -> candidate alignment
+    slots = F.array(*[
+        F.when(F.col("tok") == t, F.lit(i)).otherwise(F.lit(None))
+        for i, t in enumerate(terms)
+    ])
+    cand = toks.select(
+        "id",
+        F.explode(F.filter(slots, lambda s: s.isNotNull())).alias("slot"),
+        F.col("pos"),
+    ).select("id", "slot", (F.col("pos") - F.col("slot")).alias("start"))
+    hits = (
+        cand.filter(F.col("start") >= 0)
+        .groupBy("id", "start")
+        .agg(F.countDistinct("slot").alias("n_slots"))
+        .filter(F.col("n_slots") == m)
+    )
+    return (
+        hits.groupBy("id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min("start").alias("first_start"),
+        )
+        .orderBy("id")
+    )

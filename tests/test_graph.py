@@ -86,3 +86,53 @@ def test_pagerank_converged_stops_before_max_iters(spark):
     for h, w in want.items():
         assert abs(got[h] - w) < 1e-5, (h, got[h], w)
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def _numpy_trustrank(edges, seeds, damping=0.85, iters=4):
+    hosts = sorted({h for e in edges for h in e})
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    outd = np.zeros(n)
+    for s, _ in edges:
+        outd[idx[s]] += 1
+    m = np.zeros((n, n))
+    for s, d in edges:
+        m[idx[d], idx[s]] += 1.0 / outd[idx[s]]
+    present = [h for h in seeds if h in idx]
+    t = np.zeros(n)
+    for h in present:
+        t[idx[h]] = 1.0 / len(present)
+    r = t.copy()
+    for _ in range(iters):
+        r = (1 - damping) * t + damping * (m @ r)
+    return {h: r[idx[h]] for h in hosts}
+
+
+def test_trustrank_matches_numpy_and_ignores_absent_seeds(spark):
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    links = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = ["a", "zzz-not-in-graph"]
+    got = {r["host"]: r["rank"]
+           for r in graph.trustrank(links, seeds, iters=4).collect()}
+    want = _numpy_trustrank(edges, seeds)
+    assert set(got) == set(want)
+    for h, w in want.items():
+        assert abs(got[h] - w) < 1e-8, (h, got[h], w)
+    # d is not a seed and nothing links to it: zero trust (the spam-
+    # demotion property — dense out-linking buys d nothing)
+    assert got["d"] == 0.0
+
+
+def test_trustrank_no_present_seed_scores_all_zero(spark):
+    links = spark.createDataFrame([("x", "y")], ["src", "dst"])
+    got = graph.trustrank(links, ["absent"], iters=2).collect()
+    assert {r["host"] for r in got} == {"x", "y"}
+    assert all(r["rank"] == 0.0 for r in got)
+
+
+def test_trustrank_empty_seed_list_raises(spark):
+    import pytest
+
+    links = spark.createDataFrame([("x", "y")], ["src", "dst"])
+    with pytest.raises(ValueError):
+        graph.trustrank(links, [])

@@ -1867,3 +1867,43 @@ def test_hll_stream64_ignores_null_keys(spark, tmp_path):
     assert (row["hll_est"], row["n_regs"]) == (want["hll_est"],
                                                want["n_regs"])
     assert row["n_rows"] == 2  # nulls skipped, not counted
+
+
+def test_incremental_near_dup_admits_against_corpus_only(spark):
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "crawler fetches pages and extracts tokens for the corpus")
+    other = ("completely different content about spark shuffles and "
+             "partition pruning with nothing shared at the shingle level "
+             "whatsoever in any window of three words")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, other)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(101, base + " tail"), (102, "tiny unrelated note")],
+        ["doc_id", "text"],
+    )
+    got = {(r["new_id"], r["corpus_id"]): r["sim_est"]
+           for r in dedup.incremental_near_dup(new, corpus).collect()}
+    assert (101, 1) in got and got[(101, 1)] >= 0.5
+    # no corpus x corpus or new x new pairs by construction, and the
+    # unrelated delta doc admits cleanly
+    assert all(n >= 100 and c < 100 for n, c in got)
+    assert not any(n == 102 for n, _ in got)
+
+
+def test_incremental_near_dup_estimate_matches_batch_pair_generator(spark):
+    """The incremental admission and the batch pair generator share
+    MINHASH_COEFFS: the same (new, corpus) pair must get the SAME
+    sim_est from both operators."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    corpus = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(101, base + " extra")], ["doc_id", "text"]
+    )
+    inc = dedup.incremental_near_dup(new, corpus).collect()
+    both = corpus.unionByName(new)
+    batch = {(r["a"], r["b"]): r["sim_est"]
+             for r in dedup.minhash_lsh_pairs(both).collect()}
+    assert len(inc) == 1
+    assert abs(inc[0]["sim_est"] - batch[(1, 101)]) < 5e-5

@@ -526,3 +526,30 @@ def test_containment_pairs_equi_join_no_cartesian(spark):
     p = formatted_plan(D.containment_pairs(docs))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_incremental_near_dup_is_band_equi_join(spark):
+    """The delta-vs-corpus candidate join must be an equi-join on the
+    band key — never an all-pairs shape — and stay UDF-free."""
+    plan = formatted_plan(Q.QUERIES["incremental_near_dup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_phrase_search_single_aggregation_no_self_join(spark):
+    """Positional phrase matching compiles to scan -> filter-to-phrase-
+    terms -> one (id, start) aggregation: no m-way self-join chain (the
+    textbook positional-index plan) and no Python."""
+    plan = formatted_plan(Q.QUERIES["phrase_search"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    # no join at all: the slot trick replaces the per-term join chain
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_trustrank_stays_jvm_side(spark):
+    plan = formatted_plan(Q.QUERIES["trustrank"](spark, SF))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan

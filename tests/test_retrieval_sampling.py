@@ -268,3 +268,42 @@ def test_dsir_degenerate_pools_select_nothing(spark):
         [(1, "a b c", True)], "doc_id long, text string, is_target boolean"
     )
     assert dsir_select(all_target, k=5).count() == 0
+
+
+def test_phrase_search_exact_adjacent_occurrences(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "x new york city new york x"),  # two hits
+            (2, "new x york"),                  # terms present, not adjacent
+            (3, "york new"),                    # wrong order
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: (r["n_hits"], r["first_start"])
+           for r in retrieval.phrase_search(docs, "new york").collect()}
+    assert got == {1: (2, 1)}
+
+
+def test_phrase_search_repeated_terms_and_overlap(spark):
+    docs = spark.createDataFrame(
+        [(4, "b b b"), (5, "a b a b a"), (6, "b x b")],
+        ["doc_id", "text"],
+    )
+    # "b b" in "b b b": overlapping starts 0 and 1; a lone "b" must not
+    # fire (slot-distinct: the same token hit can't fill both slots at
+    # one start)
+    got = {r["id"]: (r["n_hits"], r["first_start"])
+           for r in retrieval.phrase_search(docs, "b b").collect()}
+    assert got == {4: (2, 0)}
+    # "a b a": starts 0 and 2 in doc 5 (shared middle "a" serves both)
+    got3 = {r["id"]: (r["n_hits"], r["first_start"])
+            for r in retrieval.phrase_search(docs, "a b a").collect()}
+    assert got3 == {5: (2, 0)}
+
+
+def test_phrase_search_empty_phrase_raises(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        retrieval.phrase_search(docs, " ")
