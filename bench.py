@@ -125,6 +125,13 @@ HEADLINE = [
     "phrase_search",
     "trustrank",
     "incremental_near_dup",
+    "resolve_redirects",
+    "host_boilerplate",
+    "recrawl_schedule",
+    "url_trap_stats",
+    "mirror_hosts",
+    "domain_token_quota",
+    "refresh_frontier",
 ]
 
 

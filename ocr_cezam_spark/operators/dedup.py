@@ -1271,3 +1271,134 @@ def incremental_near_dup(new_docs: DataFrame, corpus: DataFrame,
         )
         .orderBy("new_id", "corpus_id")
     )
+
+
+def host_boilerplate_strip(docs: DataFrame, id_col: str = "doc_id",
+                           host_col: str = "host", text_col: str = "text",
+                           min_frac: float = 0.5, min_docs: int = 2,
+                           sep: str = "\n") -> DataFrame:
+    """HOST-scoped template-line removal (the site-level complement to
+    corpus-wide ``paragraph_dedup``): a line appearing in >= ``min_frac``
+    of a host's documents — on a host with >= ``min_docs`` documents —
+    is site template (nav bars, cookie banners, footers) and is stripped
+    from every document of that host; the identical line on another host
+    is untouched. Global paragraph_dedup cannot express this locality: a
+    mid-size site's shared footer at 0.01% corpus frequency sails under
+    any global max_freq yet saturates its own host.
+
+    Scale shape: line document-frequencies aggregate on (host,
+    md5(line)) after a per-doc distinct (two-stage hash agg, partials
+    map-side); host doc counts are one |hosts|-sized agg joined back on
+    host (AQE broadcasts it). The template set is |hosts| x |template
+    lines| — vanishing vs the corpus — and the strip is ONE left-anti
+    equi-join on (host, digest), then the same bounded per-doc
+    reassembly as paragraph_dedup. Empty lines are layout, always kept;
+    every input doc survives (possibly with empty text) — the lineage
+    invariant shared with paragraph_dedup.
+
+    Returns (id, host, text_clean, n_removed).
+    """
+    lines = docs.select(
+        F.col(id_col), F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("lh", F.md5("line"))
+    md5_empty = "d41d8cd98f00b204e9800998ecf8427e"
+    host_n = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").alias("n_docs")
+    )
+    dfreq = (
+        lines.select("host", "lh", id_col).distinct()
+        .groupBy("host", "lh")
+        .agg(F.count("*").alias("df"))
+    )
+    boiler = (
+        dfreq.join(host_n, "host")
+        .filter(
+            (F.col("n_docs") >= min_docs)
+            & (F.col("df") >= F.col("n_docs") * F.lit(min_frac))
+            & (F.col("lh") != md5_empty)
+        )
+        .select("host", "lh")
+    )
+    kept = lines.join(boiler, ["host", "lh"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col, "host").agg(
+        F.count("*").alias("n_total")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col, "host",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            (F.col("n_total") - F.coalesce("n_kept", F.lit(0)))
+            .alias("n_removed"),
+        )
+    )
+
+
+def mirror_hosts(pages: DataFrame, host_col: str = "host",
+                 digest_col: str = "digest", min_shared: int = 5,
+                 min_frac: float = 0.5,
+                 max_hosts_per_digest: int = 50) -> DataFrame:
+    """Mirror / CDN-alias detection at the HOST level: flag host pairs
+    whose content-digest sets overlap heavily — the signal that lets a
+    crawler stop fetching mirrors.example.org when it already holds
+    ftp.example.org, a whole tier above document dedup (which would
+    still fetch every mirrored page before discarding it).
+
+    Candidate generation is the inverted-index equi-join on digest —
+    never host x host — with the stop-digest cap from containment_pairs:
+    a digest served by more than ``max_hosts_per_digest`` hosts is
+    boilerplate (empty page, soft-404 template) and generates
+    cap-squared candidates for zero mirror signal, so it is dropped
+    BEFORE the join (fail-open: capped digests can only lower
+    overlap_frac, never fabricate a mirror). Pair counts aggregate on
+    (host_a, host_b) — bounded by true shared mass, not corpus size.
+    Host sizes come from the UNCAPPED distinct sets, so the containment
+    denominator stays honest.
+
+    Returns (host_a, host_b, n_shared, overlap_frac) where overlap_frac
+    = shared / min(|A|, |B|) (containment of the smaller side — catches
+    a partial mirror of a large site), filtered to n_shared >=
+    min_shared AND unrounded frac >= min_frac, emitted rounded 4 dp.
+    """
+    hd = pages.select(
+        F.col(host_col).alias("host"), F.col(digest_col).alias("d")
+    ).distinct()
+    sizes = hd.groupBy("host").agg(F.count("*").alias("n"))
+    keep_d = (
+        hd.groupBy("d").agg(F.count("*").alias("nh"))
+        .filter(F.col("nh") <= max_hosts_per_digest)
+        .select("d")
+    )
+    capped = hd.join(keep_d, "d")
+    pairs = (
+        capped.select("d", F.col("host").alias("host_a"))
+        .join(capped.select("d", F.col("host").alias("host_b")), "d")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    frac = F.col("n_shared") / F.least("na", "nb")
+    return (
+        pairs
+        .join(sizes.select(F.col("host").alias("host_a"),
+                           F.col("n").alias("na")), "host_a")
+        .join(sizes.select(F.col("host").alias("host_b"),
+                           F.col("n").alias("nb")), "host_b")
+        .filter((F.col("n_shared") >= min_shared) & (frac >= min_frac))
+        .select(
+            "host_a", "host_b", "n_shared",
+            round_he(frac, 4).alias("overlap_frac"),
+        )
+        .orderBy("host_a", "host_b")
+    )

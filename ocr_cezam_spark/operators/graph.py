@@ -380,3 +380,71 @@ def trustrank(links: DataFrame, seeds: list[str], iters: int = 3,
             .alias("rank"),
         )
     return ranks.select("host", round_he("rank", 8).alias("rank"))
+
+
+def resolve_redirects(edges: DataFrame, max_hops: int = 32,
+                      src_col: str = "src",
+                      dst_col: str = "dst") -> DataFrame:
+    """Redirect-chain resolution by POINTER DOUBLING: each source url
+    resolves to its terminal target (a url with no outgoing redirect)
+    in ceil(log2(max_hops)) self-join rounds instead of max_hops
+    sequential ones — the difference between 5 shuffles and 32 at the
+    crawl-store design point, where 3xx chains must collapse before
+    dedup/frontier admission so mirror urls key to one canonical page.
+
+    Per round, every pointer jumps to its pointer's pointer (hops add),
+    so reachable-within-max_hops chains terminate in O(log max_hops)
+    rounds; each round's frame is localCheckpoint'ed (lazily) — the
+    self-join doubles the lineage per round, the same analyze-time
+    blowup build_training_corpus documents. Multiple out-edges per src
+    collapse to min(dst) first (deterministic; real redirect stores are
+    already functional). A chain that has not terminated after the
+    rounds (length > max_hops, i.e. a redirect CYCLE at any sane cap)
+    reports is_cycle=1 with NULL final_url/hops — fail-visible, never
+    an arbitrary member of the loop.
+
+    Returns one row per distinct source: (url, final_url, hops,
+    is_cycle), hops = exact chain length for terminated rows.
+
+    Reference analog: none (ocr-cezam is per-document); crawl-side
+    pipeline extension like frontier_next.
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    f = (
+        edges.groupBy(F.col(src_col).alias("node"))
+        .agg(F.min(dst_col).alias("cur"))
+        .withColumn("hops", F.lit(1).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    rounds = max(1, (max_hops - 1).bit_length())  # 2^rounds >= max_hops
+    for _ in range(rounds):
+        nxt = f.select(
+            F.col("node").alias("j_node"),
+            F.col("cur").alias("j_cur"),
+            F.col("hops").alias("j_hops"),
+        )
+        f = (
+            f.join(nxt, f["cur"] == nxt["j_node"], "left")
+            .select(
+                "node",
+                F.coalesce("j_cur", "cur").alias("cur"),
+                (F.col("hops") + F.coalesce("j_hops", F.lit(0)))
+                .alias("hops"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    srcs = f.select(F.col("node").alias("s_node")).distinct()
+    return (
+        f.join(srcs, f["cur"] == srcs["s_node"], "left")
+        .select(
+            F.col("node").alias("url"),
+            F.when(F.col("s_node").isNull() & (F.col("hops") <= max_hops),
+                   F.col("cur")).alias("final_url"),
+            F.when(F.col("s_node").isNull() & (F.col("hops") <= max_hops),
+                   F.col("hops")).alias("hops"),
+            (F.col("s_node").isNotNull() | (F.col("hops") > max_hops))
+            .cast("int").alias("is_cycle"),
+        )
+        .orderBy("url")
+    )

@@ -269,3 +269,175 @@ def build_training_corpus(docs: DataFrame, budget_tokens: int,
     return select_and_pack(chosen, budget_tokens, pack=pack,
                            n_shards=n_shards, id_col=id_col,
                            text_col=text_col)
+
+
+def recrawl_schedule(history: DataFrame, url_col: str = "url",
+                     snap_col: str = "snap",
+                     digest_col: str = "digest") -> DataFrame:
+    """Adaptive recrawl scheduling from snapshot history (Cho &
+    Garcia-Molina, TOIT 2003): per url, estimate the Poisson change
+    rate from "did the content digest change between consecutive
+    visits" observations with the bias-reduced estimator
+
+        lambda_hat = -ln((n - X + 0.5) / (n + 0.5))
+
+    (n = observation intervals, X = changed intervals; the +0.5 terms
+    keep the all-changed case finite and shrink the small-n bias). A
+    scheduler revisits high-lambda urls first — the graded, per-url
+    refinement of crawl_churn's snapshot-pair flag, feeding the same
+    frontier that fetch_schedule packs.
+
+    Scale shape: one lag window PARTITIONED BY url — safe here where a
+    corpus-wide window is not, because a partition is bounded by the
+    crawl count (dozens), never by corpus size — then one hash
+    aggregation on url. Urls seen once (n = 0) emit NULL lambda_hat
+    (no evidence), not 0 (evidence of stability).
+
+    Returns (url, n_intervals, n_changes, lambda_hat) with lambda_hat
+    rounded 4 dp (the unigram_logprob ln convention).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.numeric import round_he
+
+    w = Window.partitionBy(url_col).orderBy(snap_col)
+    obs = history.select(
+        F.col(url_col).alias("url"),
+        (F.col(digest_col) != F.lag(digest_col).over(w))
+        .cast("int").alias("chg"),
+    )
+    agg = obs.groupBy("url").agg(
+        F.count("chg").alias("n_intervals"),
+        F.coalesce(F.sum("chg"), F.lit(0)).alias("n_changes"),
+    )
+    n = F.col("n_intervals").cast("double")
+    x = F.col("n_changes").cast("double")
+    lam = -F.log((n - x + 0.5) / (n + 0.5))
+    return agg.select(
+        "url", "n_intervals", "n_changes",
+        F.when(F.col("n_intervals") > 0, round_he(lam, 4))
+        .alias("lambda_hat"),
+    ).orderBy("url")
+
+
+def url_trap_stats(pages: DataFrame, url_col: str = "url",
+                   digest_col: str = "digest", min_urls: int = 20,
+                   min_ratio: float = 10.0) -> DataFrame:
+    """Crawler-trap detection by URL-template mining: collapse every
+    path's digit runs to 'N' (``/cal/2026/08/31`` -> ``/cal/N/N/N``),
+    aggregate per (host, template), and flag templates where many
+    distinct urls serve few distinct contents — the calendar /
+    session-id / pagination-trap signature that wastes fetch budget at
+    crawl scale (n_urls >= min_urls and n_urls >= min_ratio *
+    n_contents). frontier_next callers anti-join flagged templates
+    before scheduling.
+
+    Scale shape: host/template/path are pure codegen'd regexps at scan
+    speed (the digit class [0-9]+ compiles identically under Java
+    regex and RE2); then ONE hash aggregation on (host, template) with
+    two distinct-counts (two-stage agg, partials map-side). No joins,
+    no windows, no UDFs.
+
+    Returns flagged (host, template, n_urls, n_contents, urls_per_content
+    rounded 2 dp), ordered by n_urls desc then host/template.
+    """
+    from ..functions.numeric import round_he
+    from ..functions.url import url_host
+
+    path = F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    template = F.regexp_replace(path, "[0-9]+", "N")
+    agg = (
+        pages.select(
+            url_host(F.col(url_col)).alias("host"),
+            template.alias("template"),
+            F.col(url_col).alias("u"),
+            F.col(digest_col).alias("d"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.countDistinct("u").alias("n_urls"),
+            F.countDistinct("d").alias("n_contents"),
+        )
+    )
+    return (
+        agg.filter(
+            (F.col("n_urls") >= min_urls)
+            & (F.col("n_urls")
+               >= F.lit(min_ratio) * F.col("n_contents"))
+        )
+        .select(
+            "host", "template", "n_urls", "n_contents",
+            round_he(F.col("n_urls") / F.col("n_contents"), 2)
+            .alias("urls_per_content"),
+        )
+        .orderBy(F.desc("n_urls"), "host", "template")
+    )
+
+
+def refresh_frontier(history: DataFrame, robots: DataFrame,
+                     agent: str | None = None,
+                     default_delay: float = 1.0,
+                     top_k_per_host: int = 3) -> DataFrame:
+    """The RE-crawl side of the loop (frontier_next discovers NEW urls;
+    this schedules revisits to urls already held): snapshot history ->
+    per-url Poisson change rate (recrawl_schedule) -> robots re-check
+    (rules change between crawls; yesterday's admission is not
+    standing consent) -> per-host top-k by change-rate-per-unit-delay.
+
+    priority = lambda_hat / (delay_sec + 1): a page changing 2x/epoch
+    behind a 10 s crawl delay is worth less fetch budget than one
+    changing 1x/epoch behind no delay — the same worth-per-budget rule
+    as frontier_next's rank/(delay+1). Urls with no change evidence
+    (single visit, lambda NULL) are EXCLUDED: discovery already
+    fetched them once; a revisit needs a reason.
+
+    Scale shape: recrawl_schedule's url-bounded window + one agg; one
+    host-keyed join each for robots admission and delays (rules side
+    deliberately not hint-broadcast, same as frontier_next); per-host
+    top-k as a row_number filter that compiles to WindowGroupLimit.
+    No driver state at all (pagerank is frontier_next's concern —
+    refresh priority is evidence of CHANGE, not authority).
+
+    Output: (url, host, lambda_hat, delay_sec, refresh_pos, priority),
+    priority rounded 8 dp.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.numeric import round_he
+    from ..functions.url import url_host
+    from .robots import crawl_delays, robots_filter
+
+    rates = recrawl_schedule(history).filter(
+        F.col("lambda_hat").isNotNull()
+    ).select("url", "lambda_hat")
+    admitted = (
+        robots_filter(rates.select("url"), robots, agent=agent)
+        .filter(F.col("allowed") == 1)
+        .select("url")
+    )
+    delays = crawl_delays(robots, default_delay=default_delay, agent=agent)
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority_raw").desc(), F.col("url").asc()
+    )
+    return (
+        rates.join(admitted, "url")
+        .withColumn("host", url_host(F.col("url")))
+        .join(delays, "host", "left")
+        .select(
+            "url", "host", "lambda_hat",
+            F.coalesce("delay_sec", F.lit(float(default_delay)))
+            .alias("delay_sec"),
+        )
+        .withColumn(
+            "priority_raw",
+            F.col("lambda_hat") / (F.col("delay_sec") + 1.0),
+        )
+        .withColumn("refresh_pos", F.row_number().over(w))
+        .filter(F.col("refresh_pos") <= top_k_per_host)
+        .select(
+            "url", "host", "lambda_hat", "delay_sec", "refresh_pos",
+            round_he("priority_raw", 8).alias("priority"),
+        )
+    )

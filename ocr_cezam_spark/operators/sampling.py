@@ -387,3 +387,47 @@ def weighted_sample(docs: DataFrame, k: int = 100,
         .limit(k)
         .select(id_col, "w", round_he(F.col("k_raw"), 6).alias("key"))
     )
+
+
+def domain_token_quota(docs: DataFrame, quota: int,
+                       id_col: str = "doc_id", domain_col: str = "domain",
+                       text_col: str = "text") -> DataFrame:
+    """Per-DOMAIN token cap (the Dolma/C4-style anti-domination rule
+    token_budget_select cannot express: a single giant domain must not
+    fill the global budget however good its quality scores): within
+    each domain, keep documents in deterministic (id asc) order while
+    the domain's running token total stays within ``quota``.
+
+    Scale shape: zero-token docs drop first (they consume no quota and
+    carry no signal), so every counted doc holds >= 1 token and a doc
+    at within-domain position r has cum >= r — ``row_number() <=
+    quota`` is therefore a sound pre-filter, and Spark compiles it to
+    WindowGroupLimit: each map task emits at most ``quota`` rows per
+    domain BEFORE the exchange, so a 10^8-page domain ships ~quota
+    rows, not 10^8, into the running-sum sort. (InferWindowGroupLimit
+    only fires while the limit is <= spark.sql.window.group.limit.
+    threshold, default 1000 — a deployment running token quotas above
+    that raises the threshold to the quota; the filter itself is
+    correct either way, the setting only gates the map-side prune.) The cumulative sum then
+    rides the SAME window spec (one sort, two window functions). The
+    caller supplies the domain column (functions.url.registered_domain
+    for PSL-correct keys — mis-keying on raw host splits a quota
+    across www./m./cdn. aliases).
+
+    Output: (id, domain, n_tokens, cum_tokens) for kept docs.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = docs.select(
+        F.col(id_col),
+        F.col(domain_col).alias("domain"),
+        F.size(words).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy("domain").orderBy(F.col(id_col).asc())
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota)  # WindowGroupLimit map-side prune
+        .withColumn("cum_tokens", F.sum("n_tokens").over(wsum))
+        .filter(F.col("cum_tokens") <= quota)
+        .select(id_col, "domain", "n_tokens", "cum_tokens")
+    )

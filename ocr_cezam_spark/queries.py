@@ -5978,6 +5978,485 @@ def _inc_near_oracle() -> str:
 _register("incremental_near_dup", _inc_near_q, _inc_near_oracle())
 
 
+# ===========================================================================
+# Round-7 continuation batch 4: redirect-chain resolution (pointer
+# doubling), host-scoped boilerplate stripping, adaptive recrawl
+# scheduling (Poisson change rate), and crawler-trap template mining.
+# ===========================================================================
+
+# Redirect fixture: u{id} -> u{id//2} chains of ~log2(id) hops all
+# terminating at u0 (the only node without an out-edge), plus one
+# injected 3-cycle that must fail visible (is_cycle=1, NULL final).
+_REDIR_MAX_HOPS = 32
+
+
+def _redirects_q(s: SparkSession, d: str) -> DataFrame:
+    chain = _t(s, d, "documents").filter(F.col("doc_id") >= 1).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(F.lit("u"), F.shiftright("doc_id", 1).cast("string"))
+        .alias("dst"),
+    )
+    cyc = s.createDataFrame(
+        [("c0", "c1"), ("c1", "c2"), ("c2", "c0")], ["src", "dst"]
+    )
+    return graph.resolve_redirects(
+        chain.unionByName(cyc), max_hops=_REDIR_MAX_HOPS
+    )
+
+
+def _redirects_oracle(max_hops: int = _REDIR_MAX_HOPS) -> str:
+    """Sequential recursive-CTE walk twin (the oracle can afford one hop
+    per recursion level; the Spark side must not): terminal = the walk
+    row within the hop cap whose cursor has no out-edge."""
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT src, min(dst) AS dst FROM (
+        SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+               'u' || CAST(doc_id // 2 AS VARCHAR) AS dst
+        FROM documents WHERE doc_id >= 1
+        UNION ALL
+        SELECT * FROM (VALUES ('c0','c1'),('c1','c2'),('c2','c0'))
+          v(src, dst)
+      ) GROUP BY src
+    ),
+    walk(src, cur, hops) AS (
+      SELECT src, dst, 1 FROM e
+      UNION ALL
+      SELECT w.src, e2.dst, w.hops + 1
+      FROM walk w JOIN e e2 ON w.cur = e2.src
+      WHERE w.hops <= {max_hops}
+    ),
+    term AS (
+      SELECT w.src, w.cur, w.hops FROM walk w
+      WHERE w.hops <= {max_hops}
+        AND NOT EXISTS (SELECT 1 FROM e x WHERE x.src = w.cur)
+    )
+    SELECT e.src AS url, t.cur AS final_url,
+           CAST(t.hops AS BIGINT) AS hops,
+           CASE WHEN t.src IS NULL THEN 1 ELSE 0 END AS is_cycle
+    FROM e LEFT JOIN term t ON e.src = t.src
+    """
+
+
+_register("resolve_redirects", _redirects_q, _redirects_oracle())
+
+
+# Boilerplate fixture: every doc of a host shares a nav line (df = 100%,
+# stripped); alternating 20-blocks share a footer (df ~ 50%, sits ON the
+# min_frac boundary — deterministic either way, both engines agree); the
+# body and the 'sig' line are unique (kept).
+def _boiler_docs(s: SparkSession, d: str) -> DataFrame:
+    did = F.col("doc_id")
+    return _t(s, d, "documents").select(
+        "doc_id", F.col("source").alias("host"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("nav "), "source", F.lit(" home")),
+            F.col("text"),
+            F.when(F.floor(did / 20) % 2 == 0,
+                   F.concat(F.lit("footer "), F.col("source")))
+            .otherwise(F.concat(F.lit("sig "), did.cast("string"))),
+        ).alias("text"),
+    )
+
+
+_register(
+    "host_boilerplate",
+    lambda s, d: dedup.host_boilerplate_strip(_boiler_docs(s, d)),
+    """
+    WITH d AS (
+      SELECT doc_id, source AS host,
+             'nav ' || source || ' home' || chr(10) || text || chr(10) ||
+             CASE WHEN (doc_id // 20) % 2 = 0 THEN 'footer ' || source
+                  ELSE 'sig ' || CAST(doc_id AS VARCHAR) END AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, host,
+             unnest(range(len(string_split(text, chr(10))))) AS pos,
+             unnest(string_split(text, chr(10))) AS line
+      FROM d
+    ),
+    host_n AS (SELECT host, count(*) AS n_docs FROM d GROUP BY host),
+    dfreq AS (
+      SELECT host, line, count(DISTINCT doc_id) AS df
+      FROM lines GROUP BY host, line
+    ),
+    boiler AS (
+      SELECT f.host, f.line FROM dfreq f JOIN host_n h USING (host)
+      WHERE h.n_docs >= 2 AND f.df >= h.n_docs * 0.5 AND f.line <> ''
+    ),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM lines l
+      WHERE NOT EXISTS (SELECT 1 FROM boiler b
+                        WHERE b.host = l.host AND b.line = l.line)
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (
+      SELECT doc_id, host, count(*) AS n_total
+      FROM lines GROUP BY doc_id, host
+    )
+    SELECT t.doc_id, t.host, coalesce(r.text_clean, '') AS text_clean,
+           t.n_total - coalesce(r.n_kept, 0) AS n_removed
+    FROM tot t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+)
+
+
+# Recrawl fixture: 4 snapshots per url; the digest changes every
+# floor(snap/p) tick with period p in {1,2,4} by doc_id % 3 — three
+# distinct, deterministic lambda_hat levels (1.9459 / 0.8473 / 0.3365).
+def _recrawl_q(s: SparkSession, d: str) -> DataFrame:
+    did = F.col("doc_id")
+    p = (F.when(did % 3 == 0, 1).when(did % 3 == 1, 2).otherwise(4))
+    base = _t(s, d, "documents").select(
+        F.concat(F.lit("u"), did.cast("string")).alias("url"),
+        p.alias("p"),
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("snap"),
+    )
+    hist = base.select(
+        "url", "snap",
+        F.md5(F.concat(
+            "url", F.lit("|"),
+            F.floor(F.col("snap") / F.col("p")).cast("string"),
+        )).alias("digest"),
+    )
+    return pipeline.recrawl_schedule(hist)
+
+
+_register(
+    "recrawl_schedule",
+    _recrawl_q,
+    """
+    WITH hist AS (
+      SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+             t.s AS snap,
+             md5('u' || CAST(doc_id AS VARCHAR) || '|' ||
+                 CAST(t.s // (CASE doc_id % 3 WHEN 0 THEN 1
+                              WHEN 1 THEN 2 ELSE 4 END) AS VARCHAR))
+               AS digest
+      FROM documents, range(1, 5) t(s)
+    ),
+    lagd AS (
+      SELECT url, digest,
+             lag(digest) OVER (PARTITION BY url ORDER BY snap) AS prev
+      FROM hist
+    ),
+    agg AS (
+      SELECT url, count(prev) AS n_intervals,
+             CAST(coalesce(sum(CASE WHEN digest <> prev THEN 1 ELSE 0 END),
+                           0) AS BIGINT) AS n_changes
+      FROM lagd GROUP BY url
+    )
+    SELECT url, n_intervals, n_changes,
+           CASE WHEN n_intervals > 0 THEN
+             floor((-ln((n_intervals - n_changes + 0.5)
+                        / (n_intervals + 0.5))) * 1e4 + 0.5) / 1e4
+           END AS lambda_hat
+    FROM agg
+    """,
+)
+
+
+# Trap fixture: every 4th doc lands on a per-host calendar template
+# ('/cal/N/N', many urls one digest -> flagged); the rest are normal
+# pages ('/p/N', one digest each -> ratio 1, never flagged).
+def _trap_q(s: SparkSession, d: str) -> DataFrame:
+    did = F.col("doc_id")
+    url = (
+        F.when(did % 4 == 0, F.concat(
+            F.lit("http://"), "source", F.lit(".example/cal/20"),
+            (did % 30).cast("string"), F.lit("/"),
+            did.cast("string")))
+        .otherwise(F.concat(
+            F.lit("http://"), "source", F.lit(".example/p/"),
+            did.cast("string")))
+    )
+    dig = (
+        F.when(did % 4 == 0, F.md5(F.col("source")))
+        .otherwise(F.md5(did.cast("string")))
+    )
+    pages = _t(s, d, "documents").select(
+        url.alias("url"), dig.alias("digest")
+    )
+    return pipeline.url_trap_stats(pages, min_urls=5, min_ratio=3.0)
+
+
+_register(
+    "url_trap_stats",
+    _trap_q,
+    f"""
+    WITH pages AS (
+      SELECT CASE WHEN doc_id % 4 = 0
+                  THEN 'http://' || source || '.example/cal/20'
+                       || CAST(doc_id % 30 AS VARCHAR) || '/'
+                       || CAST(doc_id AS VARCHAR)
+                  ELSE 'http://' || source || '.example/p/'
+                       || CAST(doc_id AS VARCHAR) END AS url,
+             CASE WHEN doc_id % 4 = 0 THEN md5(source)
+                  ELSE md5(CAST(doc_id AS VARCHAR)) END AS digest
+      FROM documents
+    ),
+    t AS (
+      SELECT {_FRONTIER_HOST.format(u='url')} AS host,
+             regexp_replace(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+               '[0-9]+', 'N', 'g') AS template,
+             url, digest
+      FROM pages
+    ),
+    agg AS (
+      SELECT host, template, count(DISTINCT url) AS n_urls,
+             count(DISTINCT digest) AS n_contents
+      FROM t GROUP BY host, template
+    )
+    SELECT host, template, n_urls, n_contents,
+           floor((CAST(n_urls AS DOUBLE) / n_contents) * 1e2 + 0.5) / 1e2
+             AS urls_per_content
+    FROM agg
+    WHERE n_urls >= 5 AND n_urls >= 3.0 * n_contents
+    """,
+)
+
+
+# ===========================================================================
+# Round-7 continuation batch 5: host-level mirror detection and per-domain
+# token quotas.
+# ===========================================================================
+
+# Mirror fixture: host src_k serves digests keyed (ckey, k%4) — the five
+# hosts of each k%4 group are FULL mirrors (frac 1.0, flagged); every
+# third ckey keys on k%2 instead, giving same-parity/different-group host
+# pairs a ~1/3 PARTIAL overlap that must stay below min_frac (in-data
+# negative case).
+def _mirror_q(s: SparkSession, d: str) -> DataFrame:
+    did = F.col("doc_id")
+    ckey = F.floor(did / 20)
+    grp = F.when(ckey % 3 == 0, (did % 20) % 2).otherwise((did % 20) % 4)
+    pages = _t(s, d, "documents").select(
+        F.col("source").alias("host"),
+        F.md5(F.concat(ckey.cast("string"), F.lit("|"),
+                       grp.cast("string"))).alias("digest"),
+    )
+    return dedup.mirror_hosts(pages, min_shared=2, min_frac=0.5)
+
+
+_register(
+    "mirror_hosts",
+    _mirror_q,
+    """
+    WITH pages AS (
+      SELECT source AS host,
+             md5(CAST(doc_id // 20 AS VARCHAR) || '|' ||
+                 CAST(CASE WHEN (doc_id // 20) % 3 = 0
+                      THEN (doc_id % 20) % 2
+                      ELSE (doc_id % 20) % 4 END AS VARCHAR)) AS digest
+      FROM documents
+    ),
+    hd AS (SELECT DISTINCT host, digest FROM pages),
+    sizes AS (SELECT host, count(*) AS n FROM hd GROUP BY host),
+    keep_d AS (
+      SELECT digest FROM hd GROUP BY digest HAVING count(*) <= 50
+    ),
+    capped AS (SELECT hd.* FROM hd JOIN keep_d USING (digest)),
+    pairs AS (
+      SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_shared
+      FROM capped a JOIN capped b USING (digest)
+      WHERE a.host < b.host
+      GROUP BY a.host, b.host
+    )
+    SELECT p.host_a, p.host_b, p.n_shared,
+           floor((CAST(p.n_shared AS DOUBLE) / least(sa.n, sb.n))
+                 * 1e4 + 0.5) / 1e4 AS overlap_frac
+    FROM pairs p
+    JOIN sizes sa ON p.host_a = sa.host
+    JOIN sizes sb ON p.host_b = sb.host
+    WHERE p.n_shared >= 2
+      AND CAST(p.n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+    """,
+)
+
+
+# Quota fixture: three PSL shapes (co.uk two-label suffix, github.io
+# private suffix, fr country TLD) x 5 -> 15 registered domains; oracle
+# restates the expected domain from the same host construction (the PSL
+# algorithm itself is pytest- and registered_domain_stats-verified).
+_DOMAIN_QUOTA = 800
+
+
+def _domain_quota_q(s: SparkSession, d: str) -> DataFrame:
+    from .functions.url import registered_domain
+
+    did = F.col("doc_id")
+    k = (did % 5).cast("string")
+    host = (
+        F.when(did % 3 == 0, F.concat(F.lit("www.blog"), k, F.lit(".co.uk")))
+        .when(did % 3 == 1, F.concat(F.lit("u"), k, F.lit(".github.io")))
+        .otherwise(F.concat(F.lit("news"), k, F.lit(".fr")))
+    )
+    pages = _t(s, d, "documents").select(
+        "doc_id", "text",
+        F.concat(F.lit("https://"), host, F.lit("/p/"), did).alias("url"),
+    ).select(
+        "doc_id", "text",
+        registered_domain(F.col("url")).alias("domain"),
+    )
+    return sampling.domain_token_quota(pages, quota=_DOMAIN_QUOTA)
+
+
+_register(
+    "domain_token_quota",
+    _domain_quota_q,
+    f"""
+    WITH u AS (
+      SELECT doc_id, text,
+        CASE doc_id % 3
+          WHEN 0 THEN 'blog' || (doc_id % 5) || '.co.uk'
+          WHEN 1 THEN 'u' || (doc_id % 5) || '.github.io'
+          ELSE 'news' || (doc_id % 5) || '.fr' END AS domain
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, domain,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w <> '')) AS BIGINT) AS n_tokens
+      FROM u
+    ),
+    pos AS (
+      SELECT doc_id, domain, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY domain ORDER BY doc_id)
+                  AS BIGINT) AS cum_tokens
+      FROM tok WHERE n_tokens > 0
+    )
+    SELECT doc_id, domain, n_tokens, cum_tokens
+    FROM pos WHERE cum_tokens <= {_DOMAIN_QUOTA}
+    """,
+)
+
+
+# ===========================================================================
+# Round-7 continuation batch 6: the re-crawl composition — change-rate
+# evidence x robots re-check x per-host budget, the revisit counterpart
+# of frontier_next's discovery chain.
+# ===========================================================================
+
+# Fixture: urls on 20 hosts, every 5th on a '/old/...' path; md5-selected
+# hosts publish 'Disallow: /old' plus a 0-2 s crawl-delay (the
+# frontier_next robots conventions); 4 snapshots per url with digest
+# change periods {1,2,4} by doc_id % 3 (the recrawl_schedule fixture).
+def _refresh_q(s: SparkSession, d: str) -> DataFrame:
+    did = F.col("doc_id")
+    path = (
+        F.when(did % 5 == 0, F.concat(F.lit("/old/"), did.cast("string")))
+        .otherwise(F.concat(F.lit("/p/"), did.cast("string")))
+    )
+    url = F.concat(F.lit("http://src"), (did % 20).cast("string"),
+                   F.lit(".example"), path)
+    p = F.when(did % 3 == 0, 1).when(did % 3 == 1, 2).otherwise(4)
+    base = _t(s, d, "documents").select(url.alias("url"), p.alias("p"))
+    hist = base.select(
+        "url", "p",
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("snap"),
+    ).select(
+        "url", "snap",
+        F.md5(F.concat(
+            "url", F.lit("|"),
+            F.floor(F.col("snap") / F.col("p")).cast("string"),
+        )).alias("digest"),
+    )
+    hosts_all = _t(s, d, "documents").select(
+        F.concat(F.lit("src"), (did % 20).cast("string"),
+                 F.lit(".example")).alias("host")
+    ).distinct()
+    host_sel = F.conv(F.substring(F.md5("host"), 1, 2), 16, 10).cast("int")
+    dly = (F.conv(F.substring(F.md5(F.col("host")), 3, 1), 16, 10)
+           .cast("int") % 3).cast("string")
+    robots = hosts_all.filter(host_sel % 2 == 0).select(
+        "host",
+        F.concat(F.lit("User-agent: *\nDisallow: /old\nCrawl-delay: "),
+                 dly, F.lit("\n")).alias("robots_txt"),
+    )
+    return pipeline.refresh_frontier(hist, robots, top_k_per_host=3)
+
+
+def _refresh_oracle() -> str:
+    """Restates every stage from first principles: the lambda estimator
+    over the same 4-snapshot history, robots as a plain '/old' prefix
+    test on the md5-selected hosts (the full parser chain is
+    cross-checked by robots_filter/_agent), delays from the same md5
+    nibble, priority/top-k as one window."""
+    return """
+    WITH u AS (
+      SELECT doc_id,
+             'http://src' || CAST(doc_id % 20 AS VARCHAR) || '.example' ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN '/old/' || CAST(doc_id AS VARCHAR)
+                  ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS url,
+             'src' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host,
+             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS p,
+             doc_id % 5 = 0 AS is_old
+      FROM documents
+    ),
+    hist AS (
+      SELECT url, host, is_old, t.s AS snap,
+             md5(url || '|' || CAST(t.s // p AS VARCHAR)) AS digest
+      FROM u, range(1, 5) t(s)
+    ),
+    lagd AS (
+      SELECT url, host, is_old, digest,
+             lag(digest) OVER (PARTITION BY url ORDER BY snap) AS prev
+      FROM hist
+    ),
+    rates AS (
+      SELECT url, host, is_old,
+             count(prev) AS n,
+             CAST(coalesce(sum(CASE WHEN digest <> prev THEN 1 ELSE 0 END),
+                           0) AS BIGINT) AS x
+      FROM lagd GROUP BY url, host, is_old
+    ),
+    lam AS (
+      SELECT url, host, is_old,
+             floor((-ln((n - x + 0.5) / (n + 0.5))) * 1e4 + 0.5) / 1e4
+               AS lambda_hat
+      FROM rates WHERE n > 0
+    ),
+    rsel AS (
+      SELECT host,
+             CAST(CAST(concat('0x', substring(md5(host), 3, 1)) AS INT) % 3
+                  AS DOUBLE) AS delay_sec
+      FROM (SELECT DISTINCT host FROM u)
+      WHERE CAST(concat('0x', substring(md5(host), 1, 2)) AS INT) % 2 = 0
+    ),
+    admitted AS (
+      SELECT l.url, l.host, l.lambda_hat,
+             coalesce(r.delay_sec, 1.0) AS delay_sec,
+             l.lambda_hat / (coalesce(r.delay_sec, 1.0) + 1.0)
+               AS priority_raw
+      FROM lam l LEFT JOIN rsel r ON l.host = r.host
+      WHERE NOT (l.is_old AND r.host IS NOT NULL)
+    ),
+    ranked AS (
+      SELECT url, host, lambda_hat, delay_sec, priority_raw,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY priority_raw DESC, url)
+               AS refresh_pos
+      FROM admitted
+    )
+    SELECT url, host, lambda_hat, delay_sec,
+           CAST(refresh_pos AS INT) AS refresh_pos,
+           floor((priority_raw) * 1e8 + 0.5) / 1e8 AS priority
+    FROM ranked WHERE refresh_pos <= 3
+    """
+
+
+_register("refresh_frontier", _refresh_q, _refresh_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering. The driver's artifact records the
 # FIRST 50 registry entries, so entries that most need a driver-green row
@@ -6148,6 +6627,29 @@ _WINDOW_TAIL = [
     # graph.py; dedup.incremental_near_dup — substring_span_dedup and
     # canonical_dedup stay IN covering dedup.py):
     "bm25_multi_topk", "host_pagerank", "paragraph_dedup",
+    # rotated out as resolve_redirects / host_boilerplate /
+    # recrawl_schedule / url_trap_stats entered. All four below are
+    # r6-driver-green with ZERO diff to their chains since the r6 close
+    # (verified via git diff 50c9d5c..HEAD): hnsw.py and robots.py are
+    # untouched this round; textstats.py's r7 diffs are pure function
+    # ADDITIONS (quality_ensemble's body zero diff; script_stats stays
+    # IN covering textstats.py); pipeline.py's r7 diffs are the
+    # build_training_corpus / recrawl_schedule / url_trap_stats
+    # ADDITIONS plus clean_corpus's keep_text (default path identical,
+    # and clean_corpus + frontier_next + build_training_corpus stay IN
+    # covering pipeline.py):
+    "quality_ensemble", "fetch_schedule", "hnsw_ann_topk", "robots_filter",
+    # rotated out as mirror_hosts / domain_token_quota entered (both
+    # below are r6-driver-green; pdf content-stream parsing in kernel.py
+    # is UNTOUCHED by this round's kernel diffs — the r7 kernel changes
+    # are the resolver fast-path guard, head-boundary fix and the shared
+    # strip pass, all on the HTML link/head path, and pdf_extract_text
+    # stays IN the window covering the pdf family):
+    "pdf_fields", "line_stats",
+    # rotated out as refresh_frontier entered (r6-driver-green; the r7
+    # retrieval.py diff is the phrase_search ADDITION — bm25_topk's body
+    # has zero diff and phrase_search stays IN covering retrieval.py):
+    "bm25_topk",
 ]
 
 

@@ -1,0 +1,195 @@
+"""Adaptive recrawl scheduling + crawler-trap mining (operators/pipeline.py)
+and host-scoped boilerplate stripping (operators/dedup.py)."""
+
+from __future__ import annotations
+
+import math
+
+from ocr_cezam_spark.operators import dedup, pipeline, sampling
+
+
+def test_recrawl_schedule_lambda_matches_estimator(spark):
+    # u1: changes every visit; u2: never; u3: one change; u4: one visit
+    rows = []
+    for snap in range(1, 5):
+        rows.append(("u1", snap, f"d{snap}"))
+        rows.append(("u2", snap, "same"))
+        rows.append(("u3", snap, "a" if snap < 3 else "b"))
+    rows.append(("u4", 1, "x"))
+    hist = spark.createDataFrame(rows, ["url", "snap", "digest"])
+    got = {r["url"]: r for r in pipeline.recrawl_schedule(hist).collect()}
+
+    def lam(n, x):
+        raw = -math.log((n - x + 0.5) / (n + 0.5))
+        return math.floor(raw * 1e4 + 0.5) / 1e4
+
+    assert (got["u1"]["n_intervals"], got["u1"]["n_changes"]) == (3, 3)
+    assert abs(got["u1"]["lambda_hat"] - lam(3, 3)) < 1e-9
+    assert (got["u2"]["n_intervals"], got["u2"]["n_changes"]) == (3, 0)
+    assert abs(got["u2"]["lambda_hat"] - lam(3, 0)) < 1e-9
+    assert got["u3"]["n_changes"] == 1
+    # single visit: no intervals, no evidence -> NULL, not 0
+    assert got["u4"]["n_intervals"] == 0
+    assert got["u4"]["lambda_hat"] is None
+    # ordering: the always-changing url must out-rank the stable one
+    assert got["u1"]["lambda_hat"] > got["u3"]["lambda_hat"] \
+        > got["u2"]["lambda_hat"]
+
+
+def test_url_trap_stats_flags_low_content_templates(spark):
+    rows = (
+        # calendar trap: 25 urls, one shared digest
+        [(f"http://t.ex/cal/2026/{i}", "samedoc") for i in range(25)]
+        # healthy archive: 25 urls, 25 digests (same template shape)
+        + [(f"http://ok.ex/cal/2026/{i}", f"d{i}") for i in range(25)]
+        # below min_urls: never flagged however trappy
+        + [(f"http://small.ex/cal/2026/{i}", "same") for i in range(3)]
+    )
+    pages = spark.createDataFrame(rows, ["url", "digest"])
+    got = pipeline.url_trap_stats(pages, min_urls=5, min_ratio=3.0)
+    out = [(r["host"], r["template"], r["n_urls"], r["n_contents"])
+           for r in got.collect()]
+    assert out == [("t.ex", "/cal/N/N", 25, 1)]
+
+
+def test_url_trap_stats_query_string_traps_group_by_path(spark):
+    # session-id traps vary only the query string: distinct urls, one
+    # digest, one path template
+    rows = [(f"http://s.ex/page?sid={i}", "same") for i in range(10)]
+    pages = spark.createDataFrame(rows, ["url", "digest"])
+    got = pipeline.url_trap_stats(pages, min_urls=5, min_ratio=3.0).collect()
+    assert len(got) == 1
+    assert got[0]["template"] == "/page" and got[0]["n_urls"] == 10
+
+
+def test_host_boilerplate_strip_is_host_scoped(spark):
+    nav = "nav menu"
+    docs = spark.createDataFrame(
+        [
+            (1, "a.ex", f"{nav}\nbody one"),
+            (2, "a.ex", f"{nav}\nbody two"),
+            (3, "a.ex", f"{nav}\nbody three"),
+            # same line on b.ex, but only 1 of 3 docs -> kept there
+            (4, "b.ex", f"{nav}\nother one"),
+            (5, "b.ex", "other two"),
+            (6, "b.ex", "other three"),
+        ],
+        ["doc_id", "host", "text"],
+    )
+    got = {r["doc_id"]: r for r in
+           dedup.host_boilerplate_strip(docs, min_frac=0.5).collect()}
+    assert got[1]["text_clean"] == "body one" and got[1]["n_removed"] == 1
+    assert got[4]["text_clean"] == f"{nav}\nother one"
+    assert got[4]["n_removed"] == 0
+    assert len(got) == 6  # lineage invariant: every doc survives
+
+
+def test_host_boilerplate_strip_empty_lines_and_full_removal(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "h", "tpl\n\ntpl2"),
+            (2, "h", "tpl\n\ntpl2"),
+            (3, "h", "tpl\nunique\ntpl2"),
+        ],
+        ["doc_id", "host", "text"],
+    )
+    got = {r["doc_id"]: r for r in
+           dedup.host_boilerplate_strip(docs, min_frac=0.6).collect()}
+    # tpl/tpl2 saturate (3/3 and 3/3 >= 0.6): stripped; the empty line
+    # is layout, kept; doc 3 keeps its unique line
+    assert got[1]["text_clean"] == "" and got[1]["n_removed"] == 2
+    assert got[3]["text_clean"] == "unique" and got[3]["n_removed"] == 2
+
+
+def test_mirror_hosts_full_and_partial_overlap(spark):
+    rows = []
+    for h in ("m1.ex", "m2.ex"):        # full mirrors: 4 shared digests
+        rows += [(h, f"d{i}") for i in range(4)]
+    rows += [("p.ex", "d0"), ("p.ex", "x1"), ("p.ex", "x2"), ("p.ex", "x3")]
+    rows += [("solo.ex", "y1")]
+    pages = spark.createDataFrame(rows, ["host", "digest"])
+    got = {(r["host_a"], r["host_b"]): (r["n_shared"], r["overlap_frac"])
+           for r in dedup.mirror_hosts(pages, min_shared=2,
+                                       min_frac=0.5).collect()}
+    # p.ex shares 1/4 with each mirror: below both gates
+    assert got == {("m1.ex", "m2.ex"): (4, 1.0)}
+
+
+def test_mirror_hosts_hot_digest_cap_drops_boilerplate(spark):
+    # a soft-404 digest served by every host must not fabricate mirrors
+    rows = [(f"h{i}.ex", "soft404") for i in range(10)]
+    rows += [(f"h{i}.ex", f"own{i}") for i in range(10)]
+    pages = spark.createDataFrame(rows, ["host", "digest"])
+    capped = dedup.mirror_hosts(pages, min_shared=1, min_frac=0.4,
+                                max_hosts_per_digest=5)
+    assert capped.count() == 0
+    uncapped = dedup.mirror_hosts(pages, min_shared=1, min_frac=0.4,
+                                  max_hosts_per_digest=100)
+    assert uncapped.count() == 45  # all pairs via the shared digest
+
+
+def test_domain_token_quota_caps_each_domain(spark):
+    docs = spark.createDataFrame(
+        [(1, "a.ex", "w " * 5), (2, "a.ex", "w " * 5), (3, "a.ex", "w " * 5),
+         (4, "b.ex", "w " * 20), (5, "b.ex", "w " * 20),
+         (6, "c.ex", ""), (7, "c.ex", "one")],
+        ["doc_id", "domain", "text"],
+    )
+    got = {r["doc_id"]: r for r in
+           sampling.domain_token_quota(docs, quota=12).collect()}
+    # a.ex: 5+5 fits, third doc would hit 15 > 12
+    assert set(got) == {1, 2, 7}
+    assert got[2]["cum_tokens"] == 10
+    # b.ex: even the first doc exceeds the quota
+    # c.ex: zero-token doc consumes nothing; the 1-token doc is kept
+    assert got[7]["cum_tokens"] == 1
+
+
+def test_domain_token_quota_is_deterministic_id_order(spark):
+    docs = spark.createDataFrame(
+        [(i, "d.ex", "t " * 3) for i in range(10, 0, -1)],
+        ["doc_id", "domain", "text"],
+    )
+    got = sorted(r["doc_id"] for r in
+                 sampling.domain_token_quota(docs, quota=9).collect())
+    assert got == [1, 2, 3]  # lowest ids first, never insertion order
+
+
+def test_refresh_frontier_end_to_end_semantics(spark):
+    # two hosts: slow.ex has robots (delay 4, /old blocked); fast.ex none
+    rows = []
+    for u, period in (("http://slow.ex/a", 1), ("http://slow.ex/b", 2),
+                      ("http://slow.ex/old/x", 1),   # blocked by robots
+                      ("http://fast.ex/a", 2)):
+        for snap in range(1, 5):
+            rows.append((u, snap, f"{u}|{snap // period}"))
+    rows.append(("http://fast.ex/once", 1, "d"))      # single visit: no evidence
+    hist = spark.createDataFrame(rows, ["url", "snap", "digest"])
+    robots = spark.createDataFrame(
+        [("slow.ex", "User-agent: *\nDisallow: /old\nCrawl-delay: 4\n")],
+        ["host", "robots_txt"])
+    got = {r["url"]: r for r in
+           pipeline.refresh_frontier(hist, robots).collect()}
+    assert "http://slow.ex/old/x" not in got       # robots re-check
+    assert "http://fast.ex/once" not in got        # no change evidence
+    assert got["http://slow.ex/a"]["delay_sec"] == 4.0
+    assert got["http://fast.ex/a"]["delay_sec"] == 1.0  # default
+    # within slow.ex the every-snap changer out-ranks the period-2 one
+    assert got["http://slow.ex/a"]["refresh_pos"] == 1
+    assert got["http://slow.ex/b"]["refresh_pos"] == 2
+    # worth-per-budget: lambda/(delay+1)
+    lam_a = got["http://slow.ex/a"]["lambda_hat"]
+    assert abs(got["http://slow.ex/a"]["priority"] - round(lam_a / 5.0, 8)) \
+        < 1e-8
+
+
+def test_refresh_frontier_top_k_caps_each_host(spark):
+    rows = []
+    for i in range(10):
+        for snap in range(1, 4):
+            rows.append((f"http://h.ex/p{i}", snap, f"{i}|{snap}"))
+    hist = spark.createDataFrame(rows, ["url", "snap", "digest"])
+    robots = spark.createDataFrame([], "host string, robots_txt string")
+    got = pipeline.refresh_frontier(hist, robots, top_k_per_host=3).collect()
+    assert len(got) == 3
+    assert sorted(r["refresh_pos"] for r in got) == [1, 2, 3]

@@ -136,3 +136,37 @@ def test_trustrank_empty_seed_list_raises(spark):
     links = spark.createDataFrame([("x", "y")], ["src", "dst"])
     with pytest.raises(ValueError):
         graph.trustrank(links, [])
+
+
+def test_resolve_redirects_chains_cycles_and_multi_out(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "home"),   # 3-hop chain
+         ("x", "y"), ("y", "x"),                  # 2-cycle
+         ("z", "z"),                              # self-loop
+         ("m", "home"),                           # direct
+         ("dup", "q"), ("dup", "p")],             # multi-out -> min(dst)
+        ["src", "dst"])
+    got = {r["url"]: (r["final_url"], r["hops"], r["is_cycle"])
+           for r in graph.resolve_redirects(edges, max_hops=8).collect()}
+    assert got["a"] == ("home", 3, 0)
+    assert got["b"] == ("home", 2, 0)
+    assert got["c"] == ("home", 1, 0)
+    assert got["m"] == ("home", 1, 0)
+    assert got["dup"] == ("p", 1, 0)
+    for cyc in ("x", "y", "z"):
+        assert got[cyc] == (None, None, 1), cyc
+
+
+def test_resolve_redirects_hop_cap_flags_overlong_chains(spark):
+    # chain n0 -> n1 -> ... -> n6 -> end: 7 hops from n0
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i + 1}") for i in range(6)] + [("n6", "end")],
+        ["src", "dst"])
+    ok = {r["url"]: r for r in
+          graph.resolve_redirects(edges, max_hops=8).collect()}
+    assert ok["n0"]["final_url"] == "end" and ok["n0"]["hops"] == 7
+    capped = {r["url"]: r for r in
+              graph.resolve_redirects(edges, max_hops=4).collect()}
+    assert capped["n0"]["is_cycle"] == 1  # not terminated within cap
+    assert capped["n0"]["final_url"] is None
+    assert capped["n4"]["final_url"] == "end"  # 3 hops: inside the cap

@@ -553,3 +553,49 @@ def test_trustrank_stays_jvm_side(spark):
     plan = formatted_plan(Q.QUERIES["trustrank"](spark, SF))
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_url_trap_stats_is_map_plus_one_agg(spark):
+    """Template mining is codegen'd regexps + ONE hash aggregation —
+    no joins, no windows, no Python."""
+    plan = formatted_plan(Q.QUERIES["url_trap_stats"](spark, SF))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join not in plan, join
+    assert "Window" not in plan
+
+
+def test_host_boilerplate_no_corpus_wide_window(spark):
+    plan = formatted_plan(Q.QUERIES["host_boilerplate"](spark, SF))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan  # agg+anti-join, never a digest window
+
+
+def test_domain_token_quota_uses_window_group_limit(spark):
+    """The rank <= quota pre-filter must compile to WindowGroupLimit so
+    a giant domain ships ~quota rows into the running-sum sort, never
+    its full page count."""
+    plan = formatted_plan(Q.QUERIES["domain_token_quota"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_mirror_hosts_is_digest_equi_join(spark):
+    plan = formatted_plan(Q.QUERIES["mirror_hosts"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_refresh_frontier_plan_shape(spark):
+    """Revisit scheduling: WindowGroupLimit on the per-host top-k, no
+    cartesian anywhere, no Python, and the url-sized frames never
+    funnel through a global (unpartitioned) window."""
+    plan = formatted_plan(Q.QUERIES["refresh_frontier"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
