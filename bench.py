@@ -132,6 +132,8 @@ HEADLINE = [
     "mirror_hosts",
     "domain_token_quota",
     "refresh_frontier",
+    "cdc_chunks",
+    "cdc_dup_fraction",
 ]
 
 

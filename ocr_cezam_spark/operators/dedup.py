@@ -1233,25 +1233,14 @@ def incremental_near_dup(new_docs: DataFrame, corpus: DataFrame,
     corpus_id). Same MINHASH_COEFFS as the batch pair generator — the
     two operators' estimates are directly comparable.
     """
-    r = k // bands
-
-    def banded(docs: DataFrame, tag: str) -> DataFrame:
-        sig = minhash_signature(docs, id_col, text_col, k)
-        band_arr = F.array(*[
-            F.concat_ws("|", *[
-                F.element_at("sig", b * r + j + 1).cast("string")
-                for j in range(r)
-            ])
-            for b in range(bands)
-        ])
-        return sig.select(
-            F.col(id_col).alias(f"{tag}_id"),
-            F.col("sig").alias(f"{tag}_sig"),
-            F.posexplode(band_arr).alias("band_idx", "band_key"),
-        )
-
-    nb = banded(new_docs, "new")
-    cb = banded(corpus, "corpus")
+    nb = banded_sigs(
+        minhash_signature(new_docs, id_col, text_col, k), "new",
+        id_col=id_col, k=k, bands=bands,
+    )
+    cb = banded_sigs(
+        minhash_signature(corpus, id_col, text_col, k), "corpus",
+        id_col=id_col, k=k, bands=bands,
+    )
     cand = (
         nb.join(cb, ["band_idx", "band_key"])
         .select("new_id", "corpus_id", "new_sig", "corpus_sig")
@@ -1401,4 +1390,66 @@ def mirror_hosts(pages: DataFrame, host_col: str = "host",
             round_he(frac, 4).alias("overlap_frac"),
         )
         .orderBy("host_a", "host_b")
+    )
+
+
+def minhash_signature_rowwise(docs: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              k: int = MINHASH_K,
+                              extra: tuple = ()) -> DataFrame:
+    """Projection-only (STATELESS) MinHash signature — bit-identical to
+    ``minhash_signature`` (same md5-per-shingle, same affine coeffs,
+    same min) but computed per ROW via array_min over the in-row
+    shingle-hash array instead of an explode+groupBy. This is the form
+    a STREAMING pipeline needs: a stateful aggregation would force
+    update/complete output mode, while a projection keeps append mode
+    and stream-static joins legal. (For the BATCH pair generator the
+    aggregate form stays preferred — its exchange is reused by all
+    three signature consumers; see minhash_signature's docstring.)
+
+    The shingle-hash array materializes as ONE column first, so the
+    md5 digest is computed once per shingle regardless of k.
+    Returns (id, sig array<long>[, *extra]), schema-identical to the
+    agg form; ``extra`` columns (e.g. the event-time column a streaming
+    consumer watermarks on) pass through — a later re-join would be a
+    stream-stream join on a stream input.
+    """
+    xs = F.transform(
+        shingles(text_col),
+        lambda sh: F.conv(F.substring(F.md5(sh), 1, 8), 16, 10)
+        .cast("long") % F.lit(MINHASH_P),
+    )
+    base = docs.select(F.col(id_col), xs.alias("xs"),
+                       *[F.col(c) for c in extra])
+    sig = F.array(*[
+        F.array_min(F.transform(
+            F.col("xs"),
+            lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P),
+        ))
+        for a, b in MINHASH_COEFFS[:k]
+    ])
+    return base.select(F.col(id_col), sig.alias("sig"),
+                       *[F.col(c) for c in extra])
+
+
+def banded_sigs(sig: DataFrame, tag: str, id_col: str = "doc_id",
+                k: int = MINHASH_K, bands: int = MINHASH_BANDS,
+                extra: tuple = ()) -> DataFrame:
+    """LSH band keys from a (id, sig) frame: one row per (band_idx,
+    band_key) with the full signature carried for the verify step.
+    Shared by the batch incremental admission and its streaming twin so
+    the band layout cannot drift between them."""
+    r = k // bands
+    band_arr = F.array(*[
+        F.concat_ws("|", *[
+            F.element_at("sig", b * r + j + 1).cast("string")
+            for j in range(r)
+        ])
+        for b in range(bands)
+    ])
+    return sig.select(
+        F.col(id_col).alias(f"{tag}_id"),
+        F.col("sig").alias(f"{tag}_sig"),
+        *[F.col(c) for c in extra],
+        F.posexplode(band_arr).alias("band_idx", "band_key"),
     )

@@ -817,3 +817,101 @@ def script_profile(docs: DataFrame, id_col: str = "doc_id",
         *frac_cols,
         script.alias("script"),
     )
+
+
+def cdc_chunks(docs: DataFrame, g: int = 3, divisor: int = 8,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """CONTENT-DEFINED chunking (the LBFS/rsync rolling-boundary
+    discipline, Muthitacharoen et al. SOSP 2001, on token grams): a
+    chunk boundary falls AFTER token i exactly when the hash of the
+    g-token gram ending at i is ≡ 0 mod ``divisor``. Boundaries are
+    decided by LOCAL content, so inserting or deleting a token
+    re-chunks only its own neighborhood — fixed-geometry
+    ``chunk_passages`` shifts every downstream chunk by the edit, and
+    its md5-keyed dedup goes blind the moment a page gains one banner
+    token. Expected chunk length = divisor tokens (geometric), minimum
+    1; the first g-1 positions cannot complete a gram and never split.
+
+    Scale shape: tokens explode with positions, the gram is g-1 LAG()s
+    concatenated (null until complete — F.concat propagates the null; a
+    concat_ws would silently hash partial grams), the boundary flag is
+    the shared _H32 md5 idiom, and chunk ids are a running sum over the
+    strictly-preceding frame — every window PARTITIONED BY doc (bounded
+    by document length, the winnowing precedent; never corpus-wide),
+    then one reassembly aggregation. No UDFs, no joins.
+
+    Returns (id, chunk_id, start_tok, n_tokens, chunk_md5, chunk_text);
+    chunk_md5 keys exact chunk dedup exactly like chunk_passages'.
+    """
+    if g < 2 or divisor < 1:
+        raise ValueError("need g >= 2 and divisor >= 1")
+    from pyspark.sql import Window
+
+    words = _words(text_col)
+    toks = docs.filter(F.size(words) > 0).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    gram_parts: list = []
+    for k in range(g - 1, 0, -1):
+        gram_parts += [F.lag("tok", k).over(w), F.lit(" ")]
+    gram = F.concat(*gram_parts, F.col("tok"))
+    h = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+    bf = (gram.isNotNull() & (h % divisor == 0)).cast("int")
+    prev = Window.partitionBy("id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    chunked = (
+        toks.withColumn("bf", bf)
+        .withColumn(
+            "chunk_id",
+            F.coalesce(F.sum("bf").over(prev), F.lit(0)).cast("long"),
+        )
+    )
+    txt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            lambda s: s["tok"],
+        ),
+        " ",
+    )
+    return (
+        chunked.groupBy("id", "chunk_id")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            F.count("*").alias("n_tokens"),
+            txt.alias("chunk_text"),
+        )
+        .select(
+            "id", "chunk_id", "start_tok", "n_tokens",
+            F.md5("chunk_text").alias("chunk_md5"), "chunk_text",
+        )
+    )
+
+
+def cdc_dedup_stats(docs: DataFrame, g: int = 3, divisor: int = 8,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document duplicated-chunk fraction over cdc_chunks output —
+    the insertion-ROBUST twin of chunk_dedup_stats: a page that gained
+    a banner token still collapses onto its previous crawl's chunks
+    everywhere except the edited neighborhood, so cross-crawl
+    redundancy stays visible where fixed-geometry chunk dedup reads
+    ~0%. Same linear shape: one chunk_md5 frequency aggregation + one
+    join back."""
+    ch = cdc_chunks(docs, g, divisor, id_col, text_col)
+    freq = ch.groupBy("chunk_md5").agg(F.count("*").alias("freq"))
+    return (
+        ch.join(freq, "chunk_md5")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("freq") > 1).cast("long")).alias("n_dup_chunks"),
+        )
+        .select(
+            "id", "n_chunks", "n_dup_chunks",
+            round_he(F.col("n_dup_chunks") / F.col("n_chunks"), 4)
+            .alias("dup_frac"),
+        )
+    )

@@ -6457,6 +6457,107 @@ def _refresh_oracle() -> str:
 _register("refresh_frontier", _refresh_q, _refresh_oracle())
 
 
+# ===========================================================================
+# Round-7 continuation batch 7: content-defined chunking — the
+# insertion-robust complement to the fixed-geometry chunk_passages pair.
+# ===========================================================================
+
+_CDC_G = 3
+_CDC_DIV = 8
+
+_CDC_CORE = """
+    u AS (
+      SELECT id, generate_subscripts(arr, 1) - 1 AS pos, unnest(arr) AS tok
+      FROM (SELECT id, list_filter(string_split(text, ' '),
+                                   w -> w <> '') AS arr FROM src)
+      WHERE len(arr) > 0
+    ),
+    gr AS (
+      SELECT id, pos, tok,
+             lag(tok, 2) OVER w || ' ' || lag(tok, 1) OVER w || ' ' || tok
+               AS gram
+      FROM u WINDOW w AS (PARTITION BY id ORDER BY pos)
+    ),
+    b AS (
+      SELECT id, pos, tok,
+             CASE WHEN gram IS NOT NULL
+                   AND CAST(concat('0x', substring(md5(gram), 1, 8))
+                            AS BIGINT) % {div} = 0
+                  THEN 1 ELSE 0 END AS bf
+      FROM gr
+    ),
+    c AS (
+      SELECT id, pos, tok,
+             CAST(coalesce(sum(bf) OVER (PARTITION BY id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS chunk_id
+      FROM b
+    ),
+    chunks AS (
+      SELECT id, chunk_id, CAST(min(pos) AS INT) AS start_tok,
+             count(*) AS n_tokens,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+      FROM c GROUP BY id, chunk_id
+    )"""
+
+
+_register(
+    "cdc_chunks",
+    lambda s, d: textstats.cdc_chunks(
+        _t(s, d, "documents"), g=_CDC_G, divisor=_CDC_DIV
+    ),
+    f"""
+    WITH src AS (SELECT doc_id AS id, text FROM documents),
+    {_CDC_CORE.format(div=_CDC_DIV)}
+    SELECT id, chunk_id, start_tok, n_tokens,
+           md5(chunk_text) AS chunk_md5, chunk_text
+    FROM chunks
+    """,
+)
+
+
+# Dedup fixture: every third doc gains a 2-token-prefix clone (+3M) —
+# the edit that blinds fixed-geometry chunk dedup; CDC boundaries are
+# content-local, so the clone collapses onto the original's chunks
+# everywhere past the first boundary.
+def _cdc_dedup_q(s: SparkSession, d: str) -> DataFrame:
+    docs = _t(s, d, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.lit("pfx0 pfx1 "), "text").alias("text"),
+    )
+    return textstats.cdc_dedup_stats(
+        docs.unionByName(clones), g=_CDC_G, divisor=_CDC_DIV
+    )
+
+
+_register(
+    "cdc_dup_fraction",
+    _cdc_dedup_q,
+    f"""
+    WITH src AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000 AS id, 'pfx0 pfx1 ' || text AS text
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    {_CDC_CORE.format(div=_CDC_DIV)}
+    , freq AS (
+      SELECT md5(chunk_text) AS h, count(*) AS freq
+      FROM chunks GROUP BY md5(chunk_text)
+    )
+    SELECT c.id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN f.freq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           floor((CAST(sum(CASE WHEN f.freq > 1 THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4
+             AS dup_frac
+    FROM chunks c JOIN freq f ON md5(c.chunk_text) = f.h
+    GROUP BY c.id
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering. The driver's artifact records the
 # FIRST 50 registry entries, so entries that most need a driver-green row
@@ -6650,6 +6751,13 @@ _WINDOW_TAIL = [
     # retrieval.py diff is the phrase_search ADDITION — bm25_topk's body
     # has zero diff and phrase_search stays IN covering retrieval.py):
     "bm25_topk",
+    # rotated out as cdc_chunks / cdc_dup_fraction entered (both below
+    # are r6-driver-green with zero-diff bodies this round: the r7
+    # dedup.py diffs are pure ADDITIONS — canonical_dedup stays IN
+    # covering dedup.py — and the r7 sampling.py diffs are the
+    # domain_token_quota ADDITION, with domain_token_quota itself IN
+    # covering sampling.py):
+    "substring_span_dedup", "weighted_sample",
 ]
 
 

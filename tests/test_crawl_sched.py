@@ -193,3 +193,65 @@ def test_refresh_frontier_top_k_caps_each_host(spark):
     got = pipeline.refresh_frontier(hist, robots, top_k_per_host=3).collect()
     assert len(got) == 3
     assert sorted(r["refresh_pos"] for r in got) == [1, 2, 3]
+
+
+def test_cdc_chunks_reconstruct_and_expected_size(spark):
+    from ocr_cezam_spark.operators import textstats
+
+    text = " ".join(f"w{i * 37 % 101}" for i in range(200))
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(textstats.cdc_chunks(docs, g=3, divisor=8).collect(),
+                  key=lambda r: r["chunk_id"])
+    # chunks reconstruct the token stream exactly, in order
+    assert " ".join(r["chunk_text"] for r in rows) == text
+    assert [r["start_tok"] for r in rows] == sorted(
+        r["start_tok"] for r in rows)
+    assert sum(r["n_tokens"] for r in rows) == 200
+    # boundary density ~ 1/divisor: loose 3x band, seed-deterministic
+    assert 5 <= len(rows) <= 75
+
+
+def test_cdc_chunks_insertion_robust_where_fixed_windows_shift(spark):
+    """THE motivating property: a 2-token prefix insertion leaves every
+    CDC chunk after the first boundary byte-identical, while the
+    fixed-geometry chunker shifts every window."""
+    from ocr_cezam_spark.operators import textstats
+
+    text = " ".join(f"w{i * 37 % 101}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "added banner " + text)], ["doc_id", "text"])
+    cdc = textstats.cdc_chunks(docs, g=3, divisor=8).collect()
+    a = {r["chunk_md5"] for r in cdc if r["id"] == 1}
+    b = {r["chunk_md5"] for r in cdc if r["id"] == 2}
+    shared = len(a & b) / len(a)
+    assert shared >= 0.8, shared
+    fixed = textstats.chunk_passages(docs, chunk=16, stride=16).collect()
+    fa = {r["chunk_md5"] for r in fixed if r["id"] == 1}
+    fb = {r["chunk_md5"] for r in fixed if r["id"] == 2}
+    assert len(fa & fb) / len(fa) <= 0.1  # fixed geometry goes blind
+
+
+def test_cdc_chunks_validates_params(spark):
+    import pytest
+
+    from ocr_cezam_spark.operators import textstats
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        textstats.cdc_chunks(docs, g=1)
+    with pytest.raises(ValueError):
+        textstats.cdc_chunks(docs, divisor=0)
+
+
+def test_cdc_dedup_stats_sees_shifted_clone_redundancy(spark):
+    from ocr_cezam_spark.operators import textstats
+
+    text = " ".join(f"w{i * 37 % 101}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "x y " + text), (3, "totally different words only")],
+        ["doc_id", "text"])
+    got = {r["id"]: r for r in
+           textstats.cdc_dedup_stats(docs, g=3, divisor=8).collect()}
+    assert got[1]["dup_frac"] >= 0.8
+    assert got[2]["dup_frac"] >= 0.8
+    assert got[3]["dup_frac"] == 0.0

@@ -599,3 +599,13 @@ def test_refresh_frontier_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_cdc_chunks_per_doc_windows_no_joins(spark):
+    """CDC chunking: per-doc windows (bounded by document length) and
+    one reassembly agg — no joins, no Python, no corpus-wide window."""
+    plan = formatted_plan(Q.QUERIES["cdc_chunks"](spark, SF))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join not in plan, join
