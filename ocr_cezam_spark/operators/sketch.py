@@ -1064,3 +1064,262 @@ def kmv_overlap_sql(a_src: str, b_src: str, key_sql: str,
            floor(({jac}) * 1e4 + 0.5) / 1e4 AS jaccard_est
     FROM stats CROSS JOIN sides
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: the MEMBERSHIP member of the sketch family (HLL =
+# cardinality, Count-Min = frequency, KMV = set operations, HDR =
+# distribution). The crawl-side use case is the standing-corpus
+# admission check: "have we fetched this url before?" over 10^12 urls
+# is a 10^12-row anti-join per crawl batch if done exactly, or a
+# fixed-m-bit sketch probe if done with Bloom (dedup.incremental_dedup
+# already uses the same construction inline as its pre-filter; this is
+# the standalone, mergeable, oracle-checked form with the FP/FN
+# accounting made driver-visible).
+#
+# Reference parity: the reference engine keeps no corpus state at all
+# (one file in, one result out — `ocr_cezam.py:63-64`); membership
+# sketches are a pure 100 TB-side addition.
+#
+# Determinism: bit positions are md5-derived (salted per hash row,
+# same `bf{i}:` convention as Count-Min's `cm{i}:`), so both engines
+# set the exact same bits and the driver's hash gate applies to the
+# false-positive COUNT itself, not just rates. Null keys are IGNORED
+# (module convention, see module docstring).
+#
+# Scale shape, by construction:
+# - The sketch is the DISTINCT set-bit table: <= m_bits rows (bounded
+#   by geometry, not data), built by ONE posexplode + distinct — the
+#   mergeable artifact a per-day crawl keeps (merge = set union,
+#   i.e. bitwise OR).
+# - Probing is an equi-join of probe-key bit positions against those
+#   <= m_bits rows, then a per-key count — no all-pairs, no driver
+#   collect.
+# - Geometry (m_bits, k) is parameterized and flows into the emitted
+#   DuckDB twins; size it as m ~ -n ln(p_fp) / (ln 2)^2, k ~ (m/n) ln 2.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096  # default bits
+_BLOOM_K = 5     # default hash rows
+
+
+def _bloom_positions(col: F.Column, m_bits: int, k: int) -> F.Column:
+    """Array of the k salted md5 bit positions for a key — identical
+    math to the DuckDB twin's `bf{i}:` hashes."""
+    return F.array(*[
+        (_h32(col, f"bf{i}:") % m_bits) for i in range(k)
+    ])
+
+
+def bloom_bits(df: DataFrame, key_col: str,
+               m_bits: int = _BLOOM_M, k: int = _BLOOM_K) -> DataFrame:
+    """The Bloom sketch itself: the distinct set-bit table (bit,) —
+    <= m_bits rows regardless of input size. One projection + one
+    distinct aggregation (map-side partial)."""
+    df = df.filter(F.col(key_col).isNotNull())
+    return (
+        df.select(
+            F.explode(_bloom_positions(F.col(key_col), m_bits, k))
+            .alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_membership(build_df: DataFrame, build_col: str,
+                     probe_df: DataFrame, probe_col: str,
+                     m_bits: int = _BLOOM_M,
+                     k: int = _BLOOM_K) -> DataFrame:
+    """Probe a key set against a Bloom filter built over another,
+    with exact membership alongside so the sketch's error behavior is
+    itself the checked output.
+
+    Output: ONE row —
+      n_build (distinct build keys), n_bits_set,
+      n_probes (distinct probe keys), n_members (exact),
+      n_hits (bloom positive), n_false_pos (hit but not member),
+      no_false_negatives (THE Bloom guarantee, in-plan driver-visible),
+      fp_rate (false positives / non-members, 4 dp),
+      theory_fp ((1 - (1-1/m)^(k*n_build))^k, 4 dp — the exact
+      expected-FP formula, not the e^-kn/m approximation, so small
+      fixtures don't straddle the approximation gap).
+
+    Plan: the <= m_bits-row bit table left-joins the probe keys'
+    exploded positions (bit match flag), one per-key count-of-matches
+    == k gives the bloom verdict; exact membership is a left-semi-ish
+    join on the key itself; both reduce to one summary row. The
+    probe-side exact check is test-scale instrumentation — at 100 TB
+    you keep only the probe verdicts.
+    """
+    build_keys = (
+        build_df.filter(F.col(build_col).isNotNull())
+        .select(F.col(build_col).cast("string").alias("bkey"))
+        .distinct()
+    )
+    probe_keys = (
+        probe_df.filter(F.col(probe_col).isNotNull())
+        .select(F.col(probe_col).cast("string").alias("pkey"))
+        .distinct()
+    )
+    bits = bloom_bits(build_keys, "bkey", m_bits, k)
+    probes = probe_keys.select(
+        "pkey",
+        F.explode(_bloom_positions(F.col("pkey"), m_bits, k))
+        .alias("bit"),
+    )
+    hits = (
+        probes.join(bits.withColumn("set_", F.lit(1)), "bit", "left")
+        .groupBy("pkey")
+        .agg((F.count("set_") == k).alias("bloom_hit"))
+    )
+    member = build_keys.select(
+        F.col("bkey").alias("pkey"), F.lit(True).alias("is_member")
+    )
+    verdicts = hits.join(member, "pkey", "left").select(
+        "pkey", "bloom_hit",
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+    )
+    n_build = build_keys.groupBy().agg(F.count("*").alias("n_build"))
+    n_bits = bits.groupBy().agg(F.count("*").alias("n_bits_set"))
+    summary = verdicts.groupBy().agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.col("is_member").cast("long")).alias("n_members"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("n_hits"),
+        F.sum((F.col("bloom_hit") & ~F.col("is_member")).cast("long"))
+        .alias("n_false_pos"),
+        (F.sum((F.col("is_member") & ~F.col("bloom_hit")).cast("long"))
+         == 0).alias("no_false_negatives"),
+    )
+    theory = F.pow(
+        F.lit(1.0) - F.pow(F.lit(1.0 - 1.0 / m_bits),
+                           F.col("n_build").cast("double") * k),
+        F.lit(float(k)),
+    )
+    return (
+        summary.crossJoin(F.broadcast(n_build))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_build", "n_bits_set", "n_probes", "n_members", "n_hits",
+            "n_false_pos", "no_false_negatives",
+            round_he(
+                F.col("n_false_pos").cast("double")
+                / F.greatest(F.col("n_probes") - F.col("n_members"),
+                             F.lit(1)).cast("double"),
+                4,
+            ).alias("fp_rate"),
+            round_he(theory, 4).alias("theory_fp"),
+        )
+    )
+
+
+def bloom_merge(df: DataFrame, key_col: str, shard_col: str,
+                m_bits: int = _BLOOM_M, k: int = _BLOOM_K) -> DataFrame:
+    """Bloom mergeability: per-shard bit sets UNION-merged (bitwise OR)
+    must equal the whole-stream bit set — the property that lets a
+    crawl keep one filter per day and admit against their union
+    without replay. Output: ONE row (n_bits_merged, n_bits_whole,
+    merge_lossless) with the invariant computed in-plan via a full
+    join of the two <= m_bits-row bit tables."""
+    df = df.filter(F.col(key_col).isNotNull())
+    rows = df.select(
+        F.col(shard_col).alias("shard"),
+        F.explode(_bloom_positions(F.col(key_col), m_bits, k))
+        .alias("bit"),
+    )
+    shard_bits = rows.select("shard", "bit").distinct()
+    merged = shard_bits.select("bit").distinct()
+    whole = rows.select("bit").distinct()
+    diff = merged.withColumn("m_", F.lit(1)).join(
+        whole.withColumn("w_", F.lit(1)), "bit", "full"
+    ).select(
+        (F.col("m_").isNull() | F.col("w_").isNull())
+        .cast("long").alias("miss")
+    )
+    return diff.groupBy().agg(
+        F.sum(F.lit(1) - F.col("miss")).cast("long").alias("n_bits_both"),
+        F.count("*").cast("long").alias("n_bits_union"),
+        (F.sum("miss") == 0).alias("merge_lossless"),
+    )
+
+
+def _bloom_pos_sql(key_sql: str, m_bits: int, k: int) -> str:
+    """Inline per-(key, i) bit position — the twin of
+    `_bloom_positions`, over a `dims(i)` range join."""
+    return ("CAST(concat('0x', substring(md5("
+            f"'bf' || CAST(i AS VARCHAR) || ':' || {key_sql}"
+            f"), 1, 8)) AS BIGINT) % {m_bits}")
+
+
+def bloom_membership_sql(build_sql: str, probe_sql: str,
+                         m_bits: int = _BLOOM_M,
+                         k: int = _BLOOM_K) -> str:
+    """DuckDB twin of bloom_membership — emitted from the same
+    (m_bits, k) geometry. `build_sql` / `probe_sql` are full queries
+    yielding one `key` column each."""
+    pos = _bloom_pos_sql("key", m_bits, k)
+    return f"""
+    WITH build AS (SELECT DISTINCT key FROM ({build_sql})
+                   WHERE key IS NOT NULL),
+    probe AS (SELECT DISTINCT key FROM ({probe_sql})
+              WHERE key IS NOT NULL),
+    dims AS (SELECT unnest(range({k})) AS i),
+    bits AS (SELECT DISTINCT {pos} AS bit FROM build, dims),
+    probes AS (SELECT key, {pos} AS bit FROM probe, dims),
+    hits AS (
+      SELECT p.key, count(b.bit) = {k} AS bloom_hit
+      FROM probes p LEFT JOIN bits b USING (bit) GROUP BY p.key
+    ),
+    verdicts AS (
+      SELECT h.key, h.bloom_hit, b.key IS NOT NULL AS is_member
+      FROM hits h LEFT JOIN build b USING (key)
+    ),
+    nb AS (SELECT count(*) AS n_build FROM build),
+    nbits AS (SELECT count(*) AS n_bits_set FROM bits),
+    summary AS (
+      SELECT count(*) AS n_probes,
+             sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS n_members,
+             sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS n_hits,
+             sum(CASE WHEN bloom_hit AND NOT is_member
+                      THEN 1 ELSE 0 END) AS n_false_pos,
+             sum(CASE WHEN is_member AND NOT bloom_hit
+                      THEN 1 ELSE 0 END) = 0 AS no_false_negatives
+      FROM verdicts
+    )
+    SELECT CAST(n_build AS BIGINT) AS n_build,
+           CAST(n_bits_set AS BIGINT) AS n_bits_set,
+           CAST(n_probes AS BIGINT) AS n_probes,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_false_pos AS BIGINT) AS n_false_pos,
+           no_false_negatives,
+           floor((CAST(n_false_pos AS DOUBLE)
+                  / greatest(n_probes - n_members, 1)) * 1e4 + 0.5) / 1e4
+             AS fp_rate,
+           floor(power(1.0 - power({1.0 - 1.0 / m_bits!r},
+                                   CAST(n_build AS DOUBLE) * {k}),
+                       {float(k)!r}) * 1e4 + 0.5) / 1e4 AS theory_fp
+    FROM summary, nb, nbits
+    """
+
+
+def bloom_merge_sql(src_sql: str, m_bits: int = _BLOOM_M,
+                    k: int = _BLOOM_K) -> str:
+    """DuckDB twin of bloom_merge. `src_sql` yields (key, shard)."""
+    pos = _bloom_pos_sql("key", m_bits, k)
+    return f"""
+    WITH rows AS (SELECT key, shard FROM ({src_sql})
+                  WHERE key IS NOT NULL),
+    dims AS (SELECT unnest(range({k})) AS i),
+    sb AS (SELECT DISTINCT shard, {pos} AS bit FROM rows, dims),
+    merged AS (SELECT DISTINCT bit FROM sb),
+    whole AS (SELECT DISTINCT {pos} AS bit FROM rows, dims),
+    diff AS (
+      SELECT CASE WHEN m.bit IS NULL OR w.bit IS NULL
+                  THEN 1 ELSE 0 END AS miss
+      FROM merged m FULL JOIN whole w USING (bit)
+    )
+    SELECT CAST(sum(1 - miss) AS BIGINT) AS n_bits_both,
+           CAST(count(*) AS BIGINT) AS n_bits_union,
+           sum(miss) = 0 AS merge_lossless
+    FROM diff
+    """

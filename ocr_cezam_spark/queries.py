@@ -4717,6 +4717,66 @@ _register(
 )
 
 
+# Bloom membership fixture: the standing corpus is every crawl url
+# (the _crawl_pages url scheme over the full doc_id space); the probe
+# batch is the same scheme shifted by +250 doc ids, so roughly half
+# the probes are members and half are novel urls — both the
+# no-false-negatives guarantee and the false-positive accounting get
+# non-trivial mass. Deterministic md5 bits => the FP COUNT itself is
+# hash-gated cross-engine, not just a rate.
+def _bloom_url(col: F.Column) -> F.Column:
+    return F.concat(
+        F.lit("https://h"), (col % 50).cast("string"),
+        F.lit(".example/p"), col.cast("string"),
+    )
+
+
+_BLOOM_URL_SQL = ("'https://h' || CAST({c} % 50 AS VARCHAR)"
+                  " || '.example/p' || CAST({c} AS VARCHAR)")
+
+
+def _bloom_member_q(s: SparkSession, d: str) -> DataFrame:
+    docs = _t(s, d, "documents")
+    build = docs.select(_bloom_url(F.col("doc_id")).alias("key"))
+    probe = docs.select(
+        _bloom_url(F.col("doc_id") + 250).alias("key")
+    )
+    return sketch.bloom_membership(build, "key", probe, "key")
+
+
+_register(
+    "bloom_membership",
+    _bloom_member_q,
+    sketch.bloom_membership_sql(
+        "SELECT " + _BLOOM_URL_SQL.format(c="doc_id")
+        + " AS key FROM documents",
+        "SELECT " + _BLOOM_URL_SQL.format(c="(doc_id + 250)")
+        + " AS key FROM documents",
+    ),
+)
+
+
+# Union-mergeability at NON-default geometry (m=2048, k=4): per-shard
+# bit sets OR-merged == whole-stream bits — the per-day-filter
+# composition a crawl admission layer relies on. Geometry is a real
+# argument end to end (the twin is emitted from the same m/k).
+_register(
+    "bloom_merge",
+    lambda s, d: sketch.bloom_merge(
+        _t(s, d, "documents").select(
+            _bloom_url(F.col("doc_id")).alias("key"),
+            (F.col("doc_id") % 3).alias("shard"),
+        ),
+        "key", "shard", m_bits=2048, k=4,
+    ),
+    sketch.bloom_merge_sql(
+        "SELECT " + _BLOOM_URL_SQL.format(c="doc_id")
+        + " AS key, doc_id % 3 AS shard FROM documents",
+        m_bits=2048, k=4,
+    ),
+)
+
+
 # ===========================================================================
 # build_training_corpus — the end-to-end curation composition (raw crawl
 # -> packed training shards), every stage oracled in one CTE chain.
@@ -6758,6 +6818,16 @@ _WINDOW_TAIL = [
     # domain_token_quota ADDITION, with domain_token_quota itself IN
     # covering sampling.py):
     "substring_span_dedup", "weighted_sample",
+    # rotated out as bloom_membership / bloom_merge entered (both below
+    # are r6-driver-green; their graph.py bodies have zero r7 diff —
+    # the r7 graph.py changes are the hits/trustrank/resolve_redirects
+    # ADDITIONS plus localCheckpoint calls inside hits/trustrank only,
+    # and host_hits/trustrank/resolve_redirects stay IN covering
+    # graph.py. Their kernel-side INPUT (extract_links output) is also
+    # unchanged: the r7 kernel fixes kept the link goldens
+    # byte-identical, and extract_links stays IN covering the kernel
+    # link path):
+    "anchor_text_topk", "link_target_stats",
 ]
 
 

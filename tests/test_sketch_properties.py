@@ -64,3 +64,60 @@ def test_hdr_bucket_matches_python(spark, vals, sub_bits):
     for row in got:
         assert row["b"] == _py_hdr_bucket(row["v"], sub_bits), (
             row["v"], sub_bits)
+
+
+def _py_bloom_positions(key: str, m_bits: int, k: int) -> list[int]:
+    return [
+        int(hashlib.md5(f"bf{i}:{key}".encode("utf-8")).hexdigest()[:8], 16)
+        % m_bits
+        for i in range(k)
+    ]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=40),
+    st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=40),
+)
+def test_bloom_no_false_negatives_and_bits_match_python(spark, build, probe):
+    """THE Bloom guarantee on arbitrary key sets: every member probe is a
+    hit (no false negatives, whatever the collisions), hits >= members,
+    and the Spark bit positions equal an independent pure-Python md5
+    reference (the math the DuckDB twin replays)."""
+    from ocr_cezam_spark.operators.sketch import (
+        _bloom_positions, bloom_membership,
+    )
+
+    m_bits, k = 128, 3  # small m so collisions actually occur
+    bdf = spark.createDataFrame([(x,) for x in build], "key string")
+    pdf = spark.createDataFrame([(x,) for x in probe], "key string")
+    row = bloom_membership(bdf, "key", pdf, "key", m_bits, k).collect()[0]
+    assert row["no_false_negatives"]
+    assert row["n_hits"] >= row["n_members"]
+    assert row["n_false_pos"] == row["n_hits"] - row["n_members"]
+    assert row["n_probes"] == len(set(probe))
+    assert row["n_build"] == len(set(build))
+    assert 0 < row["n_bits_set"] <= m_bits
+
+    got = bdf.select(
+        "key", _bloom_positions(F.col("key"), m_bits, k).alias("pos")
+    ).collect()
+    for r in got:
+        assert list(r["pos"]) == _py_bloom_positions(r["key"], m_bits, k)
+
+
+def test_bloom_merge_lossless_and_null_keys_ignored(spark):
+    from ocr_cezam_spark.operators.sketch import bloom_bits, bloom_merge
+
+    rows = [(f"url{i}", i % 4) for i in range(200)] + [(None, 0)]
+    df = spark.createDataFrame(rows, "key string, shard int")
+    m = bloom_merge(df, "key", "shard", m_bits=512, k=4).collect()[0]
+    assert m["merge_lossless"]
+    assert m["n_bits_both"] == m["n_bits_union"] <= 512
+
+    # a NULL key must set no bits: same sketch with and without it
+    with_null = bloom_bits(df, "key", 512, 4)
+    without = bloom_bits(df.filter(F.col("key").isNotNull()), "key", 512, 4)
+    assert sorted(r["bit"] for r in with_null.collect()) == sorted(
+        r["bit"] for r in without.collect()
+    )
