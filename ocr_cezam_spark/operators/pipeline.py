@@ -376,6 +376,94 @@ def url_trap_stats(pages: DataFrame, url_col: str = "url",
     )
 
 
+def tracking_params(pages: DataFrame, url_col: str = "url",
+                    digest_col: str = "digest") -> DataFrame:
+    """Infer content-neutral URL query parameters from crawl evidence —
+    the param-level core of DustBuster (Bar-Yossef, Keidar & Schonfeld,
+    "Do Not Crawl in the DUST: Different URLs with Similar Text",
+    WWW 2007): a parameter is a tracking/session param (utm_*, sess,
+    click ids) if urls that differ ONLY in that parameter always serve
+    identical content. Learned rules feed url canonicalization, so the
+    frontier stops treating ``?id=7&utm=a`` and ``?id=7&utm=b`` as two
+    pages — at crawl scale the single biggest source of synthetic url
+    blowup after path traps (see `url_trap_stats`).
+
+    Method: for every (url, param) occurrence, the RESIDUAL is the url
+    with every ``param=...`` pair removed (inputs are assumed
+    canonicalized, so remaining params keep one order — see
+    functions/url.canonicalize_url). Group by (param, residual): urls
+    in one group differ only in that param. Evidence groups are those
+    with >= 2 distinct urls; the param is content_neutral when every
+    evidence group is digest-uniform and at least one evidence group
+    exists (no evidence => not inferable, fail open to NOT neutral).
+
+    Scale shape: query-string parsing is pure codegen'd array exprs
+    (split / transform / filter / array_join — no UDF); the explode
+    multiplier is the DISTINCT param count per url (single digits on
+    real crawls); then TWO hash aggregations ((param, residual) then
+    param), both with map-side partials. No joins, no windows. The
+    digest column is whatever content hash the extraction job already
+    wrote (job.py's digests output) — no second pass over page bytes.
+
+    Returns (param, n_urls, n_evidence_groups, n_uniform_groups,
+    uniform_frac 4 dp, content_neutral) ordered by param.
+    """
+    from ..functions.numeric import round_he
+
+    url = F.col(url_col)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    rows = pages.select(
+        url.alias("u"),
+        F.col(digest_col).alias("d"),
+        F.split(query, "&").alias("kvs"),
+    ).filter(query != "")
+    pname = lambda kv: F.split(kv, "=", 2).getItem(0)  # noqa: E731
+    ex = rows.select(
+        "u", "d", "kvs",
+        F.explode(F.array_distinct(F.transform("kvs", pname)))
+        .alias("param"),
+    )
+    residual = F.concat(
+        F.regexp_extract(F.col("u"), r"^([^?#]*)", 1),
+        F.lit("?"),
+        F.array_join(
+            F.filter("kvs", lambda kv: pname(kv) != F.col("param")), "&"
+        ),
+    )
+    grp = (
+        ex.select("param", "u", "d", residual.alias("residual"))
+        .groupBy("param", "residual")
+        .agg(
+            F.countDistinct("u").alias("n_urls"),
+            F.countDistinct("d").alias("n_digests"),
+        )
+    )
+    ev = F.when(F.col("n_urls") > 1, 1).otherwise(0)
+    uni = F.when((F.col("n_urls") > 1) & (F.col("n_digests") == 1), 1) \
+        .otherwise(0)
+    return (
+        grp.groupBy("param")
+        .agg(
+            F.sum("n_urls").cast("long").alias("n_urls"),
+            F.sum(ev).cast("long").alias("n_evidence_groups"),
+            F.sum(uni).cast("long").alias("n_uniform_groups"),
+        )
+        .select(
+            "param", "n_urls", "n_evidence_groups", "n_uniform_groups",
+            round_he(
+                F.col("n_uniform_groups").cast("double")
+                / F.greatest(F.col("n_evidence_groups"), F.lit(1))
+                .cast("double"),
+                4,
+            ).alias("uniform_frac"),
+            ((F.col("n_evidence_groups") > 0)
+             & (F.col("n_uniform_groups") == F.col("n_evidence_groups")))
+            .alias("content_neutral"),
+        )
+        .orderBy("param")
+    )
+
+
 def refresh_frontier(history: DataFrame, robots: DataFrame,
                      agent: str | None = None,
                      default_delay: float = 1.0,

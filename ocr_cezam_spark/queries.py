@@ -6284,6 +6284,99 @@ _register(
 )
 
 
+# Tracking-param fixture: content is keyed by ck = doc_id % 20, so urls
+# share a digest iff they share ck. Every url carries id=ck (a CONTENT
+# param: residual groups after removing it mix digests) and utm=u{id%7}
+# (a TRACKING param: urls sharing ck but differing in utm share one
+# digest). Every third doc also carries a per-visit sess param and
+# appears in TWO crawls with different sess values (the recrawl
+# evidence that exposes session ids); param order id < sess < utm is
+# already canonical. Expected inference: id NOT neutral, sess and utm
+# neutral.
+def _tracking_pages(s: SparkSession, d: str) -> DataFrame:
+    did = F.col("doc_id")
+    ck = (did % 20).cast("string")
+    base = F.concat(F.lit("https://t.example/p?id="), ck)
+    utm = F.concat(F.lit("&utm=u"), (did % 7).cast("string"))
+    digest = F.md5(ck)
+    docs = _t(s, d, "documents")
+    plain = docs.filter(did % 3 != 0).select(
+        F.concat(base, utm).alias("url"), digest.alias("digest")
+    )
+    sess = docs.filter(did % 3 == 0)
+    crawls = [
+        sess.select(
+            F.concat(
+                base, F.lit("&sess=s"), (did + off).cast("string"), utm
+            ).alias("url"),
+            digest.alias("digest"),
+        )
+        for off in (0, 1000)
+    ]
+    return plain.unionByName(crawls[0]).unionByName(crawls[1])
+
+
+_TRACKING_PAGES_SQL = """
+      SELECT 'https://t.example/p?id=' || CAST(doc_id % 20 AS VARCHAR)
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '&sess=s' || CAST(doc_id + off AS VARCHAR)
+                     ELSE '' END
+             || '&utm=u' || CAST(doc_id % 7 AS VARCHAR) AS url,
+             md5(CAST(doc_id % 20 AS VARCHAR)) AS digest
+      FROM documents, (VALUES (0), (1000)) crawls(off)
+      WHERE doc_id % 3 = 0 OR off = 0
+"""
+
+_register(
+    "tracking_params",
+    lambda s, d: pipeline.tracking_params(_tracking_pages(s, d)),
+    f"""
+    WITH pages AS ({_TRACKING_PAGES_SQL}),
+    rows AS (
+      SELECT url AS u, digest AS d,
+             string_split(regexp_extract(url, '\\?([^#]*)', 1), '&') AS kvs
+      FROM pages WHERE regexp_extract(url, '\\?([^#]*)', 1) <> ''
+    ),
+    ex AS (
+      SELECT u, d, kvs,
+             unnest(list_distinct(list_transform(
+               kvs, x -> string_split(x, '=')[1]))) AS param
+      FROM rows
+    ),
+    res AS (
+      SELECT param, u, d,
+             regexp_extract(u, '^([^?#]*)', 1) || '?' ||
+             array_to_string(list_filter(
+               kvs, x -> string_split(x, '=')[1] <> param), '&')
+               AS residual
+      FROM ex
+    ),
+    grp AS (
+      SELECT param, residual,
+             count(DISTINCT u) AS n_urls,
+             count(DISTINCT d) AS n_digests
+      FROM res GROUP BY 1, 2
+    )
+    SELECT param,
+           CAST(sum(n_urls) AS BIGINT) AS n_urls,
+           CAST(sum(CASE WHEN n_urls > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_evidence_groups,
+           CAST(sum(CASE WHEN n_urls > 1 AND n_digests = 1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_uniform_groups,
+           floor(CAST(sum(CASE WHEN n_urls > 1 AND n_digests = 1
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / greatest(sum(CASE WHEN n_urls > 1 THEN 1 ELSE 0 END),
+                            1) * 1e4 + 0.5) / 1e4 AS uniform_frac,
+           sum(CASE WHEN n_urls > 1 THEN 1 ELSE 0 END) > 0
+             AND sum(CASE WHEN n_urls > 1 THEN 1 ELSE 0 END)
+                 = sum(CASE WHEN n_urls > 1 AND n_digests = 1
+                            THEN 1 ELSE 0 END) AS content_neutral
+    FROM grp GROUP BY param ORDER BY param
+    """,
+)
+
+
 # ===========================================================================
 # Round-7 continuation batch 5: host-level mirror detection and per-domain
 # token quotas.
@@ -6828,6 +6921,12 @@ _WINDOW_TAIL = [
     # byte-identical, and extract_links stays IN covering the kernel
     # link path):
     "anchor_text_topk", "link_target_stats",
+    # rotated out as tracking_params entered (r6-driver-green; its
+    # textstats.py body has zero r7 diff — the r7 textstats changes are
+    # pure ADDITIONS (script_profile/chunk_*/cdc_*) — and it reads the
+    # documents table, untouched by the r7 kernel fixes; script_stats
+    # and cdc_chunks stay IN covering textstats.py):
+    "gopher_line_quality",
 ]
 
 

@@ -255,3 +255,49 @@ def test_cdc_dedup_stats_sees_shifted_clone_redundancy(spark):
     assert got[1]["dup_frac"] >= 0.8
     assert got[2]["dup_frac"] >= 0.8
     assert got[3]["dup_frac"] == 0.0
+
+
+def test_tracking_params_inference(spark):
+    """DUST param inference on a hand-built crawl: utm is content-
+    neutral (same residual => same digest), page is a content param
+    (digest follows it), solo appears on one url only (no evidence =>
+    NOT neutral, fail open), and a query-less url contributes nothing."""
+    rows = [
+        # utm varies over identical content
+        ("https://a.ex/p?page=1&utm=x", "d1"),
+        ("https://a.ex/p?page=1&utm=y", "d1"),
+        # page varies content under identical utm
+        ("https://a.ex/p?page=2&utm=x", "d2"),
+        # a param seen once: no evidence groups
+        ("https://a.ex/q?solo=1", "d3"),
+        # no query string: ignored entirely
+        ("https://a.ex/r", "d4"),
+    ]
+    df = spark.createDataFrame(rows, "url string, digest string")
+    got = {
+        r["param"]: r
+        for r in pipeline.tracking_params(df).collect()
+    }
+    assert set(got) == {"page", "utm", "solo"}
+    assert got["utm"]["content_neutral"]
+    assert got["utm"]["n_evidence_groups"] == 1
+    assert not got["page"]["content_neutral"]
+    # page's evidence group (?utm=x residual) mixes d1/d2
+    assert got["page"]["n_evidence_groups"] == 1
+    assert got["page"]["n_uniform_groups"] == 0
+    assert not got["solo"]["content_neutral"]
+    assert got["solo"]["n_evidence_groups"] == 0
+
+    # null digest / null url safety: nulls don't crash the plan
+    df2 = spark.createDataFrame(
+        [("https://a.ex/p?x=1", None)], "url string, digest string"
+    )
+    assert pipeline.tracking_params(df2).count() == 1
+
+    # duplicate param occurrences collapse: ?a=1&a=2 counts 'a' once
+    df3 = spark.createDataFrame(
+        [("https://a.ex/p?a=1&a=2&b=3", "d")], "url string, digest string"
+    )
+    out = {r["param"]: r["n_urls"]
+           for r in pipeline.tracking_params(df3).collect()}
+    assert out == {"a": 1, "b": 1}
