@@ -236,6 +236,94 @@ def train_val_test_split(docs: DataFrame, val_frac: float = 0.05,
     return docs.select(F.col(id_col), split.alias("split"))
 
 
+def domain_disjoint_split(docs: DataFrame, url_col: str = "url",
+                          text_col: str = "text",
+                          val_pct: int = 10) -> DataFrame:
+    """Domain-disjoint held-out split with a built-in LEAKAGE AUDIT —
+    the eval-contamination guard `train_val_test_split` cannot give:
+    hashing the content digest keeps exact clones together, but a
+    site's near-identical template pages (different digests, same
+    boilerplate) still straddle a per-document split and leak eval
+    content into training. Assigning whole DOMAINS to splits removes
+    every same-site pathway by construction; what remains is true
+    cross-site syndication, which the audit measures side by side
+    with a per-document baseline split at the same rate.
+
+    Assignment: val iff md5('split:'||domain) mod 100 < val_pct — one
+    scan-speed hash per row, no RNG state, stable as the corpus grows
+    (the same properties as train_val_test_split). The baseline split
+    hashes 'rsplit:'||url at the same rate. The domain here is
+    `url_host`; production callers on multi-label suffixes pass
+    registered_domain(url_host(url)) (functions/url.py) so
+    sub.host.co.uk and host.co.uk land together.
+
+    Output: ONE row —
+      n_docs, n_train, n_val, val_frac (4 dp),
+      n_train_domains, n_val_domains,
+      domain_disjoint (in-plan invariant: no domain in both splits),
+      digest_leak_domain (distinct content digests present in BOTH
+      splits under the domain split — cross-site syndication only),
+      digest_leak_random (same count under the per-document baseline —
+      includes all within-site duplication; on site-duplicated corpora
+      this is the strictly larger number, and the gap is exactly the
+      leakage the domain split removed).
+
+    Scale shape: one projection computes (domain, digest, two split
+    flags); three bounded aggregations over it (per-digest two-side
+    check, per-domain two-side check, global counts), each with
+    map-side partials; single-row frames broadcast-crossed. No joins
+    over the corpus, no windows, no UDFs.
+    """
+    from ..functions.url import url_host
+
+    dom = url_host(F.col(url_col))
+    pick = lambda salt, key: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 8),
+               16, 10).cast("long") % 100 < val_pct
+    )
+    base = docs.select(
+        dom.alias("domain"),
+        F.md5(F.col(text_col)).alias("digest"),
+        pick("split:", dom).alias("dv"),
+        pick("rsplit:", F.col(url_col)).alias("rv"),
+    )
+    counts = base.groupBy().agg(
+        F.count("*").alias("n_docs"),
+        F.sum((~F.col("dv")).cast("long")).alias("n_train"),
+        F.sum(F.col("dv").cast("long")).alias("n_val"),
+    )
+    doms = base.groupBy("domain").agg(
+        F.max(F.col("dv").cast("int")).alias("any_v"),
+        F.min(F.col("dv").cast("int")).alias("all_v"),
+    ).groupBy().agg(
+        F.sum(F.lit(1) - F.col("any_v")).cast("long")
+        .alias("n_train_domains"),
+        F.sum("all_v").cast("long").alias("n_val_domains"),
+        (F.sum((F.col("any_v") != F.col("all_v")).cast("long")) == 0)
+        .alias("domain_disjoint"),
+    )
+    leaks = base.groupBy("digest").agg(
+        (F.countDistinct("dv") == 2).cast("long").alias("ld"),
+        (F.countDistinct("rv") == 2).cast("long").alias("lr"),
+    ).groupBy().agg(
+        F.sum("ld").cast("long").alias("digest_leak_domain"),
+        F.sum("lr").cast("long").alias("digest_leak_random"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(doms))
+        .crossJoin(F.broadcast(leaks))
+        .select(
+            "n_docs", "n_train", "n_val",
+            round_he(F.col("n_val").cast("double")
+                     / F.col("n_docs").cast("double"), 4)
+            .alias("val_frac"),
+            "n_train_domains", "n_val_domains", "domain_disjoint",
+            "digest_leak_domain", "digest_leak_random",
+        )
+    )
+
+
+
 def select_and_pack(docs: DataFrame, budget_tokens: int, pack: int = 512,
                     n_shards: int = 8, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

@@ -6492,6 +6492,100 @@ _register(
 )
 
 
+# Domain-disjoint-split fixture: 20 source hosts x 25 docs, plus two
+# clone populations — every 5th doc duplicated WITHIN its host (the
+# site-template shape a per-document split leaks across the boundary
+# and a domain split cannot, by construction) and every 9th doc
+# syndicated to a separate mirror host (the true cross-site leakage
+# that survives both splits and the audit must count).
+def _split_pages(s: SparkSession, d: str) -> DataFrame:
+    docs = _t(s, d, "documents")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("https://"), "source", F.lit(".example/"))
+    base = docs.select(
+        F.concat(host, F.lit("p"), did.cast("string")).alias("url"),
+        "text",
+    )
+    same = docs.filter(did % 5 == 0).select(
+        F.concat(host, F.lit("c"), did.cast("string")).alias("url"),
+        "text",
+    )
+    cross = docs.filter(did % 9 == 0).select(
+        F.concat(F.lit("https://mirror.example/m"),
+                 did.cast("string")).alias("url"),
+        "text",
+    )
+    return base.unionByName(same).unionByName(cross)
+
+
+_SPLIT_PAGES_SQL = """
+      SELECT 'https://' || source || '.example/p' || CAST(doc_id AS VARCHAR)
+               AS url, text FROM documents
+      UNION ALL
+      SELECT 'https://' || source || '.example/c' || CAST(doc_id AS VARCHAR),
+             text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT 'https://mirror.example/m' || CAST(doc_id AS VARCHAR),
+             text FROM documents WHERE doc_id % 9 = 0
+"""
+
+_register(
+    "domain_disjoint_split",
+    lambda s, d: sampling.domain_disjoint_split(_split_pages(s, d),
+                                                val_pct=20),
+    f"""
+    WITH pages AS ({_SPLIT_PAGES_SQL}),
+    base AS (
+      SELECT lower(regexp_extract(
+               regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+               '^(?:.*@)?([^@]*)$', 1)) AS domain,
+             md5(text) AS digest, url
+      FROM pages
+    ),
+    flagged AS (
+      SELECT domain, digest,
+             CAST(concat('0x', substring(md5('split:' || domain), 1, 8))
+                  AS BIGINT) % 100 < 20 AS dv,
+             CAST(concat('0x', substring(md5('rsplit:' || url), 1, 8))
+                  AS BIGINT) % 100 < 20 AS rv
+      FROM base
+    ),
+    counts AS (
+      SELECT count(*) AS n_docs,
+             sum(CASE WHEN dv THEN 0 ELSE 1 END) AS n_train,
+             sum(CASE WHEN dv THEN 1 ELSE 0 END) AS n_val
+      FROM flagged
+    ),
+    doms AS (
+      SELECT CAST(sum(1 - any_v) AS BIGINT) AS n_train_domains,
+             CAST(sum(all_v) AS BIGINT) AS n_val_domains,
+             sum(CASE WHEN any_v <> all_v THEN 1 ELSE 0 END) = 0
+               AS domain_disjoint
+      FROM (SELECT domain, max(CASE WHEN dv THEN 1 ELSE 0 END) AS any_v,
+                   min(CASE WHEN dv THEN 1 ELSE 0 END) AS all_v
+            FROM flagged GROUP BY domain)
+    ),
+    leaks AS (
+      SELECT CAST(sum(ld) AS BIGINT) AS digest_leak_domain,
+             CAST(sum(lr) AS BIGINT) AS digest_leak_random
+      FROM (SELECT digest,
+                   CASE WHEN count(DISTINCT dv) = 2 THEN 1 ELSE 0 END AS ld,
+                   CASE WHEN count(DISTINCT rv) = 2 THEN 1 ELSE 0 END AS lr
+            FROM flagged GROUP BY digest)
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_train AS BIGINT) AS n_train,
+           CAST(n_val AS BIGINT) AS n_val,
+           floor(CAST(n_val AS DOUBLE) / n_docs * 1e4 + 0.5) / 1e4
+             AS val_frac,
+           n_train_domains, n_val_domains, domain_disjoint,
+           digest_leak_domain, digest_leak_random
+    FROM counts, doms, leaks
+    """,
+)
+
+
 # ===========================================================================
 # Round-7 continuation batch 6: the re-crawl composition — change-rate
 # evidence x robots re-check x per-host budget, the revisit counterpart
@@ -6927,6 +7021,14 @@ _WINDOW_TAIL = [
     # documents table, untouched by the r7 kernel fixes; script_stats
     # and cdc_chunks stay IN covering textstats.py):
     "gopher_line_quality",
+    # rotated out as domain_disjoint_split entered (r6-driver-green via
+    # its r6 single-pass rewrite; its sampling.py body has zero r7 diff
+    # — the r7 sampling changes are the domain_token_quota /
+    # domain_disjoint_split ADDITIONS plus dsir_select's quantized
+    # cutoff, and dsir_select / domain_token_quota stay IN covering
+    # sampling.py; build_training_corpus additionally exercises the
+    # token_budget_select body inside the window every round):
+    "token_budget_select",
 ]
 
 

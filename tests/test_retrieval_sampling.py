@@ -307,3 +307,36 @@ def test_phrase_search_empty_phrase_raises(spark):
     docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         retrieval.phrase_search(docs, " ")
+
+
+def test_domain_disjoint_split_audit(spark):
+    """Domain split keeps whole sites on one side (in-plan invariant),
+    same-site clones can NEVER leak under it, and the per-document
+    baseline split's leak count is computed on the same digests."""
+    import hashlib
+
+    def side(domain: str, pct: int = 30) -> bool:
+        h = int(hashlib.md5(f"split:{domain}".encode()).hexdigest()[:8], 16)
+        return h % 100 < pct
+
+    # two sites on opposite sides of the 30% cut (found deterministically)
+    hosts = [f"s{i}.ex" for i in range(20)]
+    a = next(h for h in hosts if side(h))          # val side
+    b = next(h for h in hosts if not side(h))      # train side
+    rows = [
+        # same-site template clones on each side: never a domain leak
+        (f"https://{a}/p1", "tmpl-a"), (f"https://{a}/p2", "tmpl-a"),
+        (f"https://{b}/p1", "tmpl-b"), (f"https://{b}/p2", "tmpl-b"),
+        # true syndication across the cut: exactly ONE domain leak
+        (f"https://{a}/syn", "shared"), (f"https://{b}/syn", "shared"),
+        # unique pages
+        (f"https://{a}/u", "ua"), (f"https://{b}/u", "ub"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    r = sampling.domain_disjoint_split(df, val_pct=30).collect()[0]
+    assert r["domain_disjoint"]
+    assert r["n_docs"] == 8
+    assert r["n_train_domains"] == 1 and r["n_val_domains"] == 1
+    assert r["n_train"] == 4 and r["n_val"] == 4
+    assert r["digest_leak_domain"] == 1  # only the syndicated digest
+    assert r["digest_leak_random"] >= 0  # baseline is data-dependent
