@@ -448,3 +448,53 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 32,
         )
         .orderBy("url")
     )
+
+
+def reciprocal_links(links: DataFrame, src_col: str = "src",
+                     dst_col: str = "dst") -> DataFrame:
+    """Reciprocal-link ratio per host — the classic nepotistic-link
+    feature (Davison, "Recognizing Nepotistic Links on the Web",
+    AAAI-2000 workshop on AI for Web Search; a standard degree-based
+    spam feature in Becchetti et al., "Link Analysis for Web Spam
+    Detection", ACM TWEB 2008): mutual host-to-host links are
+    disproportionately navigational or collusive (link exchanges /
+    link farms), so hosts whose out-links are mostly reciprocated get
+    demoted before rank-weighted frontier scheduling — compose with
+    `trustrank`'s seed-biased demotion, which this complements from
+    the pure topology side.
+
+    Scale shape: collapse to DISTINCT host edges first (|E_host| <<
+    |links| — the same reduction every graph op here leans on), drop
+    self-loops, then ONE equi-join of the edge table against its own
+    reversal on both endpoints and one per-src aggregation. Nothing
+    corpus-sized crosses a shuffle; no windows, no UDFs.
+
+    Returns (host, n_out, n_recip, recip_frac 4 dp) ordered by host —
+    every host that has at least one qualifying out-edge.
+    """
+    e = (
+        links.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        F.lit(1).alias("recip"),
+    )
+    return (
+        e.join(rev, ["src", "dst"], "left")
+        .groupBy(F.col("src").alias("host"))
+        .agg(
+            F.count("*").alias("n_out"),
+            F.sum(F.coalesce("recip", F.lit(0))).cast("long")
+            .alias("n_recip"),
+        )
+        .select(
+            "host", "n_out", "n_recip",
+            round_he(F.col("n_recip").cast("double")
+                     / F.col("n_out").cast("double"), 4)
+            .alias("recip_frac"),
+        )
+        .orderBy("host")
+    )

@@ -4311,6 +4311,76 @@ def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
 
 _register("host_pagerank", _pagerank_query, _pagerank_oracle())
 
+
+# Reciprocity fixture: the shared pagerank host graph (organic, mixed
+# reciprocity) plus an explicit 3-host link-exchange ring wired in BOTH
+# directions (farm0<->farm1<->farm2<->farm0) — the collusive shape the
+# feature exists to flag: farm hosts come out recip_frac 1.0 while the
+# organic hosts stay data-dependent below it.
+def _recip_q(s: SparkSession, d: str) -> DataFrame:
+    doc_id = F.col("doc_id")
+    organic = (
+        _t(s, d, "documents")
+        .select(
+            F.col("source").alias("src"),
+            F.explode(F.array(
+                F.concat(F.lit("src"), ((doc_id * 7) % 20).cast("string")),
+                F.concat(F.lit("src"), ((doc_id * 13) % 20).cast("string")),
+            )).alias("dst"),
+        )
+    )
+    a = F.concat(F.lit("farm"), (doc_id % 3).cast("string"))
+    b = F.concat(F.lit("farm"), ((doc_id + 1) % 3).cast("string"))
+    farm = (
+        _t(s, d, "documents")
+        .filter(doc_id % 25 == 0)
+        .select(F.explode(F.array(
+            F.struct(a.alias("src"), b.alias("dst")),
+            F.struct(b.alias("src"), a.alias("dst")),
+        )).alias("e"))
+        .select("e.src", "e.dst")
+    )
+    return graph.reciprocal_links(organic.unionByName(farm))
+
+
+_register(
+    "reciprocal_links",
+    _recip_q,
+    f"""
+    WITH organic AS (
+        SELECT source AS src,
+               unnest(['src' || CAST((doc_id * 7) % 20 AS VARCHAR),
+                       'src' || CAST((doc_id * 13) % 20 AS VARCHAR)]) AS dst
+        FROM documents
+    ),
+    farm AS (
+      SELECT 'farm' || CAST(doc_id % 3 AS VARCHAR) AS src,
+             'farm' || CAST((doc_id + 1) % 3 AS VARCHAR) AS dst
+      FROM documents WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT 'farm' || CAST((doc_id + 1) % 3 AS VARCHAR),
+             'farm' || CAST(doc_id % 3 AS VARCHAR)
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    e AS (
+      SELECT DISTINCT src, dst
+      FROM (SELECT src, dst FROM organic UNION ALL
+            SELECT src, dst FROM farm)
+      WHERE src <> dst
+    )
+    SELECT e.src AS host,
+           count(*) AS n_out,
+           CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_recip,
+           floor(CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4
+             AS recip_frac
+    FROM e LEFT JOIN (SELECT dst AS src, src AS dst FROM e) r
+      ON e.src = r.src AND e.dst = r.dst
+    GROUP BY e.src ORDER BY host
+    """,
+)
+
 _register(
     "select_and_pack",
     lambda s, d: sampling.select_and_pack(
@@ -7029,6 +7099,15 @@ _WINDOW_TAIL = [
     # sampling.py; build_training_corpus additionally exercises the
     # token_budget_select body inside the window every round):
     "token_budget_select",
+    # rotated out as reciprocal_links entered (r6-driver-green; its
+    # pipeline.py body has zero r7 diff — the r7 pipeline changes are
+    # the build_training_corpus / recrawl_schedule / url_trap_stats /
+    # tracking_params ADDITIONS plus clean_corpus's keep_text — and its
+    # registered query reads fixture tables, not the kernel corpus;
+    # refresh_frontier (the same anti-join + robots + per-host-budget
+    # composition, revisit side) and clean_corpus stay IN covering
+    # pipeline.py):
+    "frontier_next",
 ]
 
 

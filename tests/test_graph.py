@@ -170,3 +170,19 @@ def test_resolve_redirects_hop_cap_flags_overlong_chains(spark):
     assert capped["n0"]["is_cycle"] == 1  # not terminated within cap
     assert capped["n0"]["final_url"] is None
     assert capped["n4"]["final_url"] == "end"  # 3 hops: inside the cap
+
+
+def test_reciprocal_links_flags_mutual_edges(spark):
+    from ocr_cezam_spark.operators import graph
+
+    rows = [
+        # a <-> b mutual; a -> c one-way; c self-loop (dropped);
+        # duplicate edge collapses before counting
+        ("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"), ("a", "b"),
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    got = {r["host"]: r for r in graph.reciprocal_links(df).collect()}
+    assert set(got) == {"a", "b"}  # c has no qualifying out-edge
+    assert got["a"]["n_out"] == 2 and got["a"]["n_recip"] == 1
+    assert got["a"]["recip_frac"] == 0.5
+    assert got["b"]["n_out"] == 1 and got["b"]["recip_frac"] == 1.0
