@@ -183,6 +183,110 @@ def cosine_topk(emb: DataFrame, probe_ids: list[int], k: int = 5,
     )
 
 
+def sq8_stats(emb: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> tuple[list[float], list[float]]:
+    """Per-dimension (min, scale) for 8-bit scalar quantization, from
+    ONE posexplode + (dim)-row min/max aggregation. The collect is
+    2 x dim doubles — bounded by geometry like the centroid collects,
+    never by data. scale = (max-min)/255, 0.0 for constant dims."""
+    stats = (
+        emb.select(F.posexplode(_to_double(F.col(vec_col)))
+                   .alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("i")
+        .collect()
+    )
+    mn = [float(r["mn"]) for r in stats]
+    scale = [(float(r["mx"]) - float(r["mn"])) / 255.0 for r in stats]
+    return mn, scale
+
+
+def sq8_topk(emb: DataFrame, probe_ids: list[int], k: int = 5,
+             shortlist_mult: int = 4,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN by 8-bit SCALAR quantization with exact re-ranking — the
+    memory-bandwidth member of the quantization family (PQ/ADC in
+    pq.py compresses harder; SQ8 keeps per-dim fidelity): store
+    uint8 codes (4x smaller than float32, the scan-bandwidth win a
+    brute-force pass at 10^12 vectors actually needs), shortlist
+    shortlist_mult*k candidates per probe by ASYMMETRIC similarity
+    (exact float probe against dequantized codes — the SDC/ADC
+    distinction from Jegou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011, applied to scalar codes), then
+    re-rank the shortlist with exact cosine.
+
+    Determinism, cross-engine: codes are floor((x-mn)/s + 0.5) on
+    doubles — single correctly-rounded IEEE ops, identical in DuckDB;
+    similarity folds are sequential in-row accumulations (_dot ==
+    list_dot_product order), so shortlist cutoffs land identically.
+    Constant dimensions (s=0) dequantize to mn exactly.
+
+    Output: (probe_id, rank, nb_id, cosine exact 4 dp, cosine_sq
+    4 dp) — the quantized similarity rides along so the quantization
+    error is driver-visible per row.
+
+    Scale shape: quantization is map-only; scoring broadcasts the
+    probe set (like cosine_topk); ONE window per stage, both pruned
+    to WindowGroupLimit by the rank filter. At production the
+    shortlist window runs over the uint8-coded table (the 4x-smaller
+    scan); the exact pass touches shortlist_mult*k rows per probe.
+    """
+    mn, scale = sq8_stats(emb, id_col, vec_col)
+    mn_a, s_a = _lit_vec(mn), _lit_vec(scale)
+    base = emb.select(
+        F.col(id_col).alias("nb_id"),
+        _to_double(F.col(vec_col)).alias("v"),
+    )
+    # dequantized vector: mn + floor((x-mn)/s + .5)*s, elementwise
+    dq = F.transform(
+        F.col("v"),
+        lambda x, i: F.when(
+            F.element_at(s_a, i + 1) > 0.0,
+            F.element_at(mn_a, i + 1)
+            + F.floor((x - F.element_at(mn_a, i + 1))
+                      / F.element_at(s_a, i + 1) + F.lit(0.5))
+            * F.element_at(s_a, i + 1),
+        ).otherwise(F.element_at(mn_a, i + 1)),
+    )
+    coded = base.select("nb_id", "v", dq.alias("dqv"))
+    probes = base.filter(F.col("nb_id").isin(probe_ids)).select(
+        F.col("nb_id").alias("probe_id"), F.col("v").alias("p")
+    )
+    cand = coded.crossJoin(F.broadcast(probes)).filter(
+        F.col("nb_id") != F.col("probe_id")
+    )
+    sim_sq = _dot(F.col("p"), F.col("dqv")) / (
+        F.sqrt(_dot(F.col("p"), F.col("p")))
+        * F.sqrt(_dot(F.col("dqv"), F.col("dqv")))
+    )
+    w_sq = Window.partitionBy("probe_id").orderBy(
+        F.desc("sim_sq"), F.asc("nb_id"))
+    short = (
+        cand.select("probe_id", "nb_id", "p", "v", sim_sq.alias("sim_sq"))
+        .withColumn("rs", F.row_number().over(w_sq))
+        .filter(F.col("rs") <= shortlist_mult * k)
+    )
+    sim_ex = _dot(F.col("p"), F.col("v")) / (
+        F.sqrt(_dot(F.col("p"), F.col("p")))
+        * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    w_ex = Window.partitionBy("probe_id").orderBy(
+        F.desc("sim_ex"), F.asc("nb_id"))
+    return (
+        short.select("probe_id", "nb_id", "sim_sq",
+                     sim_ex.alias("sim_ex"))
+        .withColumn("rank", F.row_number().over(w_ex).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id", "rank", "nb_id",
+            round_he("sim_ex", 4).alias("cosine"),
+            round_he("sim_sq", 4).alias("cosine_sq"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.99,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

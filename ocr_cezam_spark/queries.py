@@ -2595,6 +2595,63 @@ def _pq_topk(s: SparkSession, d: str) -> DataFrame:
 _register("pq_ann_topk", _pq_topk, _pq_oracle())
 
 
+# SQ8 scalar-quantized ANN: per-dim min/scale from the corpus itself,
+# asymmetric (float probe vs dequantized codes) shortlist of 4k, exact
+# cosine re-rank to k. The twin recomputes the same stats / codes /
+# sequential-fold similarities from the embeddings view — the floor()
+# quantizer and both similarity folds are single correctly-rounded
+# double ops in both engines, so shortlist cutoffs land identically.
+_register(
+    "sq8_ann_topk",
+    lambda s, d: simsearch.sq8_topk(_t(s, d, "embeddings"), _PROBES),
+    f"""
+    WITH base AS (
+      SELECT vec_id AS nb_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), u AS (
+      SELECT nb_id, unnest(v) AS x, generate_subscripts(v, 1) AS i
+      FROM base
+    ), stats AS (
+      SELECT i, min(x) AS mn, (max(x) - min(x)) / 255.0 AS s
+      FROM u GROUP BY i
+    ), q AS (
+      SELECT nb_id, i,
+             CASE WHEN s > 0
+                  THEN mn + floor((x - mn) / s + 0.5) * s
+                  ELSE mn END AS dx
+      FROM u JOIN stats USING (i)
+    ), dq AS (
+      SELECT nb_id, list(dx ORDER BY i) AS dqv FROM q GROUP BY nb_id
+    ), probes AS (
+      SELECT nb_id AS probe_id, v AS p FROM base
+      WHERE nb_id IN ({', '.join(str(p) for p in _PROBES)})
+    ), cand AS (
+      SELECT pr.probe_id, b.nb_id,
+             list_dot_product(pr.p, d.dqv)
+               / (sqrt(list_dot_product(pr.p, pr.p))
+                  * sqrt(list_dot_product(d.dqv, d.dqv))) AS sim_sq,
+             list_dot_product(pr.p, b.v)
+               / (sqrt(list_dot_product(pr.p, pr.p))
+                  * sqrt(list_dot_product(b.v, b.v))) AS sim_ex
+      FROM probes pr, base b JOIN dq d USING (nb_id)
+      WHERE b.nb_id <> pr.probe_id
+    ), short AS (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY sim_sq DESC, nb_id ASC) AS rs
+      FROM cand
+    )
+    SELECT probe_id, rank, nb_id,
+           floor(sim_ex * 1e4 + 0.5) / 1e4 AS cosine,
+           floor(sim_sq * 1e4 + 0.5) / 1e4 AS cosine_sq
+    FROM (
+      SELECT probe_id, nb_id, sim_sq, sim_ex,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY sim_ex DESC, nb_id ASC) AS rank
+      FROM short WHERE rs <= 20
+    ) WHERE rank <= 5
+    """,
+)
+
+
 # ===========================================================================
 # Multimodal plumbing (binary payload -> typed metadata via mapInPandas)
 # ===========================================================================
@@ -7108,6 +7165,15 @@ _WINDOW_TAIL = [
     # composition, revisit side) and clean_corpus stay IN covering
     # pipeline.py):
     "frontier_next",
+    # rotated out as sq8_ann_topk entered (r6-driver-green; the r7
+    # kernel diffs — resolver '?#' fast-path guard, head-boundary fix,
+    # shared comment/CDATA/script strip pass — all live on the
+    # link/head extraction paths, not the table-cell/code path this
+    # query rides, and every kernel golden is byte-identical this
+    # round; extract_cells and solde_status stay IN covering the
+    # table-cell kernel family, extract_text/extract_links/
+    # page_metadata cover the text/link/head paths):
+    "fiscal_codes",
 ]
 
 

@@ -1907,3 +1907,37 @@ def test_incremental_near_dup_estimate_matches_batch_pair_generator(spark):
              for r in dedup.minhash_lsh_pairs(both).collect()}
     assert len(inc) == 1
     assert abs(inc[0]["sim_est"] - batch[(1, 101)]) < 5e-5
+
+
+def test_sq8_topk_recall_and_constant_dims(spark):
+    """SQ8 shortlist + exact re-rank must recover nearly all of the
+    exact top-k (8-bit per-dim codes lose little at dim 64), and a
+    constant dimension (scale 0) must dequantize to its min instead of
+    dividing by zero."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    probes = [0, 1, 2, 3, 4]
+    k = 5
+
+    def topk_sets(df):
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["probe_id"], set()).add(r["nb_id"])
+        return out
+
+    exact = topk_sets(simsearch.cosine_topk(emb, probes, k=k))
+    sq = topk_sets(simsearch.sq8_topk(emb, probes, k=k))
+    assert _recall_at_k(sq, exact, k) >= 0.9
+
+    # constant dim: every vector shares x[1] == 7.0
+    from pyspark.sql import functions as F  # noqa: N812
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 7.0, float(10 - i)]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    mn, scale = simsearch.sq8_stats(df)
+    assert scale[1] == 0.0 and mn[1] == 7.0
+    rows = simsearch.sq8_topk(df, [0], k=2).collect()
+    assert len(rows) == 2
+    # quantized similarity stays finite on the constant dim
+    assert all(r["cosine_sq"] == r["cosine_sq"] for r in rows)
