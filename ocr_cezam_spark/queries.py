@@ -6713,6 +6713,57 @@ _register(
 )
 
 
+# HRW reshard audit over the crawl-url key space: grow 8 -> 10 shards
+# and measure movement against the (S'-S)/S' = 0.2 expectation. The
+# twin computes the same argmax via DuckDB's max-of-struct over an
+# unnested shard range (group-by plan) while Spark folds in-row
+# (map-only plan) — different physical shapes, one assignment.
+def _hrw_shard_sql(n: int) -> str:
+    h = ("CAST(concat('0x', substring(md5('shard' || CAST(i AS VARCHAR)"
+         " || ':' || k), 1, 8)) AS BIGINT)")
+    return f"""
+      SELECT k, (max({{'h': {h}, 's': CAST(i AS BIGINT)}})).s AS shard
+      FROM keys, (SELECT unnest(range({n})) AS i) dims
+      GROUP BY k
+    """
+
+
+_register(
+    "reshard_movement",
+    lambda s, d: skew.reshard_movement(
+        _t(s, d, "documents").select(
+            _bloom_url(F.col("doc_id")).alias("url")),
+        "url", 8, 10,
+    ),
+    f"""
+    WITH keys AS (
+      SELECT {_BLOOM_URL_SQL.format(c="doc_id")} AS k FROM documents
+    ),
+    before AS ({_hrw_shard_sql(8)}),
+    after AS ({_hrw_shard_sql(10)}),
+    flagged AS (
+      SELECT a.shard,
+             CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END AS moved
+      FROM after a JOIN before b USING (k)
+    ),
+    per AS (
+      SELECT shard, count(*) AS n_after, sum(moved) AS n_arrived
+      FROM flagged GROUP BY shard
+    ),
+    tot AS (
+      SELECT count(*) AS n_total, sum(moved) AS n_moved FROM flagged
+    )
+    SELECT shard,
+           CAST(n_after AS BIGINT) AS n_after,
+           CAST(n_arrived AS BIGINT) AS n_arrived,
+           floor(CAST(n_moved AS DOUBLE) / n_total * 1e4 + 0.5) / 1e4
+             AS moved_frac,
+           floor({(10 - 8) / 10!r} * 1e4 + 0.5) / 1e4 AS expected_frac
+    FROM per, tot ORDER BY shard
+    """,
+)
+
+
 # ===========================================================================
 # Round-7 continuation batch 6: the re-crawl composition — change-rate
 # evidence x robots re-check x per-host budget, the revisit counterpart
@@ -7174,6 +7225,12 @@ _WINDOW_TAIL = [
     # table-cell kernel family, extract_text/extract_links/
     # page_metadata cover the text/link/head paths):
     "fiscal_codes",
+    # rotated out as reshard_movement entered (r6-driver-green; same
+    # zero-r7-diff argument as fiscal_codes above: operators/solde.py
+    # is untouched this round and its kernel cell path is outside the
+    # r7 link/head diffs, goldens byte-identical; extract_cells stays
+    # IN covering the table-cell kernel family):
+    "solde_status",
 ]
 
 

@@ -104,3 +104,91 @@ def salted_repartition(
     else:
         salt = F.lit(0)
     return docs.repartition(num_partitions, host, salt)
+
+
+def rendezvous_shard(df: DataFrame, key_col: str, n_shards: int,
+                     salt: str = "shard") -> DataFrame:
+    """Rendezvous / highest-random-weight (HRW) shard assignment
+    (Thaler & Ravishankar, "Using Name-Based Mappings to Increase Hit
+    Rates", IEEE/ACM ToN 1998): key -> argmax over shards of
+    h(shard_i, key). Unlike `pmod(hash, n)`, growing the shard set
+    moves ONLY the keys whose new shard wins — expected (S'-S)/S' of
+    them — which is what keeps a 10^12-row crawl-state store (per-shard
+    Bloom/HLL sketches, frontier partitions, url-seen files) from
+    re-shuffling wholesale every time capacity changes.
+
+    Plan: MAP-ONLY — the argmax folds over an n_shards-literal struct
+    array in-row (array_max on (hash, shard) structs; ties break to the
+    higher shard id deterministically in both engines, though 32-bit
+    hash ties are fixture-impossible). No shuffle, no window, no
+    driver state; the hash is the module-standard first-8-hex-md5
+    (bit-identical in the DuckDB twin).
+
+    Returns df plus a `shard` long column.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = F.col(key_col).cast("string")
+    entries = F.array(*[
+        F.struct(
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{salt}{i}:"), key)), 1, 8),
+                16, 10).cast("long").alias("h"),
+            F.lit(i).cast("long").alias("s"),
+        )
+        for i in range(n_shards)
+    ])
+    return df.withColumn("shard", F.array_max(entries)["s"])
+
+
+def reshard_movement(df: DataFrame, key_col: str, n_before: int,
+                     n_after: int, salt: str = "shard") -> DataFrame:
+    """The HRW minimal-movement property, measured in-plan: assign every
+    key under S=n_before and S'=n_after shards (same salt space, so
+    surviving shards keep their identity) and report, per AFTER-shard:
+    how many keys it holds, how many of those arrived (moved), and the
+    in-plan global moved fraction with HRW's expected (S'-S)/S'
+    alongside — the audit a capacity change ships with.
+
+    Output: (shard, n_after, n_arrived, moved_frac 4 dp,
+    expected_frac 4 dp) ordered by shard; moved_frac/expected_frac are
+    global (repeated per row so the result stays one relation).
+
+    Scale shape: two map-only assignments on one projection, ONE
+    aggregation by new shard, one single-row total broadcast-crossed.
+    """
+    if not 1 <= n_before <= n_after:
+        raise ValueError("need 1 <= n_before <= n_after")
+    a = rendezvous_shard(
+        df.select(F.col(key_col).alias("k")), "k", n_before, salt
+    ).withColumnRenamed("shard", "shard_before")
+    b = rendezvous_shard(a, "k", n_after, salt)
+    flagged = b.select(
+        "shard",
+        (F.col("shard") != F.col("shard_before")).cast("long")
+        .alias("moved"),
+    )
+    per = flagged.groupBy("shard").agg(
+        F.count("*").alias("n_after"),
+        F.sum("moved").alias("n_arrived"),
+    )
+    tot = flagged.groupBy().agg(
+        F.count("*").alias("n_total"),
+        F.sum("moved").alias("n_moved"),
+    )
+    from ocr_cezam_spark.functions.numeric import round_he
+
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            F.col("n_after").cast("long").alias("n_after"),
+            F.col("n_arrived").cast("long").alias("n_arrived"),
+            round_he(F.col("n_moved").cast("double")
+                     / F.col("n_total").cast("double"), 4)
+            .alias("moved_frac"),
+            round_he(F.lit((n_after - n_before) / n_after), 4)
+            .alias("expected_frac"),
+        )
+        .orderBy("shard")
+    )

@@ -80,3 +80,38 @@ def test_host_of_handles_bare_and_query_urls(spark):
     )
     got = [r[0] for r in df.select(host_of()).collect()]
     assert got == ["a.com", "b.com", "c.com", "d.com"]
+
+
+def test_rendezvous_shard_is_map_only_and_stable(spark):
+    """HRW assignment must stay a map-only plan (no Exchange) and keys
+    that move under a grow-reshard may only move TO the new shards."""
+    from ocr_cezam_spark import skew
+
+    df = spark.createDataFrame(
+        [(f"https://h{i % 9}.ex/p{i}",) for i in range(400)],
+        "url string",
+    )
+    assigned = skew.rendezvous_shard(df, "url", 8)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    shards = {r["shard"] for r in assigned.collect()}
+    assert shards <= set(range(8))
+
+    # grow 8 -> 12: movers land only on shards 8..11, and the moved
+    # fraction tracks (S'-S)/S' = 1/3 loosely
+    a = skew.rendezvous_shard(df, "url", 8).withColumnRenamed(
+        "shard", "s8")
+    b = skew.rendezvous_shard(a, "url", 12)
+    rows = b.collect()
+    movers = [r for r in rows if r["shard"] != r["s8"]]
+    assert movers and all(r["shard"] >= 8 for r in movers)
+    frac = len(movers) / len(rows)
+    assert 0.15 < frac < 0.55  # expected 1/3, generous band
+
+    out = skew.reshard_movement(df, "url", 8, 12).collect()
+    assert sum(r["n_arrived"] for r in out) == len(movers)
+    assert all(r["expected_frac"] == 0.3333 for r in out)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        skew.reshard_movement(df, "url", 12, 8)
