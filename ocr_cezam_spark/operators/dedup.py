@@ -207,6 +207,146 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def lsh_threshold_curve(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n_buckets: int = 10,
+                        k: int = MINHASH_K, bands: int = MINHASH_BANDS,
+                        max_df: int = 50) -> DataFrame:
+    """Empirical LSH S-curve vs the analytic one — the calibration that
+    justifies a (k, bands) choice BEFORE a 100 TB dedup run (Leskovec,
+    Rajaraman & Ullman, Mining of Massive Datasets section 3.4: a pair
+    with Jaccard s shares at least one of b bands of r rows with
+    probability 1 - (1 - s^r)^b). Per Jaccard decile this reports how
+    many evaluation pairs the FIXED production signatures actually
+    capture next to that analytic rate, so threshold drift (shingle
+    skew, short docs, coefficient luck) is measured, not assumed.
+
+    Evaluation-pair sample: pairs sharing at least one shingle with
+    document frequency <= max_df (the stop-shingle cap bounds the
+    quadratic co-shingle join exactly as in containment_pairs; pairs
+    whose overlap is ONLY corpus-hot boilerplate shingles are excluded
+    from the sample, stated bias). Exact Jaccard is computed over the
+    FULL distinct-shingle sets of the sampled pairs. At production this
+    runs on a deterministic md5 document sample, not the corpus — the
+    curve needs thousands of pairs, not 10^12.
+
+    Capture is decided from the SAME minhash_signature the production
+    pair generator bands (any of the b bands fully equal), so the
+    number reported is the deployed pipeline's behavior, not a
+    re-randomized simulation.
+
+    Theory values are evaluated ONCE in Python per bucket midpoint and
+    emitted as literals into BOTH engines — pow() is not guaranteed
+    correctly rounded across libm implementations, so computing it
+    in-plan could flip a 4 dp rounding cross-engine.
+
+    Output: (bucket, s_lo, s_hi, n_pairs, n_captured, capture_rate
+    4 dp, theory_rate 4 dp) ordered by bucket; empty buckets absent.
+
+    Scale shape: one distinct-shingle explode + df-capped self-join
+    (the containment_pairs bound), one k-wide signature aggregation
+    (shared plan with the production generator), one in-row band
+    comparison, one bucket aggregation. No windows, no corpus-wide
+    all-pairs.
+    """
+    from functools import reduce as _reduce
+
+    r = k // bands
+    did = F.col(id_col)
+    sh = docs.select(
+        did.alias("id"),
+        F.explode(F.array_distinct(shingles(text_col))).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    rare = (
+        sh.groupBy("sh").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("sh")
+    )
+    capped = sh.join(rare, "sh")
+    pairs = (
+        capped.select(F.col("id").alias("a"), "sh")
+        .join(capped.select(F.col("id").alias("b"), "sh"), "sh")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # exact jaccard over FULL shingle sets of the sampled pairs
+    inter = (
+        sh.select(F.col("id").alias("a"), "sh")
+        .join(sh.select(F.col("id").alias("b"), "sh"), "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = (
+        pairs.join(inter, ["a", "b"])
+        .join(sizes.select(F.col("id").alias("a"),
+                           F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("id").alias("b"),
+                           F.col("n_sh").alias("nb")), "b")
+        .select(
+            "a", "b",
+            (F.col("inter")
+             / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+             ).alias("s"),
+        )
+    )
+    sig = minhash_signature(docs, id_col, text_col, k)
+    sa = sig.select(F.col(id_col).alias("a"), F.col("sig").alias("sa"))
+    sb = sig.select(F.col(id_col).alias("b"), F.col("sig").alias("sb"))
+    band_eq = [
+        _reduce(
+            lambda x, y: x & y,
+            [
+                F.element_at("sa", bi * r + j + 1)
+                == F.element_at("sb", bi * r + j + 1)
+                for j in range(r)
+            ],
+        )
+        for bi in range(bands)
+    ]
+    captured = _reduce(lambda x, y: x | y, band_eq)
+    bucket = F.least(F.floor(F.col("s") * n_buckets),
+                     F.lit(n_buckets - 1)).cast("long")
+    theory = [
+        _round4(1.0 - (1.0 - ((i + 0.5) / n_buckets) ** r) ** bands)
+        for i in range(n_buckets)
+    ]
+    edges_lo = [_round4(i / n_buckets) for i in range(n_buckets)]
+    edges_hi = [_round4((i + 1) / n_buckets) for i in range(n_buckets)]
+    lit_arr = lambda vals: F.array(*[F.lit(v) for v in vals])  # noqa: E731
+    return (
+        jac.join(sa, "a").join(sb, "b")
+        .select(bucket.alias("bucket"), captured.cast("long").alias("c"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"),
+             F.sum("c").cast("long").alias("n_captured"))
+        .select(
+            "bucket",
+            F.element_at(lit_arr(edges_lo), F.col("bucket").cast("int") + 1)
+            .alias("s_lo"),
+            F.element_at(lit_arr(edges_hi), F.col("bucket").cast("int") + 1)
+            .alias("s_hi"),
+            "n_pairs", "n_captured",
+            round_he(F.col("n_captured").cast("double")
+                     / F.col("n_pairs").cast("double"), 4)
+            .alias("capture_rate"),
+            F.element_at(lit_arr(theory), F.col("bucket").cast("int") + 1)
+            .alias("theory_rate"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _round4(x: float) -> float:
+    """The engine-identical floor(x*1e4+0.5)/1e4 idiom, in Python, for
+    values emitted as literals to both engines."""
+    import math
+
+    return math.floor(x * 1e4 + 0.5) / 1e4
+
+
+
 def near_dup_pairs_dedup_first(docs: DataFrame, id_col: str = "doc_id",
                                text_col: str = "text", k: int = MINHASH_K,
                                bands: int = MINHASH_BANDS) -> DataFrame:

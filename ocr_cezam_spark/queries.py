@@ -1734,6 +1734,141 @@ _register(
 )
 
 
+# S-curve fixture: every doc gains a PREFIX clone at 80%/50%/30% of its
+# words by doc_id % 3 (prefix shingle sets give pair Jaccard ~ the kept
+# fraction, populating the mid buckets where the S-curve actually
+# bends) plus an exact clone for doc_id % 7 == 0 (the s=1.0 bucket).
+def _curve_docs(s: SparkSession, d: str) -> DataFrame:
+    docs = _t(s, d, "documents").select("doc_id", "text")
+    did, words = F.col("doc_id"), F.split(F.col("text"), " ")
+    frac = (
+        F.when(did % 3 == 0, F.lit(0.8))
+        .when(did % 3 == 1, F.lit(0.5))
+        .otherwise(F.lit(0.3))
+    )
+    prefix = docs.select(
+        (did + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(words, 1,
+                    F.ceil(F.size(words).cast("double") * frac).cast("int")),
+            " ",
+        ).alias("text"),
+    )
+    exact = docs.filter(did % 7 == 0).select(
+        (did + 2_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(prefix).unionByName(exact)
+
+
+_CURVE_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(list_slice(
+             string_split(text, ' '), 1,
+             CAST(ceil(len(string_split(text, ' '))
+                       * (CASE doc_id % 3 WHEN 0 THEN 0.8
+                          WHEN 1 THEN 0.5 ELSE 0.3 END)) AS INT)), ' ')
+      FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text FROM documents
+    WHERE doc_id % 7 = 0
+"""
+
+
+def _curve_oracle(n_buckets: int = 10, max_df: int = 50) -> str:
+    """lsh_threshold_curve twin: distinct shingles -> df-capped pair
+    sample -> exact jaccard -> signature band capture -> bucket rates;
+    signatures from the same MINHASH_COEFFS, theory/edge literals from
+    the same Python evaluation as the Spark side."""
+    import math
+
+    from .operators.dedup import (
+        MINHASH_BANDS, MINHASH_COEFFS, MINHASH_K, MINHASH_P,
+    )
+
+    k, b, p = MINHASH_K, MINHASH_BANDS, MINHASH_P
+    r = k // b
+    r4 = lambda x: math.floor(x * 1e4 + 0.5) / 1e4  # noqa: E731
+    mh = ",\n      ".join(
+        f"min(({a} * x + {c}) % {p}) AS mh_{i}"
+        for i, (a, c) in enumerate(MINHASH_COEFFS[:k])
+    )
+    band_terms = " OR ".join(
+        "(" + " AND ".join(
+            f"sa.mh_{bi * r + j} = sb.mh_{bi * r + j}" for j in range(r)
+        ) + ")"
+        for bi in range(b)
+    )
+    theory_case = " ".join(
+        f"WHEN {i} THEN {r4(1.0 - (1.0 - ((i + 0.5) / n_buckets) ** r) ** b)!r}"
+        for i in range(n_buckets)
+    )
+    lo_case = " ".join(
+        f"WHEN {i} THEN {r4(i / n_buckets)!r}" for i in range(n_buckets)
+    )
+    hi_case = " ".join(
+        f"WHEN {i} THEN {r4((i + 1) / n_buckets)!r}"
+        for i in range(n_buckets)
+    )
+    return f"""
+    WITH corpus AS ({_CURVE_SQL}),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, unnest({_SHINGLE_SQL}) AS sh
+      FROM corpus
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {max_df}),
+    capped AS (SELECT id, sh.sh FROM sh JOIN rare USING (sh)),
+    pairs AS (
+      SELECT DISTINCT l.id AS a, r.id AS b
+      FROM capped l JOIN capped r USING (sh) WHERE l.id < r.id
+    ),
+    inter AS (
+      SELECT l.id AS a, r.id AS b, count(*) AS i_n
+      FROM sh l JOIN sh r USING (sh) WHERE l.id < r.id
+      GROUP BY l.id, r.id
+    ),
+    jac AS (
+      SELECT p.a, p.b,
+             CAST(i.i_n AS DOUBLE) / (za.n_sh + zb.n_sh - i.i_n) AS s
+      FROM pairs p
+      JOIN inter i ON p.a = i.a AND p.b = i.b
+      JOIN sizes za ON p.a = za.id
+      JOIN sizes zb ON p.b = zb.id
+    ),
+    hx AS (
+      SELECT doc_id, ('0x' || substr(md5(unnest({_SHINGLE_SQL})), 1, 8))::BIGINT
+               % {p} AS x
+      FROM corpus
+    ),
+    sig AS (SELECT doc_id, {mh} FROM hx GROUP BY doc_id),
+    flagged AS (
+      SELECT least(CAST(floor(j.s * {n_buckets}) AS BIGINT),
+                   {n_buckets - 1}) AS bucket,
+             CASE WHEN {band_terms} THEN 1 ELSE 0 END AS c
+      FROM jac j JOIN sig sa ON j.a = sa.doc_id
+                 JOIN sig sb ON j.b = sb.doc_id
+    )
+    SELECT bucket,
+           CAST(CASE bucket {lo_case} END AS DOUBLE) AS s_lo,
+           CAST(CASE bucket {hi_case} END AS DOUBLE) AS s_hi,
+           count(*) AS n_pairs,
+           CAST(sum(c) AS BIGINT) AS n_captured,
+           floor(CAST(sum(c) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4
+             AS capture_rate,
+           CAST(CASE bucket {theory_case} END AS DOUBLE) AS theory_rate
+    FROM flagged GROUP BY bucket ORDER BY bucket
+    """
+
+
+_register(
+    "lsh_threshold_curve",
+    lambda s, d: dedup.lsh_threshold_curve(_curve_docs(s, d)),
+    _curve_oracle(),
+)
+
+
 def _dedup_first_docs(s: SparkSession, d: str) -> DataFrame:
     """Fixture for the exact-dedup-first composition: every doc gets an
     exact clone (+1M, a 2-copy exact group to collapse) AND a near clone
@@ -7231,6 +7366,13 @@ _WINDOW_TAIL = [
     # r7 link/head diffs, goldens byte-identical; extract_cells stays
     # IN covering the table-cell kernel family):
     "solde_status",
+    # rotated out as lsh_threshold_curve entered (r6-driver-green; the
+    # field parsers (kernel.py:497-648 region) are outside every r7
+    # kernel diff — resolver/head/strip-pass changes live on the
+    # link/head paths — and the fields golden is byte-identical;
+    # extract_text / extract_links / extract_cells / page_metadata
+    # stay IN covering the text, link, cell and head kernel paths):
+    "extract_fields",
 ]
 
 

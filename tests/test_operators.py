@@ -1941,3 +1941,19 @@ def test_sq8_topk_recall_and_constant_dims(spark):
     assert len(rows) == 2
     # quantized similarity stays finite on the constant dim
     assert all(r["cosine_sq"] == r["cosine_sq"] for r in rows)
+
+
+def test_lsh_threshold_curve_endpoints(spark):
+    """Exact clones land in the top bucket with capture 1.0 (identical
+    signatures always share every band); disjoint docs never pair (no
+    shared shingle => not in the evaluation sample)."""
+    base = [f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f" for i in range(12)]
+    rows = [(i, t) for i, t in enumerate(base)]
+    rows += [(100 + i, t) for i, t in enumerate(base)]  # exact clones
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.lsh_threshold_curve(df).collect()
+    assert len(out) == 1  # only the s=1.0 bucket: disjoint docs absent
+    top = out[0]
+    assert top["bucket"] == 9 and top["s_hi"] == 1.0
+    assert top["n_pairs"] == 12 and top["n_captured"] == 12
+    assert top["capture_rate"] == 1.0 and top["theory_rate"] == 1.0
