@@ -139,6 +139,7 @@ def run_job(
         ("statuses", X.extracted_statuses(out)),
         ("codes", X.extracted_codes(out)),
         ("links", X.extracted_links(out)),
+        ("headings", X.extracted_headings(out)),
         ("digests", digests),
         ("metrics", X.partition_metrics(out)),
         ("extracted", ext),

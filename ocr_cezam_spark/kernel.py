@@ -451,6 +451,31 @@ def _flow_blocks(node: _Node, memo: dict | None = None) -> list[_Node | str]:
     return blocks
 
 
+_HEADING_TAGS = ("h1", "h2", "h3", "h4", "h5", "h6")
+
+
+def _find_headings(node: _Node, out: list, memo: dict) -> None:
+    """Document-ordered (level, text) headings of the whole DOM — the
+    page OUTLINE, the layout skeleton heading-aware passage chunking
+    keys on (the web analog of the reference's zone schema: a named
+    projection of the page's structure, SURVEY.md 1.1 item 6). Same
+    DFS discipline as _find_tables (document order = O1 contour sort);
+    headings inside dropped tags vanish, nested headings (invalid
+    HTML) keep the outermost. Heading text reuses the SCORING-mode
+    _walk_text memo — container scoring has already walked every one
+    of these subtrees, so this pass is O(headings) lookups."""
+    if node.tag in _DROP_TAGS:
+        return
+    if node.tag in _HEADING_TAGS:
+        t = _norm(_walk_text(node, memo)[0])
+        if t:
+            out.append((int(node.tag[1]), t))
+        return
+    for child in node.children:
+        if isinstance(child, _Node):
+            _find_headings(child, out, memo)
+
+
 def _find_tables(node: _Node, out: list) -> None:
     if node.tag in _DROP_TAGS:
         return
@@ -1457,6 +1482,7 @@ def extract(url: str, html: bytes, lang: str) -> dict:
             "statuses": [],
             "codes": [],
             "links": [],
+            "headings": [],
             "error": f"{type(exc).__name__}: {exc}"[:500],
         }
 
@@ -1627,6 +1653,9 @@ def _extract_inner(url: str, html: bytes, lang: str) -> dict:
     # both consume the identical _LINK_STRIP_RX.sub("", page).
     stripped_page = _LINK_STRIP_RX.sub("", page)
     res["links"] = extract_links(url, page, stripped_page)
+    heads: list = []
+    _find_headings(root, heads, walk_memo)
+    res["headings"] = heads
     # Robots-meta directives (crawl-pipeline signal, not in the synthetic
     # corpus): pages declaring noindex/none must be droppable downstream;
     # surfaced as a field so the job's fields table carries it without a
@@ -1706,5 +1735,6 @@ def _analyze(url: str, text: str,
         "statuses": statuses,
         "codes": codes,
         "links": [],  # HTML path fills this after _analyze; PDF has none
+        "headings": [],  # HTML path fills this after _analyze too
         "error": None,
     }

@@ -82,6 +82,13 @@ EXTRACT_SCHEMA = pa.schema(
                            ("anchor", pa.string())])
             ),
         ),
+        pa.field(
+            "headings",
+            pa.list_(
+                pa.struct([("pos", pa.int32()), ("level", pa.int32()),
+                           ("heading", pa.string())])
+            ),
+        ),
     ]
 )
 
@@ -91,7 +98,8 @@ EXTRACT_DDL = (
     "cells array<struct<table_id:int,row_id:int,col_id:int,value:string>>, "
     "statuses array<struct<table_id:int,status:string,detail:string>>, "
     "codes array<struct<table_id:int,code:string,pos:int,value:string>>, "
-    "links array<struct<pos:int,href:string,anchor:string>>"
+    "links array<struct<pos:int,href:string,anchor:string>>, "
+    "headings array<struct<pos:int,level:int,heading:string>>"
 )
 
 
@@ -148,6 +156,12 @@ def _extract_batches(
                     for i, (h, t) in enumerate(res["links"])
                 ]
             )
+            out["headings"].append(
+                [
+                    {"pos": i, "level": lv, "heading": t}
+                    for i, (lv, t) in enumerate(res["headings"])
+                ]
+            )
         yield pa.RecordBatch.from_pydict(out, schema=EXTRACT_SCHEMA)
 
 
@@ -200,6 +214,15 @@ def extracted_links(out: DataFrame) -> DataFrame:
     like the other projections."""
     return out.select("url", F.explode("links").alias("l")).select(
         "url", "l.pos", "l.href", "l.anchor"
+    )
+
+
+def extracted_headings(out: DataFrame) -> DataFrame:
+    """(url, pos, level, heading): the page OUTLINE table — document-
+    ordered h1-h6 text per page, the structural skeleton heading-aware
+    passage chunking and section-level dedup key on."""
+    return out.select("url", F.explode("headings").alias("h")).select(
+        "url", "h.pos", "h.level", "h.heading"
     )
 
 

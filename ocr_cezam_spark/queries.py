@@ -3226,6 +3226,19 @@ _register(
     """,
 )
 
+# Page-outline table: document-ordered h1-h6 headings per page (the
+# structural skeleton heading-aware chunking keys on), distributed
+# through the same single Arrow pass and checked against the frozen
+# pure-Python kernel golden like the other kernel projections.
+_register(
+    "extract_headings",
+    lambda s, d: X.extracted_headings(_kernel_out(s)),
+    f"""
+    SELECT url, pos, level, heading
+    FROM read_parquet('{GOLDEN_DIR}/extract_headings_n{KERNEL_N}.parquet')
+    """,
+)
+
 
 _PR_ITERS = 3
 _PR_DEFAULT_LINKS = """
@@ -7373,6 +7386,14 @@ _WINDOW_TAIL = [
     # extract_text / extract_links / extract_cells / page_metadata
     # stay IN covering the text, link, cell and head kernel paths):
     "extract_fields",
+    # rotated out as extract_headings entered (r6-driver-green; the
+    # table-cell path (_find_tables/_table_cells) is outside every r7
+    # kernel diff — the headings addition is a separate DFS after
+    # _analyze — and the cells golden re-froze byte-identical this
+    # session; extract_headings/extract_text/extract_links/
+    # page_metadata all ride the same cached kernel extraction in the
+    # window, so the Arrow pass itself stays driver-covered):
+    "extract_cells",
 ]
 
 

@@ -195,3 +195,14 @@ def test_job_refuses_resume_across_redaction_states(spark, tmp_path):
             redact_pii=True)
     run_job(spark, docs, str(tmp_path / "mix2"), num_partitions=2,
             redact_pii=True)  # same state resumes fine (0 rows)
+
+
+def test_headings_identical(out):
+    rows = X.extracted_headings(out).collect()
+    got: dict[str, list] = {}
+    for r in rows:
+        got.setdefault(r["url"], []).append((r["pos"], r["level"], r["heading"]))
+    for i in range(N):
+        g = _golden(i)
+        want = [(p, lv, t) for p, (lv, t) in enumerate(g["headings"])]
+        assert sorted(got.get(g["url"], [])) == want

@@ -591,3 +591,33 @@ def test_head_metadata_rides_extract_fields():
     c3 = kernel.extract(p3["url"], p3["html"], p3["lang"])["fields"]["canonical_url"]
     c4 = kernel.extract(p4["url"], p4["html"], p4["lang"])["fields"]["canonical_url"]
     assert c3 == c4 and p3["url"] != p4["url"]
+
+
+def test_extract_headings_outline():
+    """The outline output: document order, all six levels, dropped-tag
+    and commented headings excluded, nested (invalid) headings keep the
+    outermost, empty headings skipped."""
+    from ocr_cezam_spark import kernel
+
+    html = (
+        "<html><body>"
+        "<h1>Top</h1>"
+        "<div><h2> Section  one </h2><p>x</p></div>"
+        "<h3>Sub <a href='/l'>linked</a> part</h3>"
+        "<script><h2>not real</h2></script>"
+        "<!-- <h2>commented</h2> -->"
+        "<h4></h4>"
+        "<h5>Deep</h5><h6>Deepest</h6>"
+        "<h2>Nested <h3>inner</h3></h2>"
+        "</body></html>"
+    ).encode()
+    r = kernel.extract("https://x.example/p", html, "en")
+    assert r["error"] is None
+    assert r["headings"] == [
+        (1, "Top"),
+        (2, "Section one"),
+        (3, "Sub linked part"),
+        (5, "Deep"),
+        (6, "Deepest"),
+        (2, "Nested inner"),
+    ]

@@ -34,6 +34,7 @@ def main() -> None:
     cells = {"url": [], "table_id": [], "row_id": [], "col_id": [], "value": []}
     codes = {"url": [], "table_id": [], "code": [], "pos": [], "value": []}
     links = {"url": [], "pos": [], "href": [], "anchor": []}
+    headings = {"url": [], "pos": [], "level": [], "heading": []}
     for i in range(N):
         p = make_page(i)
         r = extract(p["url"], p["html"], p["lang"])
@@ -45,6 +46,11 @@ def main() -> None:
             links["pos"].append(pos)
             links["href"].append(href)
             links["anchor"].append(anchor)
+        for pos, (level, t) in enumerate(r["headings"]):
+            headings["url"].append(r["url"])
+            headings["pos"].append(pos)
+            headings["level"].append(level)
+            headings["heading"].append(t)
         for (t, s, d) in r["statuses"]:
             statuses["url"].append(r["url"])
             statuses["table_id"].append(t)
@@ -83,6 +89,7 @@ def main() -> None:
     write(cells, "extract_cells", ("table_id", "row_id", "col_id"))
     write(codes, "fiscal_codes", ("table_id", "pos"))
     write(links, "extract_links", ("pos",))
+    write(headings, "extract_headings", ("pos", "level"))
 
     # PDF corpus goldens (the layout-parse path through the same kernel)
     p_texts = {"url": [], "text": []}
