@@ -134,6 +134,16 @@ HEADLINE = [
     "refresh_frontier",
     "cdc_chunks",
     "cdc_dup_fraction",
+    # round-7 continuation batch 2
+    "bloom_membership",
+    "bloom_merge",
+    "tracking_params",
+    "domain_disjoint_split",
+    "reciprocal_links",
+    "sq8_ann_topk",
+    "reshard_movement",
+    "lsh_threshold_curve",
+    "extract_headings",
 ]
 
 
