@@ -609,3 +609,32 @@ def test_cdc_chunks_per_doc_windows_no_joins(spark):
     for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert join not in plan, join
+
+
+def test_continuation2_plans_scale_shapes(spark):
+    """Scale-shape asserts for the second round-7 continuation batch:
+    no cartesian/nested-loop joins anywhere, no row-at-a-time Python,
+    and the stated join-free/map-only claims hold mechanically."""
+    for name in (
+        "bloom_membership", "bloom_merge", "tracking_params",
+        "domain_disjoint_split", "reciprocal_links", "sq8_ann_topk",
+        "reshard_movement", "lsh_threshold_curve",
+    ):
+        plan = formatted_plan(Q.QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        # BroadcastNestedLoopJoin appears ONLY for the whitelisted
+        # bounded crosses: 1-row summary totals, or sq8's deliberate
+        # 5-probe broadcast against the corpus (the cosine_topk
+        # brute-force scoring pattern)
+        if "BroadcastNestedLoopJoin" in plan:
+            assert name in (
+                "bloom_membership", "domain_disjoint_split",
+                "reshard_movement", "lsh_threshold_curve",
+                "sq8_ann_topk",
+            ), name
+
+    # tracking_params claims join-free: two hash aggs only
+    plan = formatted_plan(Q.QUERIES["tracking_params"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
