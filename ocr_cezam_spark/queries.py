@@ -1570,6 +1570,84 @@ _register(
 )
 
 
+# SCD-2 fixture: 100 urls x 6 fetches; content version = floor(k /
+# period), period in {1,2,4} by doc_id % 3 — every-fetch changers,
+# every-2nd changers (2-fetch versions) and every-4th changers (a
+# 4-fetch run then a 2-fetch current version), all three compaction
+# shapes present.
+def _version_fetches(s: SparkSession, d: str) -> DataFrame:
+    did = F.col("doc_id")
+    period = (
+        F.when(did % 3 == 0, F.lit(1))
+        .when(did % 3 == 1, F.lit(2))
+        .otherwise(F.lit(4))
+    )
+    k = F.col("k")
+    return (
+        _t(s, d, "documents")
+        .filter(did % 5 == 0)
+        .select(
+            F.concat(F.lit("https://h"), (did % 50).cast("string"),
+                     F.lit(".example/p"), did.cast("string")).alias("url"),
+            F.explode(F.array(*[F.lit(i) for i in range(6)])).alias("k"),
+            did.alias("did"), period.alias("period"),
+        )
+        .select(
+            "url",
+            (F.lit(1700000000) + k * 86400).cast("long").alias("warc_ts"),
+            F.md5(F.concat(
+                F.col("did").cast("string"), F.lit(":"),
+                F.floor(k / F.col("period")).cast("string"),
+            )).alias("digest"),
+        )
+    )
+
+
+_register(
+    "url_versions",
+    lambda s, d: dedup.url_version_history(_version_fetches(s, d)),
+    """
+    WITH fetches AS (
+      SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR)
+               || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
+             CAST(1700000000 + k * 86400 AS BIGINT) AS ts,
+             md5(CAST(doc_id AS VARCHAR) || ':' ||
+                 CAST(k // (CASE doc_id % 3 WHEN 0 THEN 1
+                            WHEN 1 THEN 2 ELSE 4 END) AS VARCHAR))
+               AS digest
+      FROM documents,
+           (VALUES (0), (1), (2), (3), (4), (5)) ks(k)
+      WHERE doc_id % 5 = 0
+    ),
+    lagged AS (
+      SELECT url, ts, digest,
+             lag(digest) OVER (PARTITION BY url ORDER BY ts) AS prev
+      FROM fetches
+    ),
+    v AS (
+      SELECT url, ts, digest,
+             sum(CASE WHEN prev IS NULL OR digest <> prev
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY url ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS version
+      FROM lagged
+    ),
+    agg AS (
+      SELECT url, CAST(version AS BIGINT) AS version,
+             min(digest) AS digest, min(ts) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_fetches
+      FROM v GROUP BY url, version
+    )
+    SELECT url, version, digest, valid_from,
+           lead(valid_from) OVER (PARTITION BY url ORDER BY version)
+             AS valid_to,
+           n_fetches
+    FROM agg ORDER BY url, version
+    """,
+)
+
+
 # Cross-crawl churn fixture: old = every doc; new = docs not divisible by
 # 7 (gone), with text edited for multiples of 5 (changed) and a batch of
 # brand-new urls for multiples of 9 (added); everything else unchanged.
@@ -7394,6 +7472,15 @@ _WINDOW_TAIL = [
     # page_metadata all ride the same cached kernel extraction in the
     # window, so the Arrow pass itself stays driver-covered):
     "extract_cells",
+    # rotated out as url_versions entered (r6-driver-green; the pdf
+    # content-stream parser has ZERO r7 diff — the same argument under
+    # which pdf_fields rotated to the tail earlier this round — and the
+    # pdf goldens re-froze byte-identical this session. This leaves the
+    # pdf family tail-gated only for r7 (sf0.001 every pytest run +
+    # sf0.01 via tools/check_oracles.py), which is the discipline's
+    # contract for zero-diff chains; both pdf queries were driver-green
+    # in r6):
+    "pdf_extract_text",
 ]
 
 

@@ -97,3 +97,30 @@ def test_dedup_clusters_on_cloned_docs(spark):
     assert len(clusters) == 20
     for i in range(20):
         assert clusters[i] == (2, i + 100)
+
+
+def test_url_version_history_scd2(spark):
+    """SCD-2 compaction: same-digest runs collapse with fetch counts,
+    intervals chain (valid_to = next valid_from, NULL for current),
+    single-fetch urls are one open version."""
+    from ocr_cezam_spark.operators import dedup
+
+    rows = [
+        # u1: d1 d1 d2 d1 -> 3 versions (digest REVERTS open a new one)
+        ("u1", 10, "d1"), ("u1", 20, "d1"), ("u1", 30, "d2"),
+        ("u1", 40, "d1"),
+        # u2: one fetch
+        ("u2", 10, "x"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts long, digest string")
+    got = [
+        (r["url"], r["version"], r["digest"], r["valid_from"],
+         r["valid_to"], r["n_fetches"])
+        for r in dedup.url_version_history(df).collect()
+    ]
+    assert got == [
+        ("u1", 1, "d1", 10, 30, 2),
+        ("u1", 2, "d2", 30, 40, 1),
+        ("u1", 3, "d1", 40, None, 1),
+        ("u2", 1, "x", 10, None, 1),
+    ]
