@@ -144,6 +144,8 @@ HEADLINE = [
     "reshard_movement",
     "lsh_threshold_curve",
     "extract_headings",
+    "url_versions",
+    "bm25f_topk",
 ]
 
 

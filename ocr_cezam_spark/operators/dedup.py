@@ -327,10 +327,19 @@ def lsh_threshold_curve(docs: DataFrame, id_col: str = "doc_id",
         .select("a", "b")
         .distinct()
     )
-    # exact jaccard over FULL shingle sets of the sampled pairs
+    # exact jaccard over FULL shingle sets of the sampled pairs — the
+    # intersection self-join runs over PAIR MEMBERS only (semi-join
+    # first), so its cost is bounded by the evaluation sample, never by
+    # corpus-wide hot-shingle co-occurrence
+    members = (
+        pairs.select(F.col("a").alias("id"))
+        .union(pairs.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    sh_m = sh.join(members, "id")
     inter = (
-        sh.select(F.col("id").alias("a"), "sh")
-        .join(sh.select(F.col("id").alias("b"), "sh"), "sh")
+        sh_m.select(F.col("id").alias("a"), "sh")
+        .join(sh_m.select(F.col("id").alias("b"), "sh"), "sh")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))

@@ -135,6 +135,85 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     )
 
 
+def bm25f_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+               title_words: int = 8, w_title: float = 2.0,
+               w_body: float = 1.0, id_col: str = "doc_id",
+               text_col: str = "text",
+               k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """Fielded BM25 — the "simple BM25F" of Robertson, Zaragoza &
+    Taylor (CIKM 2004): weight term occurrences BY FIELD before the
+    saturation, never after (summing per-field BM25 scores double-
+    saturates and is the paper's anti-pattern). A hit in the title
+    region counts w_title, a body hit w_body; document length becomes
+    the same weighted sum, so the k1/b machinery is unchanged.
+
+    The title field here is the first ``title_words`` tokens (a honest
+    stand-in over the flat documents table); production callers pass
+    the kernel's extract_headings text as the title stream instead —
+    the fielded aggregation below is identical either way.
+
+    Determinism: the weighted tf is a sum of w_title/w_body doubles —
+    with the default 2.0/1.0 weights every partial is an exact small
+    integer in double, so Spark's reduce order cannot perturb it.
+
+    Scale shape: identical to bm25_topk — ONE fielded term-frequency
+    aggregation feeds df/dl/score (shared exchange), stats ride a
+    1-row broadcast, query terms broadcast into a semi-join, top-k is
+    TakeOrdered.
+
+    Output: (id, score 4 dp, n_matched), ties broken by id ascending.
+    """
+    words = F.split(F.col(text_col), " ")
+    weight = F.when(F.col("pos") < title_words, F.lit(w_title)) \
+        .otherwise(F.lit(w_body))
+    wtf = (
+        docs.select(
+            F.col(id_col), F.posexplode(words).alias("pos", "term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", id_col)
+        .agg(F.sum(weight).alias("wtf"))
+    )
+    qt = wtf.sparkSession.createDataFrame(
+        [(t,) for t in dict.fromkeys(query_terms)], ["term"]
+    )
+    dl = wtf.groupBy(id_col).agg(F.sum("wtf").alias("wdl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("wdl").alias("avgwdl"),
+    )
+    df_t = (
+        wtf.join(F.broadcast(qt), "term")
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+    )
+    scored = (
+        wtf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(df_t), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.log((F.col("n_docs") - F.col("df") + 0.5)
+                      / (F.col("df") + 0.5) + 1.0)
+                * (F.col("wtf") * (k1 + 1))
+                / (F.col("wtf")
+                   + k1 * (1 - b + b * F.col("wdl") / F.col("avgwdl")))
+            ).alias("part"),
+        )
+        .groupBy(id_col)
+        .agg(
+            round_he(F.sum("part"), 4).alias("score"),
+            F.count("*").alias("n_matched"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    )
+
+
+
 def bm25_multi_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
                     id_col: str = "doc_id", text_col: str = "text",
                     k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:

@@ -4370,6 +4370,53 @@ _register(
     """,
 )
 
+# Fielded BM25F over the same corpus/terms as bm25_topk: title = first
+# 8 tokens at weight 2.0 — occurrences weighted BEFORE saturation (the
+# Robertson rule), so title hits outrank equal-tf body hits without
+# double-saturating. Twin restates the weighted tf with the identical
+# exact-integer-in-double weights.
+_register(
+    "bm25f_topk",
+    lambda s, d: retrieval.bm25f_topk(
+        _t(s, d, "documents"), _BM25_TERMS, k=10
+    ),
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+      FROM documents
+    ),
+    wtf AS (
+      SELECT term, doc_id,
+             sum(CAST(CASE WHEN i <= 8 THEN 2.0 ELSE 1.0 END AS DOUBLE))
+               AS wtf
+      FROM toks WHERE term <> '' GROUP BY term, doc_id
+    ),
+    q AS (SELECT unnest(
+        [{", ".join(repr(t) for t in _BM25_TERMS)}]) AS term),
+    dl AS (SELECT doc_id, sum(wtf) AS wdl FROM wtf GROUP BY doc_id),
+    st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(wdl) AS avgwdl
+           FROM dl),
+    dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+            FROM wtf JOIN q USING (term) GROUP BY term),
+    parts AS (
+      SELECT wtf.doc_id,
+             ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * (wtf.wtf * (1.2 + 1))
+             / (wtf.wtf + 1.2 * (1 - 0.75 + 0.75 * dl.wdl / st.avgwdl))
+               AS part
+      FROM wtf JOIN q USING (term) JOIN dft USING (term)
+      JOIN dl USING (doc_id) CROSS JOIN st
+    ),
+    sc AS (SELECT doc_id, floor((sum(part)) * 1e4 + 0.5) / 1e4 AS score,
+                  count(*) AS n_matched
+           FROM parts GROUP BY doc_id)
+    SELECT doc_id, score, n_matched FROM sc
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+
+
 # Weighted multi-query BM25: 3 queries, one of them weighted, one sharing
 # terms with another — the fixture exercises weight scaling, per-query
 # isolation and the duplicate-term weight sum. ONE Spark job for all
@@ -7481,6 +7528,14 @@ _WINDOW_TAIL = [
     # contract for zero-diff chains; both pdf queries were driver-green
     # in r6):
     "pdf_extract_text",
+    # rotated out as bm25f_topk entered (r6-driver-green; its r7
+    # signature extension routes ONLY the new trained-centroids path,
+    # which semantic_dedup_trained — IN the window — exercises
+    # end-to-end; the registered semantic_dedup query runs the default
+    # path whose output is identical to its r6-green run, and
+    # sq8_ann_topk + semantic_dedup_trained stay IN covering
+    # simsearch.py):
+    "semantic_dedup",
 ]
 
 

@@ -340,3 +340,22 @@ def test_domain_disjoint_split_audit(spark):
     assert r["n_train"] == 4 and r["n_val"] == 4
     assert r["digest_leak_domain"] == 1  # only the syndicated digest
     assert r["digest_leak_random"] >= 0  # baseline is data-dependent
+
+
+def test_bm25f_title_hits_outrank_body_hits(spark):
+    """BM25F weights occurrences BEFORE saturation: one title hit must
+    outrank one body hit in same-length docs, and a doc hit in both
+    fields outranks both."""
+    pad = " ".join(f"f{i}" for i in range(20))
+    rows = [
+        (1, "spark " + pad),                 # title hit
+        (2, pad + " spark"),                 # body hit
+        (3, "spark " + pad + " spark"),      # both fields
+        (4, pad + " x"),                     # no hit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["score"]
+           for r in retrieval.bm25f_topk(df, ["spark"], k=4,
+                                         title_words=8).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[3] > got[1] > got[2] > 0
