@@ -376,6 +376,98 @@ def url_trap_stats(pages: DataFrame, url_col: str = "url",
     )
 
 
+def corpus_report(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", lang_col: str = "lang",
+                  source_col: str = "source") -> DataFrame:
+    """The DATASET CARD in one row — the corpus-level facts an LLM-data
+    engineer reads before committing a training run (the per-corpus
+    analog of the reference's per-document summary outputs): volume,
+    exact-duplication mass, quality distribution, and concentration of
+    language / source (the two imbalances temperature_sample and
+    domain_token_quota exist to correct — this is the measurement those
+    knobs are set from).
+
+    Output (ONE row): n_docs, n_tokens, n_chars, mean_tokens 4 dp,
+    n_distinct_digests, dup_frac 4 dp (1 - distinct/total),
+    mean_quality 4 dp (sampling.doc_quality lexical diversity),
+    n_langs, top_lang, top_lang_frac 4 dp,
+    n_sources, top_source, top_source_frac 4 dp.
+
+    Scale shape: ONE projection computes (tokens, chars, digest,
+    quality, lang, source) per doc; then one global aggregation plus
+    two bounded group-bys (|langs| and |sources| rows) whose argmax
+    rides a max-of-struct — everything map-side partial, single-row
+    frames broadcast-crossed. No windows, no joins over the corpus.
+    Tie-break on top_lang/top_source: max count, then max name
+    (struct comparison), deterministic in both engines.
+    """
+    from ..functions.numeric import round_he
+    from ..operators.sampling import doc_quality
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = docs.select(
+        F.size(words).cast("long").alias("tokens"),
+        F.length(text_col).cast("long").alias("chars"),
+        F.md5(F.col(text_col)).alias("digest"),
+        doc_quality(docs, text_col).alias("quality"),
+        F.col(lang_col).alias("lang"),
+        F.col(source_col).alias("source"),
+    )
+    # means come from EXACT integer sums + one divide, never avg() of
+    # doubles (a partition-order-dependent float sum could flip the
+    # 4 dp rounding cross-engine): tokens are ints already; quality is
+    # 4 dp-quantized, so round(q*1e4) recovers its exact integer form
+    q4 = F.round(F.col("quality") * 1e4).cast("long")
+    g = base.groupBy().agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("n_tokens"),
+        F.sum("chars").cast("long").alias("n_chars"),
+        F.countDistinct("digest").alias("n_distinct_digests"),
+        F.sum(q4).alias("_sum_q4"),
+    )
+
+    def top_of(col: str, n_name: str, top_name: str, frac_name: str):
+        cnt = base.groupBy(col).agg(F.count("*").alias("c"))
+        return cnt.groupBy().agg(
+            F.count("*").cast("long").alias(n_name),
+            F.max(F.struct(F.col("c"), F.col(col).alias("v")))
+            .alias(f"_{top_name}"),
+        ).select(
+            n_name,
+            F.col(f"_{top_name}.v").alias(top_name),
+            F.col(f"_{top_name}.c").cast("long").alias(f"_{frac_name}_c"),
+        )
+
+    langs = top_of("lang", "n_langs", "top_lang", "top_lang_frac")
+    srcs = top_of("source", "n_sources", "top_source", "top_source_frac")
+    return (
+        g.crossJoin(F.broadcast(langs))
+        .crossJoin(F.broadcast(srcs))
+        .select(
+            "n_docs", "n_tokens", "n_chars",
+            round_he(F.col("n_tokens").cast("double")
+                     / F.col("n_docs").cast("double"), 4)
+            .alias("mean_tokens"),
+            "n_distinct_digests",
+            round_he(
+                F.lit(1.0) - F.col("n_distinct_digests").cast("double")
+                / F.col("n_docs").cast("double"), 4,
+            ).alias("dup_frac"),
+            round_he(F.col("_sum_q4").cast("double")
+                     / F.col("n_docs").cast("double") / F.lit(1e4), 4)
+            .alias("mean_quality"),
+            "n_langs", "top_lang",
+            round_he(F.col("_top_lang_frac_c").cast("double")
+                     / F.col("n_docs").cast("double"), 4)
+            .alias("top_lang_frac"),
+            "n_sources", "top_source",
+            round_he(F.col("_top_source_frac_c").cast("double")
+                     / F.col("n_docs").cast("double"), 4)
+            .alias("top_source_frac"),
+        )
+    )
+
+
 def tracking_params(pages: DataFrame, url_col: str = "url",
                     digest_col: str = "digest") -> DataFrame:
     """Infer content-neutral URL query parameters from crawl evidence —

@@ -301,3 +301,24 @@ def test_tracking_params_inference(spark):
     out = {r["param"]: r["n_urls"]
            for r in pipeline.tracking_params(df3).collect()}
     assert out == {"a": 1, "b": 1}
+
+
+def test_corpus_report_fields(spark):
+    """Every card field from a corpus where each is hand-computable."""
+    rows = [
+        (1, "a b c", "en", "s1"),       # 3 tokens, quality 1.0
+        (2, "a b c", "en", "s1"),       # exact clone
+        (3, "x x x x", "fr", "s2"),     # quality 0.25
+        (4, "", "en", "s2"),            # empty: 0 tokens, quality 0.0
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    r = pipeline.corpus_report(df).collect()[0]
+    assert r["n_docs"] == 4 and r["n_tokens"] == 10
+    assert r["n_distinct_digests"] == 3 and r["dup_frac"] == 0.25
+    assert r["mean_tokens"] == 2.5
+    assert r["mean_quality"] == round((1.0 + 1.0 + 0.25 + 0.0) / 4, 4)
+    assert (r["n_langs"], r["top_lang"], r["top_lang_frac"]) == (2, "en", 0.75)
+    assert r["n_sources"] == 2 and r["top_source_frac"] == 0.5
+    # count tie between s1 (2 docs) and s2 (2 docs): max name wins
+    assert r["top_source"] == "s2"
