@@ -146,6 +146,8 @@ HEADLINE = [
     "extract_headings",
     "url_versions",
     "bm25f_topk",
+    "corpus_report",
+    "corpus_drift",
 ]
 
 

@@ -477,6 +477,80 @@ def weighted_sample(docs: DataFrame, k: int = 100,
     )
 
 
+def corpus_drift(old: DataFrame, new: DataFrame, text_col: str = "text",
+                 n_buckets: int = 1024) -> DataFrame:
+    """Distribution drift between two corpus snapshots over the hashed
+    unigram space (the dsir_select feature space): KL(new || old) and
+    total-variation distance on add-one-smoothed bucket models — the
+    cheap retraining/repartition signal ("did this month's crawl
+    change what the model will see?") computed without any vocabulary
+    state, bounded at n_buckets regardless of corpus size.
+
+    Determinism: the per-bucket KL terms p*ln(p/q) and |p-q| are
+    QUANTIZED to 1e-8 integers (floor(x*1e8+0.5), signed-safe) and
+    summed exactly (a raw double sum
+    over the bucket terms would be partition-order-dependent; ln()
+    itself agrees across these engines on this platform, the same
+    dependency bm25's idf already carries). The reported 4-dp values
+    therefore cannot wobble across runs or partitionings.
+
+    Output (ONE row): n_buckets_used (buckets hit by either side),
+    tokens_old, tokens_new, kl_new_vs_old 4 dp, tv_distance 4 dp.
+
+    Scale shape: one token-explode + bucket aggregation per side
+    (map-side partials, n_buckets rows out), one full-outer join of
+    two n_buckets-row tables, single-row totals broadcast-crossed.
+    The corpora never shuffle beyond their bucket aggregations.
+    """
+    def buckets(df: DataFrame, name: str) -> DataFrame:
+        b = (
+            F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
+            .cast("long") % n_buckets
+        ).alias("bucket")
+        return (
+            df.select(F.explode(F.split(F.col(text_col), " "))
+                      .alias("term"))
+            .filter(F.col("term") != "")
+            .select(b)
+            .groupBy("bucket")
+            .agg(F.count("*").alias(name))
+        )
+
+    ob, nb = buckets(old, "c_old"), buckets(new, "c_new")
+    joined = ob.join(nb, "bucket", "full").select(
+        "bucket",
+        F.coalesce("c_old", F.lit(0)).alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).alias("c_new"),
+    )
+    tot = joined.groupBy().agg(
+        F.sum("c_old").alias("t_old"), F.sum("c_new").alias("t_new"),
+        F.count("*").alias("n_used"),
+    )
+    p = (F.col("c_new") + 1).cast("double") / (
+        F.col("t_new") + n_buckets).cast("double")
+    q = (F.col("c_old") + 1).cast("double") / (
+        F.col("t_old") + n_buckets).cast("double")
+    # floor(x*1e8+0.5), never round(): engine round() half-rule
+    # semantics differ on negatives (KL terms are signed); the floor
+    # idiom is the repo-standard engine-identical quantizer
+    kl_term = F.floor((p * F.log(p / q)) * 1e8 + 0.5).cast("long")
+    tv_term = F.floor(F.abs(p - q) * 0.5 * 1e8 + 0.5).cast("long")
+    terms = joined.crossJoin(F.broadcast(tot)).select(
+        "t_old", "t_new", "n_used",
+        kl_term.alias("klq"), tv_term.alias("tvq"),
+    )
+    return terms.groupBy().agg(
+        F.max("n_used").cast("long").alias("n_buckets_used"),
+        F.max("t_old").cast("long").alias("tokens_old"),
+        F.max("t_new").cast("long").alias("tokens_new"),
+        round_he(F.sum("klq").cast("double") / F.lit(1e8), 4)
+        .alias("kl_new_vs_old"),
+        round_he(F.sum("tvq").cast("double") / F.lit(1e8), 4)
+        .alias("tv_distance"),
+    )
+
+
+
 def domain_token_quota(docs: DataFrame, quota: int,
                        id_col: str = "doc_id", domain_col: str = "domain",
                        text_col: str = "text") -> DataFrame:

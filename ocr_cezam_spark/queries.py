@@ -1673,6 +1673,69 @@ def _churn_crawls(s: SparkSession, d: str):
     return old, new
 
 
+# Hashed-unigram distribution drift between the churn fixture's two
+# crawls: the 'v2' edits + dropped/added url populations move real
+# token mass, so KL and TV are non-trivial; the per-bucket terms are
+# 1e-8-quantized integers in BOTH engines before the exact sum.
+_register(
+    "corpus_drift",
+    lambda s, d: sampling.corpus_drift(*_churn_crawls(s, d)),
+    """
+    WITH old AS (
+      SELECT text FROM documents
+    ),
+    new AS (
+      SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT text FROM documents WHERE doc_id % 9 = 0
+    ),
+    ob AS (
+      SELECT CAST(concat('0x', substring(md5(term), 1, 8)) AS BIGINT)
+               % 1024 AS bucket, count(*) AS c_old
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM old)
+      WHERE term <> '' GROUP BY 1
+    ),
+    nb AS (
+      SELECT CAST(concat('0x', substring(md5(term), 1, 8)) AS BIGINT)
+               % 1024 AS bucket, count(*) AS c_new
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM new)
+      WHERE term <> '' GROUP BY 1
+    ),
+    j AS (
+      SELECT coalesce(ob.bucket, nb.bucket) AS bucket,
+             coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+      FROM ob FULL JOIN nb ON ob.bucket = nb.bucket
+    ),
+    tot AS (
+      SELECT sum(c_old) AS t_old, sum(c_new) AS t_new,
+             count(*) AS n_used
+      FROM j
+    ),
+    terms AS (
+      SELECT t_old, t_new, n_used,
+             CAST(floor((((c_new + 1) / CAST(t_new + 1024 AS DOUBLE))
+                   * ln(((c_new + 1) / CAST(t_new + 1024 AS DOUBLE))
+                        / ((c_old + 1) / CAST(t_old + 1024 AS DOUBLE))))
+                   * 1e8 + 0.5) AS BIGINT) AS klq,
+             CAST(floor(abs((c_new + 1) / CAST(t_new + 1024 AS DOUBLE)
+                            - (c_old + 1) / CAST(t_old + 1024 AS DOUBLE))
+                   * 0.5 * 1e8 + 0.5) AS BIGINT) AS tvq
+      FROM j, tot
+    )
+    SELECT CAST(max(n_used) AS BIGINT) AS n_buckets_used,
+           CAST(max(t_old) AS BIGINT) AS tokens_old,
+           CAST(max(t_new) AS BIGINT) AS tokens_new,
+           floor((CAST(sum(klq) AS DOUBLE) / 1e8) * 1e4 + 0.5) / 1e4
+             AS kl_new_vs_old,
+           floor((CAST(sum(tvq) AS DOUBLE) / 1e8) * 1e4 + 0.5) / 1e4
+             AS tv_distance
+    FROM terms
+    """,
+)
+
+
 _register(
     "crawl_churn",
     lambda s, d: dedup.crawl_churn(*_churn_crawls(s, d)),
@@ -7625,7 +7688,7 @@ _WINDOW_TAIL = [
 # BEFORE the verified tail (positions 51+), are enforced for this round
 # by the sf0.001 pytest gate + sf0.01 tools/check_oracles.py, and
 # rotate INTO the next round's window first.
-_WINDOW_OVERFLOW = ["corpus_report"]
+_WINDOW_OVERFLOW = ["corpus_report", "corpus_drift"]
 
 
 def _reorder_registry() -> None:

@@ -359,3 +359,25 @@ def test_bm25f_title_hits_outrank_body_hits(spark):
                                          title_words=8).collect()}
     assert set(got) == {1, 2, 3}
     assert got[3] > got[1] > got[2] > 0
+
+
+def test_corpus_drift_directional_and_identical(spark):
+    """Identical snapshots drift ~0; a vocabulary shift moves KL and TV;
+    drift grows with the size of the shift."""
+    a = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(50)],
+        "doc_id long, text string")
+    same = sampling.corpus_drift(a, a).collect()[0]
+    assert same["kl_new_vs_old"] == 0.0 and same["tv_distance"] == 0.0
+    assert same["tokens_old"] == same["tokens_new"] == 200
+
+    small = spark.createDataFrame(
+        [(i, "alpha beta gamma NEW") for i in range(50)],
+        "doc_id long, text string")
+    big = spark.createDataFrame(
+        [(i, "NEW1 NEW2 NEW3 NEW4") for i in range(50)],
+        "doc_id long, text string")
+    d_small = sampling.corpus_drift(a, small).collect()[0]
+    d_big = sampling.corpus_drift(a, big).collect()[0]
+    assert 0 < d_small["kl_new_vs_old"] < d_big["kl_new_vs_old"]
+    assert 0 < d_small["tv_distance"] < d_big["tv_distance"]
