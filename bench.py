@@ -148,6 +148,7 @@ HEADLINE = [
     "bm25f_topk",
     "corpus_report",
     "corpus_drift",
+    "ingest_delta",
 ]
 
 

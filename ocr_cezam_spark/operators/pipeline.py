@@ -468,6 +468,128 @@ def corpus_report(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def ingest_delta(new_pages: DataFrame, corpus: DataFrame,
+                 id_col: str = "doc_id", url_col: str = "url",
+                 text_col: str = "text", min_quality: float = 0.25,
+                 near_threshold: float = 0.5) -> DataFrame:
+    """The INGEST composition — the third composed chain beside
+    frontier_next (what to fetch next) and build_training_corpus (what
+    to train on): a fetched crawl batch lands and every page gets ONE
+    verdict against the standing corpus, so the store stays clean
+    without replaying corpus-x-corpus work. The reference's two-phase
+    per-document contract (file_types/file_type.py:23-39 — admit, then
+    process) generalized to corpus maintenance.
+
+    Stages, in precedence order (first match wins):
+      1. canonicalize urls on both sides (functions/url.canonicalize_url
+         — fragments, param order, case, default ports);
+      2. within-batch recrawl collapse: one row per canonical url
+         (max id wins, deterministic);
+      3. url matched + same content digest  -> 'skip_unchanged';
+      4. url matched + digest differs       -> 'update';
+      5. url novel + digest already served  -> 'skip_exact_dup'
+         (exact-dedup-FIRST, the near_dup_pairs_dedup_first
+         discipline: exact clones never reach the band join);
+      6. url novel + near-duplicate content -> 'skip_near_dup'
+         (dedup.incremental_near_dup: new-vs-corpus band equi-join
+         ONLY, best match by (sim, lowest corpus id));
+      7. content novel but low quality      -> 'skip_low_quality'
+         (sampling.doc_quality < min_quality; updates bypass this
+         gate — their url is already in the store);
+      8. else                               -> 'insert'.
+
+    Output: (id, url canonical, verdict, corpus_id, sim_est) — one row
+    per surviving batch row, corpus_id = the matched standing row for
+    verdicts 3-6 (NULL otherwise), sim_est only for near-dup rows,
+    ordered by id.
+
+    Scale shape: canonicalization is codegen'd projection; the url
+    match is ONE equi-join on canonical url; exact dedup ONE equi-join
+    on digest against the corpus digest table; near-dup the bounded
+    incremental band join (never corpus x corpus); quality map-only.
+    Each batch row crosses each join at most once; the corpus side is
+    never shuffled beyond its digest/band aggregations (pre-computable
+    per epoch at production).
+    """
+    from ..functions.url import canonicalize_url
+    from ..operators.dedup import incremental_near_dup
+    from ..operators.sampling import doc_quality
+
+    newc = new_pages.select(
+        F.col(id_col).alias("id"),
+        canonicalize_url(F.col(url_col)).alias("url"),
+        F.col(text_col).alias("text"),
+        F.md5(F.col(text_col)).alias("digest"),
+        doc_quality(new_pages, text_col).alias("quality"),
+    )
+    best = (
+        newc.groupBy("url")
+        .agg(F.max(F.struct("id", "text", "digest", "quality"))
+             .alias("b"))
+        .select("url", "b.id", "b.text", "b.digest", "b.quality")
+    )
+    corp = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        canonicalize_url(F.col(url_col)).alias("url"),
+        F.md5(F.col(text_col)).alias("cdigest"),
+    )
+    um = best.join(corp, "url", "left")
+    matched = um.filter(F.col("corpus_id").isNotNull()).select(
+        "id", "url",
+        F.when(F.col("digest") == F.col("cdigest"),
+               F.lit("skip_unchanged")).otherwise(F.lit("update"))
+        .alias("verdict"),
+        "corpus_id",
+        F.lit(None).cast("double").alias("sim_est"),
+    )
+    novel = um.filter(F.col("corpus_id").isNull()).select(
+        "id", "url", "text", "digest", "quality"
+    )
+    cdig = corp.groupBy(F.col("cdigest").alias("digest")).agg(
+        F.min("corpus_id").alias("corpus_id")
+    )
+    ed = novel.join(cdig, "digest", "left")
+    exact = ed.filter(F.col("corpus_id").isNotNull()).select(
+        "id", "url", F.lit("skip_exact_dup").alias("verdict"),
+        "corpus_id", F.lit(None).cast("double").alias("sim_est"),
+    )
+    cands = ed.filter(F.col("corpus_id").isNull()).select(
+        "id", "url", "text", "quality"
+    )
+    near = incremental_near_dup(
+        cands.select(F.col("id").alias(id_col), F.col("text")),
+        corpus.select(F.col(id_col), F.col(text_col).alias("text")),
+        threshold=near_threshold,
+    )
+    near_best = (
+        near.groupBy(F.col("new_id").alias("id"))
+        .agg(F.max(F.struct(
+            F.col("sim_est"), (-F.col("corpus_id")).alias("neg"),
+        )).alias("b"))
+        .select("id", (-F.col("b.neg")).cast("long").alias("corpus_id"),
+                F.col("b.sim_est").alias("sim_est"))
+    )
+    nj = cands.join(near_best, "id", "left")
+    near_rows = nj.filter(F.col("corpus_id").isNotNull()).select(
+        "id", "url", F.lit("skip_near_dup").alias("verdict"),
+        "corpus_id", "sim_est",
+    )
+    rest = nj.filter(F.col("corpus_id").isNull()).select(
+        "id", "url",
+        F.when(F.col("quality") < min_quality,
+               F.lit("skip_low_quality")).otherwise(F.lit("insert"))
+        .alias("verdict"),
+        F.lit(None).cast("long").alias("corpus_id"),
+        F.lit(None).cast("double").alias("sim_est"),
+    )
+    return (
+        matched.unionByName(exact).unionByName(near_rows)
+        .unionByName(rest)
+        .orderBy("id")
+    )
+
+
+
 def tracking_params(pages: DataFrame, url_col: str = "url",
                     digest_col: str = "digest") -> DataFrame:
     """Infer content-neutral URL query parameters from crawl evidence —

@@ -6828,6 +6828,178 @@ _register(
 )
 
 
+# Ingest-delta fixture: the batch replays the corpus through all six
+# verdict classes by doc_id % 5 — refetch-with-fragment (unchanged),
+# same-url edit (update), novel-url exact clone (exact dup), novel-url
+# near clone (+' znew', near dup), and fresh docs with a low-quality
+# subset (doc_id % 25 == 4). The twin restates each stage from first
+# principles; the near-dup stage reuses the batch minhash CTE chain
+# with the 3M id split (same discipline as incremental_near_dup's
+# oracle).
+_INGEST_URL = ("'https://h' || CAST(doc_id % 50 AS VARCHAR)"
+               " || '.example/{p}' || CAST(doc_id AS VARCHAR)")
+
+
+def _ingest_fixture(s: SparkSession, d: str):
+    did = F.col("doc_id")
+    base_url = F.concat(
+        F.lit("https://h"), (did % 50).cast("string"),
+        F.lit(".example/p"), did.cast("string"),
+    )
+    corpus = _t(s, d, "documents").select(
+        "doc_id", base_url.alias("url"), "text"
+    )
+
+    def path(tag: str) -> F.Column:
+        return F.concat(
+            F.lit("https://h"), (did % 50).cast("string"),
+            F.lit(f".example/{tag}"), did.cast("string"),
+        )
+
+    cls = did % 5
+    url = (
+        F.when(cls == 0, F.concat(base_url, F.lit("#frag")))
+        .when(cls == 1, base_url)
+        .when(cls == 2, path("q"))
+        .when(cls == 3, path("r"))
+        .otherwise(path("s"))
+    )
+    text = (
+        F.when(cls == 0, F.col("text"))
+        .when(cls == 1, F.concat("text", F.lit(" v2")))
+        .when(cls == 2, F.col("text"))
+        .when(cls == 3, F.concat("text", F.lit(" znew")))
+        .otherwise(
+            F.when(did % 25 == 4,
+                   F.concat(F.lit("j j j j j j j j j u"),
+                            did.cast("string")))
+            .otherwise(F.concat(F.lit("fresh doc "), did.cast("string"),
+                                F.lit(" alpha beta gamma delta")))
+        )
+    )
+    batch = _t(s, d, "documents").select(
+        (did + 3_000_000).alias("doc_id"), url.alias("url"),
+        text.alias("text"),
+    )
+    return batch, corpus
+
+
+_INGEST_QUALITY_SQL = """
+    CASE WHEN len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+         THEN floor((CAST(len(list_distinct(list_filter(
+                string_split(text, ' '), w -> w <> ''))) AS DOUBLE)
+              / len(list_filter(string_split(text, ' '), w -> w <> '')))
+              * 1e4 + 0.5) / 1e4
+         ELSE 0.0 END
+"""
+
+
+def _ingest_oracle() -> str:
+    u = _INGEST_URL.format(p="p")
+    return f"""
+    WITH cbase AS (
+      SELECT doc_id, {u} AS url, text FROM documents
+    ),
+    newp AS (
+      SELECT doc_id + 3000000 AS id,
+             CASE doc_id % 5
+               WHEN 0 THEN url || '#frag'
+               WHEN 1 THEN url
+               WHEN 2 THEN {_INGEST_URL.format(p="q")}
+               WHEN 3 THEN {_INGEST_URL.format(p="r")}
+               ELSE {_INGEST_URL.format(p="s")} END AS url,
+             CASE doc_id % 5
+               WHEN 0 THEN text
+               WHEN 1 THEN text || ' v2'
+               WHEN 2 THEN text
+               WHEN 3 THEN text || ' znew'
+               ELSE CASE WHEN doc_id % 25 = 4
+                         THEN 'j j j j j j j j j u'
+                              || CAST(doc_id AS VARCHAR)
+                         ELSE 'fresh doc ' || CAST(doc_id AS VARCHAR)
+                              || ' alpha beta gamma delta' END
+               END AS text
+      FROM cbase
+    ),
+    newc AS (
+      -- the fixture's only non-canonical shape is the fragment; the
+      -- batch has no within-url duplicates, so collapse is identity
+      SELECT id, regexp_replace(url, '#.*$', '') AS url, text,
+             md5(text) AS digest,
+             {_INGEST_QUALITY_SQL} AS quality
+      FROM newp
+    ),
+    corp AS (SELECT doc_id AS corpus_id, url, md5(text) AS cdigest
+             FROM cbase),
+    um AS (
+      SELECT n.id, n.url, n.text, n.digest, n.quality,
+             c.corpus_id, c.cdigest
+      FROM newc n LEFT JOIN corp c USING (url)
+    ),
+    matched AS (
+      SELECT id, url,
+             CASE WHEN digest = cdigest THEN 'skip_unchanged'
+                  ELSE 'update' END AS verdict,
+             corpus_id, CAST(NULL AS DOUBLE) AS sim_est
+      FROM um WHERE corpus_id IS NOT NULL
+    ),
+    novel AS (SELECT id, url, text, digest, quality FROM um
+              WHERE corpus_id IS NULL),
+    cdig AS (SELECT cdigest AS digest, min(corpus_id) AS corpus_id
+             FROM corp GROUP BY 1),
+    ed AS (SELECT n.id, n.url, n.text, n.quality, d.corpus_id
+           FROM novel n LEFT JOIN cdig d USING (digest)),
+    exact AS (
+      SELECT id, url, 'skip_exact_dup' AS verdict, corpus_id,
+             CAST(NULL AS DOUBLE) AS sim_est
+      FROM ed WHERE corpus_id IS NOT NULL
+    ),
+    cands AS (SELECT id, url, text, quality FROM ed
+              WHERE corpus_id IS NULL),
+    {_minhash_pairs_ctes(
+        "SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT id AS doc_id, text FROM cands").lstrip()},
+    near AS (
+      SELECT b AS id, a AS corpus_id, sim_est FROM cand
+      WHERE a < 3000000 AND b >= 3000000 AND sim_est >= 0.5
+    ),
+    near_best AS (
+      SELECT id,
+             -(max({{'s': sim_est, 'n': -corpus_id}})).n AS corpus_id,
+             floor((max({{'s': sim_est, 'n': -corpus_id}})).s
+                   * 1e4 + 0.5) / 1e4 AS sim_est
+      FROM near GROUP BY id
+    ),
+    nj AS (
+      SELECT c.id, c.url, c.quality, nb.corpus_id, nb.sim_est
+      FROM cands c LEFT JOIN near_best nb USING (id)
+    ),
+    nearr AS (
+      SELECT id, url, 'skip_near_dup' AS verdict, corpus_id, sim_est
+      FROM nj WHERE corpus_id IS NOT NULL
+    ),
+    rest AS (
+      SELECT id, url,
+             CASE WHEN quality < 0.25 THEN 'skip_low_quality'
+                  ELSE 'insert' END AS verdict,
+             CAST(NULL AS BIGINT) AS corpus_id,
+             CAST(NULL AS DOUBLE) AS sim_est
+      FROM nj WHERE corpus_id IS NULL
+    )
+    SELECT id, url, verdict, corpus_id, sim_est FROM (
+      SELECT * FROM matched UNION ALL SELECT * FROM exact
+      UNION ALL SELECT * FROM nearr UNION ALL SELECT * FROM rest
+    ) ORDER BY id
+    """
+
+
+_register(
+    "ingest_delta",
+    lambda s, d: pipeline.ingest_delta(*_ingest_fixture(s, d)),
+    _ingest_oracle(),
+)
+
+
 # Tracking-param fixture: content is keyed by ck = doc_id % 20, so urls
 # share a digest iff they share ck. Every url carries id=ck (a CONTENT
 # param: residual groups after removing it mix digests) and utm=u{id%7}
@@ -7688,7 +7860,7 @@ _WINDOW_TAIL = [
 # BEFORE the verified tail (positions 51+), are enforced for this round
 # by the sf0.001 pytest gate + sf0.01 tools/check_oracles.py, and
 # rotate INTO the next round's window first.
-_WINDOW_OVERFLOW = ["corpus_report", "corpus_drift"]
+_WINDOW_OVERFLOW = ["corpus_report", "corpus_drift", "ingest_delta"]
 
 
 def _reorder_registry() -> None:

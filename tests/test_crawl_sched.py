@@ -322,3 +322,49 @@ def test_corpus_report_fields(spark):
     assert r["n_sources"] == 2 and r["top_source_frac"] == 0.5
     # count tie between s1 (2 docs) and s2 (2 docs): max name wins
     assert r["top_source"] == "s2"
+
+
+def test_ingest_delta_verdicts_and_batch_collapse(spark):
+    """Every verdict class on a hand fixture, plus the within-batch
+    recrawl collapse (two batch rows on one canonical url keep max id)
+    and the exact-before-near precedence."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "https://a.ex/p1", "alpha beta gamma delta"),
+            (2, "https://a.ex/p2", "one two three four"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # two fetches of p1 (fragment variants): max id wins; the
+            # winner's text matches corpus -> skip_unchanged
+            (10, "https://a.ex/p1#x", "STALE"),
+            (11, "https://a.ex/p1#y", "alpha beta gamma delta"),
+            # same url, new content -> update
+            (12, "https://a.ex/p2", "one two three four five"),
+            # novel url, corpus content -> exact dup (beats near dup)
+            (13, "https://a.ex/q", "alpha beta gamma delta"),
+            # novel url, near clone of doc 2 -> near dup
+            (14, "https://a.ex/r", "one two three four znew"),
+            # novel url, novel low-quality content
+            (15, "https://a.ex/s", "j j j j j j j j j j j u"),
+            # novel url, novel good content -> insert
+            (16, "https://a.ex/t", "completely different fresh words"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    from ocr_cezam_spark.operators.pipeline import ingest_delta
+
+    got = {r["id"]: r for r in ingest_delta(batch, corpus).collect()}
+    assert 10 not in got  # collapsed away by the max-id rule
+    assert got[11]["verdict"] == "skip_unchanged"
+    assert got[11]["corpus_id"] == 1
+    assert got[12]["verdict"] == "update" and got[12]["corpus_id"] == 2
+    assert got[13]["verdict"] == "skip_exact_dup"
+    assert got[13]["corpus_id"] == 1 and got[13]["sim_est"] is None
+    assert got[14]["verdict"] == "skip_near_dup"
+    assert got[14]["corpus_id"] == 2 and got[14]["sim_est"] >= 0.5
+    assert got[15]["verdict"] == "skip_low_quality"
+    assert got[16]["verdict"] == "insert"
+    assert got[16]["corpus_id"] is None
