@@ -590,6 +590,64 @@ def ingest_delta(new_pages: DataFrame, corpus: DataFrame,
 
 
 
+def hdr_length_gate(docs: DataFrame, lo_q: float = 0.01,
+                    hi_q: float = 0.99, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    sub_bits: int = 3) -> DataFrame:
+    """Sketch-DRIVEN outlier trimming: gate documents whose token count
+    falls outside the corpus's [lo_q, hi_q] HDR-quantile band — the
+    standard tails-trim (truncated boilerplate stubs below, concatenation
+    accidents above) with the cutoffs computed FROM THE SKETCH, not from
+    an exact sort: at 10^12 rows percentile_disc is a corpus-wide sort,
+    the HDR band is a 512-bucket aggregation (sketch.hdr_quantiles) whose
+    quantile rows stay IN-PLAN (1-row broadcast — no driver collect, no
+    second pass for the cutoffs).
+
+    The cutoffs are the HDR bucket LOWER bounds (within 2^-sub_bits
+    relative error below the exact quantiles — gate POLICY, stated, not
+    estimation error). Gate: lo <= tokens <= hi, inclusive both ends.
+
+    Output (ONE row): n_docs, p_lo, p_hi (the cutoffs), n_kept,
+    n_below, n_above, kept_frac 4 dp.
+
+    Scale shape: one token-count projection feeds both the bounded
+    sketch aggregation and the gate filter; the two quantile rows pivot
+    to one broadcast row; one summary aggregation. The corpus crosses
+    exactly one shuffle (the sketch's bucket agg).
+    """
+    from ..functions.numeric import round_he
+    from ..operators.sketch import hdr_quantiles
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    counts = docs.select(
+        F.col(id_col), F.size(words).cast("long").alias("v")
+    )
+    qs = hdr_quantiles(counts, "v", qs=(lo_q, hi_q), sub_bits=sub_bits)
+    bounds = qs.groupBy().agg(
+        F.max(F.when(F.col("q") == lo_q, F.col("est"))).alias("p_lo"),
+        F.max(F.when(F.col("q") == hi_q, F.col("est"))).alias("p_hi"),
+    )
+    flagged = counts.crossJoin(F.broadcast(bounds)).select(
+        "p_lo", "p_hi",
+        F.when(F.col("v") < F.col("p_lo"), F.lit("below"))
+        .when(F.col("v") > F.col("p_hi"), F.lit("above"))
+        .otherwise(F.lit("kept")).alias("g"),
+    )
+    return flagged.groupBy().agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("p_lo").cast("long").alias("p_lo"),
+        F.max("p_hi").cast("long").alias("p_hi"),
+        F.sum((F.col("g") == "kept").cast("long")).alias("n_kept"),
+        F.sum((F.col("g") == "below").cast("long")).alias("n_below"),
+        F.sum((F.col("g") == "above").cast("long")).alias("n_above"),
+        round_he(
+            F.sum((F.col("g") == "kept").cast("long")).cast("double")
+            / F.count("*").cast("double"), 4,
+        ).alias("kept_frac"),
+    )
+
+
+
 def tracking_params(pages: DataFrame, url_col: str = "url",
                     digest_col: str = "digest") -> DataFrame:
     """Infer content-neutral URL query parameters from crawl evidence —

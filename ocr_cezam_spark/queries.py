@@ -6828,6 +6828,83 @@ _register(
 )
 
 
+# HDR length-gate fixture: the documents corpus plus deliberate tails —
+# 1-token and 2-token stubs (doc_id % 100 / % 50) and 8x concatenation
+# giants (doc_id % 97 == 0) — so both gate sides carry mass. The twin
+# embeds the hdr_quantiles_sql chain (same (qs, sub_bits)) as a
+# subquery over the same fixture CTE.
+def _gate_docs(s: SparkSession, d: str) -> DataFrame:
+    did = F.col("doc_id")
+    docs = _t(s, d, "documents").select("doc_id", "text")
+    stubs = docs.filter(did % 50 == 0).select(
+        (did + 5_000_000).alias("doc_id"),
+        F.when(did % 100 == 0, F.lit("a")).otherwise(F.lit("a b"))
+        .alias("text"),
+    )
+    giants = docs.filter(did % 97 == 0).select(
+        (did + 6_000_000).alias("doc_id"),
+        F.repeat(F.concat("text", F.lit(" ")), 8).alias("text"),
+    )
+    return docs.unionByName(stubs).unionByName(giants)
+
+
+_GATE_DOCS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 5000000,
+             CASE WHEN doc_id % 100 = 0 THEN 'a' ELSE 'a b' END
+      FROM documents WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT doc_id + 6000000, repeat(text || ' ', 8)
+      FROM documents WHERE doc_id % 97 = 0
+"""
+
+_GATE_LEN_SQL = ("len(list_filter(string_split(text, ' '), "
+                 "w -> w <> ''))")
+
+_register(
+    "hdr_length_gate",
+    lambda s, d: pipeline.hdr_length_gate(_gate_docs(s, d)),
+    f"""
+    WITH corpus AS ({_GATE_DOCS_SQL}),
+    qrows AS (
+      SELECT * FROM (
+        {sketch.hdr_quantiles_sql(_GATE_LEN_SQL, qs=(0.01, 0.99),
+                                  table="corpus")}
+      )
+    ),
+    bounds AS (
+      SELECT CAST(max(CASE WHEN q = 0.01 THEN est END) AS BIGINT)
+               AS p_lo,
+             CAST(max(CASE WHEN q = 0.99 THEN est END) AS BIGINT)
+               AS p_hi
+      FROM qrows
+    ),
+    lens AS (SELECT {_GATE_LEN_SQL} AS v FROM corpus),
+    flagged AS (
+      SELECT p_lo, p_hi,
+             CASE WHEN v < p_lo THEN 'below'
+                  WHEN v > p_hi THEN 'above'
+                  ELSE 'kept' END AS g
+      FROM lens, bounds
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(p_lo) AS BIGINT) AS p_lo,
+           CAST(max(p_hi) AS BIGINT) AS p_hi,
+           CAST(sum(CASE WHEN g = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN g = 'below' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(sum(CASE WHEN g = 'above' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above,
+           floor(CAST(sum(CASE WHEN g = 'kept' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4
+             AS kept_frac
+    FROM flagged
+    """,
+)
+
+
 # Ingest-delta fixture: the batch replays the corpus through all six
 # verdict classes by doc_id % 5 — refetch-with-fragment (unchanged),
 # same-url edit (update), novel-url exact clone (exact dup), novel-url
@@ -7860,7 +7937,8 @@ _WINDOW_TAIL = [
 # BEFORE the verified tail (positions 51+), are enforced for this round
 # by the sf0.001 pytest gate + sf0.01 tools/check_oracles.py, and
 # rotate INTO the next round's window first.
-_WINDOW_OVERFLOW = ["corpus_report", "corpus_drift", "ingest_delta"]
+_WINDOW_OVERFLOW = ["corpus_report", "corpus_drift", "ingest_delta",
+                    "hdr_length_gate"]
 
 
 def _reorder_registry() -> None:

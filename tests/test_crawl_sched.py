@@ -368,3 +368,18 @@ def test_ingest_delta_verdicts_and_batch_collapse(spark):
     assert got[15]["verdict"] == "skip_low_quality"
     assert got[16]["verdict"] == "insert"
     assert got[16]["corpus_id"] is None
+
+
+def test_hdr_length_gate_trims_both_tails(spark):
+    rows = (
+        [(i, " ".join(f"w{j}" for j in range(30))) for i in range(100)]
+        + [(200 + i, "a") for i in range(3)]              # stubs
+        + [(300 + i, " ".join("x" for _ in range(5000)))  # giants
+           for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = pipeline.hdr_length_gate(df, lo_q=0.05, hi_q=0.95).collect()[0]
+    assert r["n_docs"] == 105
+    assert r["n_below"] == 3 and r["n_above"] == 2
+    assert r["n_kept"] == 100 and r["kept_frac"] == round(100 / 105, 4)
+    assert r["p_lo"] <= 30 <= r["p_hi"]
