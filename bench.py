@@ -149,6 +149,7 @@ HEADLINE = [
     "corpus_report",
     "corpus_drift",
     "ingest_delta",
+    "hdr_length_gate",
 ]
 
 
