@@ -130,10 +130,17 @@ def test_driver_window_holds_exactly_50_queries():
     from ocr_cezam_spark import queries as Q
 
     names = list(Q.QUERIES)
-    front = [n for n in names if n not in Q._WINDOW_TAIL]
+    skip = set(Q._WINDOW_TAIL) | set(Q._WINDOW_OVERFLOW)
+    front = [n for n in names if n not in skip]
     assert len(front) == 50, (len(front), front[50:])
     assert set(Q._WINDOW_TAIL) <= set(names)
+    assert not set(Q._WINDOW_TAIL) & set(Q._WINDOW_OVERFLOW)
     assert names[:50] == front
+    # overflow entries sort directly after the window, before the tail
+    n_over = len(Q._WINDOW_OVERFLOW)
+    assert names[50:50 + n_over] == [
+        n for n in Q._WINDOW_OVERFLOW if n in Q.QUERIES
+    ]
 
 
 def test_new_operator_plans_stay_native(spark):
