@@ -150,6 +150,7 @@ HEADLINE = [
     "corpus_drift",
     "ingest_delta",
     "hdr_length_gate",
+    "dedup_weights",
 ]
 
 

@@ -908,6 +908,45 @@ def cluster_best_docs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def dedup_weights(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Duplicate-aware TRAINING WEIGHTS — the soft alternative to hard
+    removal (the SoftDeDup idea: keep every copy, down-weight each by
+    its near-dup multiplicity so a cluster contributes unit effective
+    mass however many times it was crawled): weight = 1 / cluster_size
+    over `cluster_members`' components (exact collapse -> LSH on
+    representatives -> connected components — one shared cluster
+    definition with dedup_clusters / cluster_best_docs). Hard dedup
+    loses within-cluster variation (near dups are rarely byte-equal);
+    weighting keeps it while removing the repetition bias — the choice
+    between them is a training-recipe knob, so the engine provides
+    both from the same clustering.
+
+    Output: (id, component, cluster_size, weight 4 dp) for EVERY doc
+    (singletons weigh 1.0), ordered by id.
+
+    Scale shape: cluster_members' cost (the LSH band join over exact-
+    dedup representatives + the CC fixpoint over candidate pairs) plus
+    one component-size aggregation and one join of member rows against
+    the (bounded, component-count-sized) size table.
+    """
+    m = cluster_members(docs, id_col, text_col)
+    sizes = m.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        m.join(sizes, "component")
+        .select(
+            F.col(id_col), "component", "cluster_size",
+            round_he(F.lit(1.0)
+                     / F.col("cluster_size").cast("double"), 4)
+            .alias("weight"),
+        )
+        .orderBy(id_col)
+    )
+
+
+
 def crawl_churn(old: DataFrame, new: DataFrame, url_col: str = "url",
                 text_col: str = "text") -> DataFrame:
     """Cross-crawl churn statistics: classify every url across two crawl

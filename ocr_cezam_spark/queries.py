@@ -2121,6 +2121,47 @@ _register(
     """,
 )
 
+# SoftDeDup weights over the same clone corpus and the same recursive-
+# CTE clustering: every member keeps its row, weighted 1/cluster_size
+# (clusters of the exact clone pairs weigh 0.5; singletons 1.0).
+_register(
+    "dedup_weights",
+    lambda s, d: dedup.dedup_weights(_cloned_docs(s, d)),
+    f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    fpairs AS (SELECT a, b FROM cand WHERE sim_est >= 0.5),
+    edges AS (
+      SELECT a AS x, b AS y FROM fpairs
+      UNION SELECT b, a FROM fpairs
+    ),
+    nodes AS (SELECT DISTINCT x AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT reach.node, e.y FROM reach JOIN edges e ON reach.r = e.x
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    digests AS (SELECT doc_id, md5(text) AS digest FROM corpus),
+    grp AS (SELECT digest, min(doc_id) AS keeper FROM digests
+            GROUP BY digest),
+    rep_comp AS (
+      SELECT g.digest, coalesce(c.component, g.keeper) AS component
+      FROM grp g LEFT JOIN comp c ON g.keeper = c.node
+    ),
+    members AS (
+      SELECT d.doc_id, r.component
+      FROM digests d JOIN rep_comp r USING (digest)
+    ),
+    sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM members GROUP BY component)
+    SELECT m.doc_id, m.component, s.cluster_size,
+           floor((1.0 / s.cluster_size) * 1e4 + 0.5) / 1e4 AS weight
+    FROM members m JOIN sizes s USING (component)
+    ORDER BY m.doc_id
+    """,
+)
+
+
 # Canonical-doc selection per near-dup cluster: best member by lexical-
 # diversity quality, ties to MIN id (integer negation — no float -0.0
 # hazard). Same recursive-CTE clustering as dedup_clusters plus the
@@ -7938,7 +7979,7 @@ _WINDOW_TAIL = [
 # by the sf0.001 pytest gate + sf0.01 tools/check_oracles.py, and
 # rotate INTO the next round's window first.
 _WINDOW_OVERFLOW = ["corpus_report", "corpus_drift", "ingest_delta",
-                    "hdr_length_gate"]
+                    "hdr_length_gate", "dedup_weights"]
 
 
 def _reorder_registry() -> None:

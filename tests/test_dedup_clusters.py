@@ -124,3 +124,22 @@ def test_url_version_history_scd2(spark):
         ("u1", 3, "d1", 40, None, 1),
         ("u2", 1, "x", 10, None, 1),
     ]
+
+
+def test_dedup_weights_unit_mass_per_cluster(spark):
+    """Every doc keeps a row; cluster mass sums to ~1; singletons 1.0."""
+    from ocr_cezam_spark.operators import dedup
+
+    t = "the quick brown fox jumps over the lazy dog again today"
+    rows = [
+        (1, t), (2, t),                       # exact pair
+        (3, t + " extra"),                    # near dup of the pair
+        (4, "completely different unique words here now ok fine yes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup.dedup_weights(df).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["cluster_size"] == 3 == got[3]["cluster_size"]
+    assert got[1]["weight"] == got[3]["weight"] == 0.3333
+    assert got[4]["cluster_size"] == 1 and got[4]["weight"] == 1.0
+    assert got[1]["component"] == got[2]["component"] == got[3]["component"]
