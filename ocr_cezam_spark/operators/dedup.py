@@ -267,7 +267,9 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 def lsh_threshold_curve(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n_buckets: int = 10,
                         k: int = MINHASH_K, bands: int = MINHASH_BANDS,
-                        max_df: int = 50) -> DataFrame:
+                        max_df: int = 50,
+                        pair_mod: int = 1,
+                        sample_mod: int = 1) -> DataFrame:
     """Empirical LSH S-curve vs the analytic one — the calibration that
     justifies a (k, bands) choice BEFORE a 100 TB dedup run (Leskovec,
     Rajaraman & Ullman, Mining of Massive Datasets section 3.4: a pair
@@ -308,6 +310,14 @@ def lsh_threshold_curve(docs: DataFrame, id_col: str = "doc_id",
     from functools import reduce as _reduce
 
     r = k // bands
+    if sample_mod > 1:
+        # deterministic md5 DOCUMENT sample — cuts every downstream
+        # stage (shingle join, signatures, pair set); the production
+        # sampling knob the docstring promises
+        hd = F.conv(F.substring(F.md5(F.concat(
+            F.lit("curve:"), F.col(id_col).cast("string"))), 1, 8),
+            16, 10).cast("long")
+        docs = docs.filter(hd % sample_mod == 0)
     did = F.col(id_col)
     sh = docs.select(
         did.alias("id"),
@@ -327,6 +337,14 @@ def lsh_threshold_curve(docs: DataFrame, id_col: str = "doc_id",
         .select("a", "b")
         .distinct()
     )
+    if pair_mod > 1:
+        # deterministic md5 pair sample: the curve needs thousands of
+        # pairs per bucket, not all of them — this is the knob that
+        # keeps the k-wide signature join off the full pair set
+        h = F.conv(F.substring(F.md5(F.concat(
+            F.lit("pair:"), F.col("a").cast("string"), F.lit("|"),
+            F.col("b").cast("string"))), 1, 8), 16, 10).cast("long")
+        pairs = pairs.filter(h % pair_mod == 0)
     # exact jaccard over FULL shingle sets of the sampled pairs — the
     # intersection self-join runs over PAIR MEMBERS only (semi-join
     # first), so its cost is bounded by the evaluation sample, never by

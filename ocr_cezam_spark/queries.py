@@ -1917,7 +1917,8 @@ _CURVE_SQL = """
 """
 
 
-def _curve_oracle(n_buckets: int = 10, max_df: int = 50) -> str:
+def _curve_oracle(n_buckets: int = 10, max_df: int = 50,
+                  pair_mod: int = 1, sample_mod: int = 1) -> str:
     """lsh_threshold_curve twin: distinct shingles -> df-capped pair
     sample -> exact jaccard -> signature band capture -> bucket rates;
     signatures from the same MINHASH_COEFFS, theory/edge literals from
@@ -1953,7 +1954,12 @@ def _curve_oracle(n_buckets: int = 10, max_df: int = 50) -> str:
         for i in range(n_buckets)
     )
     return f"""
-    WITH corpus AS ({_CURVE_SQL}),
+    WITH corpus AS (
+      SELECT * FROM ({_CURVE_SQL})
+      WHERE CAST(concat('0x', substring(md5(
+              'curve:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % {sample_mod} = 0
+    ),
     sh AS (
       SELECT DISTINCT doc_id AS id, unnest({_SHINGLE_SQL}) AS sh
       FROM corpus
@@ -1962,8 +1968,14 @@ def _curve_oracle(n_buckets: int = 10, max_df: int = 50) -> str:
     rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {max_df}),
     capped AS (SELECT id, sh.sh FROM sh JOIN rare USING (sh)),
     pairs AS (
-      SELECT DISTINCT l.id AS a, r.id AS b
-      FROM capped l JOIN capped r USING (sh) WHERE l.id < r.id
+      SELECT a, b FROM (
+        SELECT DISTINCT l.id AS a, r.id AS b
+        FROM capped l JOIN capped r USING (sh) WHERE l.id < r.id
+      )
+      WHERE CAST(concat('0x', substring(md5(
+              'pair:' || CAST(a AS VARCHAR) || '|'
+              || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
+            % {pair_mod} = 0
     ),
     inter AS (
       SELECT l.id AS a, r.id AS b, count(*) AS i_n
@@ -2005,8 +2017,10 @@ def _curve_oracle(n_buckets: int = 10, max_df: int = 50) -> str:
 
 _register(
     "lsh_threshold_curve",
-    lambda s, d: dedup.lsh_threshold_curve(_curve_docs(s, d)),
-    _curve_oracle(),
+    lambda s, d: dedup.lsh_threshold_curve(_curve_docs(s, d),
+                                           max_df=20, pair_mod=4,
+                                           sample_mod=2),
+    _curve_oracle(max_df=20, pair_mod=4, sample_mod=2),
 )
 
 
