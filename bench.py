@@ -151,6 +151,7 @@ HEADLINE = [
     "ingest_delta",
     "hdr_length_gate",
     "dedup_weights",
+    "truncated_ann_topk",
 ]
 
 

@@ -287,6 +287,72 @@ def sq8_topk(emb: DataFrame, probe_ids: list[int], k: int = 5,
     )
 
 
+def truncated_ann_topk(emb: DataFrame, probe_ids: list[int], k: int = 5,
+                       trunc_dim: int = 16, shortlist_mult: int = 4,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """ANN by DIMENSION truncation — the third member of the
+    compression family (pq.py = codebook, sq8_topk = scalar width,
+    this = dimensionality): shortlist shortlist_mult*k candidates per
+    probe by cosine over the FIRST trunc_dim dimensions (a dim/trunc_dim
+    reduction in both multiply-adds and scan bandwidth), then re-rank
+    the shortlist with exact full-dimension cosine. This is the
+    retrieval pattern Matryoshka representation learning trains for
+    (Kusupati et al., "Matryoshka Representation Learning", NeurIPS
+    2022 — prefix sub-vectors carry most of the similarity signal);
+    on embeddings NOT trained that way the truncated ordering is only
+    correlated with the full one, which is exactly what the emitted
+    cosine_trunc column makes visible next to the exact score.
+
+    Determinism: both similarities are the sequential in-row _dot fold
+    (== DuckDB's list_dot_product order); the shortlist cutoff ranks on
+    bit-identical doubles in both engines, ties to nb_id.
+
+    Output: (probe_id, rank, nb_id, cosine exact 4 dp, cosine_trunc
+    4 dp). Same plan shape as sq8_topk: broadcast probes, one window
+    per stage, WindowGroupLimit-pruned.
+    """
+    base = emb.select(
+        F.col(id_col).alias("nb_id"),
+        _to_double(F.col(vec_col)).alias("v"),
+    ).withColumn("t", F.slice(F.col("v"), 1, trunc_dim))
+    probes = base.filter(F.col("nb_id").isin(probe_ids)).select(
+        F.col("nb_id").alias("probe_id"), F.col("v").alias("p"),
+        F.col("t").alias("pt"),
+    )
+    cand = base.crossJoin(F.broadcast(probes)).filter(
+        F.col("nb_id") != F.col("probe_id")
+    )
+    sim_t = _dot(F.col("pt"), F.col("t")) / (
+        F.sqrt(_dot(F.col("pt"), F.col("pt")))
+        * F.sqrt(_dot(F.col("t"), F.col("t")))
+    )
+    w_t = Window.partitionBy("probe_id").orderBy(
+        F.desc("sim_t"), F.asc("nb_id"))
+    short = (
+        cand.select("probe_id", "nb_id", "p", "v", sim_t.alias("sim_t"))
+        .withColumn("rs", F.row_number().over(w_t))
+        .filter(F.col("rs") <= shortlist_mult * k)
+    )
+    sim_ex = _dot(F.col("p"), F.col("v")) / (
+        F.sqrt(_dot(F.col("p"), F.col("p")))
+        * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    w_ex = Window.partitionBy("probe_id").orderBy(
+        F.desc("sim_ex"), F.asc("nb_id"))
+    return (
+        short.select("probe_id", "nb_id", "sim_t",
+                     sim_ex.alias("sim_ex"))
+        .withColumn("rank", F.row_number().over(w_ex).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id", "rank", "nb_id",
+            round_he("sim_ex", 4).alias("cosine"),
+            round_he("sim_t", 4).alias("cosine_trunc"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.99,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

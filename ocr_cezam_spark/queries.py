@@ -2926,6 +2926,49 @@ def _pq_topk(s: SparkSession, d: str) -> DataFrame:
 _register("pq_ann_topk", _pq_topk, _pq_oracle())
 
 
+# Dimension-truncation ANN (Matryoshka retrieval shape): shortlist on
+# the first 16 of 64 dims, exact re-rank; cosine_trunc rides along so
+# the truncation error is driver-visible per row.
+_register(
+    "truncated_ann_topk",
+    lambda s, d: simsearch.truncated_ann_topk(_t(s, d, "embeddings"),
+                                              _PROBES),
+    f"""
+    WITH base AS (
+      SELECT vec_id AS nb_id, embedding::DOUBLE[] AS v,
+             (embedding::DOUBLE[])[1:16] AS t
+      FROM embeddings
+    ), probes AS (
+      SELECT nb_id AS probe_id, v AS p, t AS pt FROM base
+      WHERE nb_id IN ({', '.join(str(p) for p in _PROBES)})
+    ), cand AS (
+      SELECT pr.probe_id, b.nb_id,
+             list_dot_product(pr.pt, b.t)
+               / (sqrt(list_dot_product(pr.pt, pr.pt))
+                  * sqrt(list_dot_product(b.t, b.t))) AS sim_t,
+             list_dot_product(pr.p, b.v)
+               / (sqrt(list_dot_product(pr.p, pr.p))
+                  * sqrt(list_dot_product(b.v, b.v))) AS sim_ex
+      FROM probes pr, base b
+      WHERE b.nb_id <> pr.probe_id
+    ), short AS (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY sim_t DESC, nb_id ASC) AS rs
+      FROM cand
+    )
+    SELECT probe_id, rank, nb_id,
+           floor(sim_ex * 1e4 + 0.5) / 1e4 AS cosine,
+           floor(sim_t * 1e4 + 0.5) / 1e4 AS cosine_trunc
+    FROM (
+      SELECT probe_id, nb_id, sim_t, sim_ex,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY sim_ex DESC, nb_id ASC) AS rank
+      FROM short WHERE rs <= 20
+    ) WHERE rank <= 5
+    """,
+)
+
+
 # SQ8 scalar-quantized ANN: per-dim min/scale from the corpus itself,
 # asymmetric (float probe vs dequantized codes) shortlist of 4k, exact
 # cosine re-rank to k. The twin recomputes the same stats / codes /
@@ -7993,7 +8036,8 @@ _WINDOW_TAIL = [
 # by the sf0.001 pytest gate + sf0.01 tools/check_oracles.py, and
 # rotate INTO the next round's window first.
 _WINDOW_OVERFLOW = ["corpus_report", "corpus_drift", "ingest_delta",
-                    "hdr_length_gate", "dedup_weights"]
+                    "hdr_length_gate", "dedup_weights",
+                    "truncated_ann_topk"]
 
 
 def _reorder_registry() -> None:

@@ -1957,3 +1957,28 @@ def test_lsh_threshold_curve_endpoints(spark):
     assert top["bucket"] == 9 and top["s_hi"] == 1.0
     assert top["n_pairs"] == 12 and top["n_captured"] == 12
     assert top["capture_rate"] == 1.0 and top["theory_rate"] == 1.0
+
+
+def test_truncated_ann_recall_vs_brute_force(spark):
+    """Prefix-dim shortlist + exact re-rank recovers a solid fraction of
+    the exact top-k even on non-MRL embeddings, and widening the
+    shortlist can only improve it."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    probes = [0, 1, 2, 3, 4]
+    k = 5
+
+    def topk_sets(df):
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["probe_id"], set()).add(r["nb_id"])
+        return out
+
+    exact = topk_sets(simsearch.cosine_topk(emb, probes, k=k))
+    narrow = topk_sets(simsearch.truncated_ann_topk(emb, probes, k=k,
+                                                    shortlist_mult=4))
+    wide = topk_sets(simsearch.truncated_ann_topk(emb, probes, k=k,
+                                                  shortlist_mult=16))
+    r_narrow = _recall_at_k(narrow, exact, k)
+    r_wide = _recall_at_k(wide, exact, k)
+    assert r_narrow >= 0.4
+    assert r_wide >= r_narrow - 1e-9
