@@ -625,7 +625,9 @@ def test_continuation2_plans_scale_shapes(spark):
     for name in (
         "bloom_membership", "bloom_merge", "tracking_params",
         "domain_disjoint_split", "reciprocal_links", "sq8_ann_topk",
-        "reshard_movement", "lsh_threshold_curve",
+        "reshard_movement", "lsh_threshold_curve", "url_versions",
+        "bm25f_topk", "corpus_report", "corpus_drift", "ingest_delta",
+        "hdr_length_gate", "dedup_weights", "truncated_ann_topk",
     ):
         plan = formatted_plan(Q.QUERIES[name](spark, SF))
         assert "CartesianProduct" not in plan, name
@@ -636,9 +638,13 @@ def test_continuation2_plans_scale_shapes(spark):
         # brute-force scoring pattern)
         if "BroadcastNestedLoopJoin" in plan:
             assert name in (
+                # 1-row summary/stat crosses
                 "bloom_membership", "domain_disjoint_split",
                 "reshard_movement", "lsh_threshold_curve",
-                "sq8_ann_topk",
+                "corpus_report", "corpus_drift", "hdr_length_gate",
+                "bm25f_topk", "ingest_delta", "dedup_weights",
+                # deliberate bounded probe broadcasts
+                "sq8_ann_topk", "truncated_ann_topk",
             ), name
 
     # tracking_params claims join-free: two hash aggs only
