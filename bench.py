@@ -152,6 +152,7 @@ HEADLINE = [
     "hdr_length_gate",
     "dedup_weights",
     "truncated_ann_topk",
+    "sitemap_tree",
 ]
 
 

@@ -329,3 +329,75 @@ def robots_filter(pages: DataFrame, robots: DataFrame,
             F.coalesce(F.col("best.a"), F.lit(1)).cast("int").alias("allowed"),
         )
     )
+
+
+def sitemap_tree_urls(fetched: DataFrame, host_col: str = "host",
+                      url_col: str = "url",
+                      xml_col: str = "sitemap_xml") -> DataFrame:
+    """Two-level sitemap resolution — sitemaps.org's sitemapindex
+    protocol, which every large site uses (a urlset caps at 50k urls,
+    so real frontier feeds are an INDEX of child sitemaps): given the
+    table of fetched sitemap FILES (index and child files alike, one
+    row per fetched url), resolve index -> child references and emit
+    every page <loc> with its provenance.
+
+    Output rows, ordered by (host, via_index, sitemap, pos):
+      - resolved page url:   (host, via_index, sitemap, pos, loc) —
+        via_index = the index file that referenced this child sitemap,
+        NULL for standalone urlset files;
+      - MISSING child:       (host, via_index, sitemap=child url,
+        pos NULL, loc NULL) — an index references a sitemap that was
+        never fetched; fail-VISIBLE like resolve_redirects' cycles,
+        never silently dropped (the fetch gap is the actionable
+        signal).
+
+    Files are classified by the '<sitemapindex' marker; a child file
+    referenced by an index contributes its locs under that index, a
+    urlset referenced by nobody contributes standalone. Loc extraction
+    and XML entity decoding are the exact `sitemap_urls` expressions
+    (same regex, same amp-LAST decode chain).
+
+    Scale shape: loc extraction is regexp_extract_all at scan speed;
+    ONE equi-join resolves index locs against fetched file urls and a
+    left-anti join classifies standalone files — both keyed on the
+    sitemap url (bounded by file count, never page-url count). No UDF,
+    no window (document order rides posexplode's pos).
+    """
+    locs = F.expr(
+        rf"regexp_extract_all({xml_col}, '<loc>\\s*(.*?)\\s*</loc>', 1)"
+    )
+    raw = F.col("loc_raw")
+    decoded = raw
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):  # amp LAST by spec
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    ents = fetched.select(
+        F.lower(F.col(host_col)).alias("host"),
+        F.col(url_col).alias("sm_url"),
+        F.col(xml_col).contains("<sitemapindex").alias("is_index"),
+        F.posexplode(locs).alias("pos", "loc_raw"),
+    ).select("host", "sm_url", "is_index", "pos", decoded.alias("loc"))
+    idx_refs = ents.filter(F.col("is_index")).select(
+        "host", F.col("sm_url").alias("via_index"),
+        F.col("loc").alias("child"),
+    )
+    child_locs = ents.filter(~F.col("is_index")).select(
+        F.col("sm_url").alias("child"), "pos", "loc"
+    )
+    via = idx_refs.join(child_locs, "child", "left").select(
+        "host", "via_index", F.col("child").alias("sitemap"),
+        F.col("pos").cast("long").alias("pos"), "loc",
+    )
+    referenced = idx_refs.select(F.col("child").alias("sm_url")).distinct()
+    standalone = (
+        ents.filter(~F.col("is_index"))
+        .join(referenced, "sm_url", "left_anti")
+        .select(
+            "host", F.lit(None).cast("string").alias("via_index"),
+            F.col("sm_url").alias("sitemap"),
+            F.col("pos").cast("long").alias("pos"), "loc",
+        )
+    )
+    return via.unionByName(standalone).orderBy(
+        "host", "via_index", "sitemap", "pos"
+    )

@@ -1524,6 +1524,135 @@ _register(
 )
 
 
+# Sitemap-tree fixture: per host (doc_id % 10) THREE fetched files — a
+# sitemapindex referencing a fetched child (/sm-a.xml) and a MISSING
+# child (/sm-missing.xml, padded whitespace in its <loc>), the child
+# urlset with the host's pages, and a standalone urlset nobody
+# references (entity-escaped query) — all three provenance classes plus
+# the fail-visible missing row.
+def _smtree_files(s: SparkSession, d: str) -> DataFrame:
+    from .operators import robots as R
+
+    did = F.col("doc_id")
+    hk = (did % 10).cast("string")
+    hroot = F.concat(F.lit("https://h"), hk, F.lit(".example"))
+    entry = F.concat(
+        F.lit("<url><loc> "), hroot, F.lit("/p"), did.cast("string"),
+        F.lit(" </loc></url>"),
+    )
+    docs = _t(s, d, "documents").select(
+        hk.alias("hk"), "doc_id", entry.alias("e"), hroot.alias("hroot")
+    )
+    per_host = docs.groupBy("hk").agg(
+        F.concat(
+            F.lit("<urlset>"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "e"))),
+                    lambda x: x["e"],
+                ), ""),
+            F.lit("</urlset>"),
+        ).alias("child_xml"),
+        F.max("hroot").alias("hroot"),
+    )
+    host = F.concat(F.lit("h"), F.col("hk"), F.lit(".example"))
+    child = per_host.select(
+        host.alias("host"),
+        F.concat("hroot", F.lit("/sm-a.xml")).alias("url"),
+        F.col("child_xml").alias("sitemap_xml"),
+    )
+    index = per_host.select(
+        host.alias("host"),
+        F.concat("hroot", F.lit("/sitemap.xml")).alias("url"),
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>"), "hroot",
+            F.lit("/sm-a.xml</loc></sitemap><sitemap><loc> "), "hroot",
+            F.lit("/sm-missing.xml </loc></sitemap></sitemapindex>"),
+        ).alias("sitemap_xml"),
+    )
+    solo = per_host.select(
+        host.alias("host"),
+        F.concat("hroot", F.lit("/solo.xml")).alias("url"),
+        F.concat(
+            F.lit("<urlset><url><loc>"), "hroot",
+            F.lit("/solo?x=1&amp;y=2</loc></url></urlset>"),
+        ).alias("sitemap_xml"),
+    )
+    return R.sitemap_tree_urls(child.unionByName(index).unionByName(solo))
+
+
+_register(
+    "sitemap_tree",
+    _smtree_files,
+    r"""
+    WITH docs AS (
+      SELECT CAST(doc_id % 10 AS VARCHAR) AS hk, doc_id,
+             'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.example'
+               AS hroot
+      FROM documents
+    ),
+    per_host AS (
+      SELECT hk, max(hroot) AS hroot,
+             '<urlset>' || string_agg(
+               '<url><loc> ' || hroot || '/p' || CAST(doc_id AS VARCHAR)
+               || ' </loc></url>', '' ORDER BY doc_id) || '</urlset>'
+               AS child_xml
+      FROM docs GROUP BY hk
+    ),
+    files AS (
+      SELECT 'h' || hk || '.example' AS host,
+             hroot || '/sm-a.xml' AS sm_url, child_xml AS xml
+      FROM per_host
+      UNION ALL
+      SELECT 'h' || hk || '.example', hroot || '/sitemap.xml',
+             '<sitemapindex><sitemap><loc>' || hroot
+             || '/sm-a.xml</loc></sitemap><sitemap><loc> ' || hroot
+             || '/sm-missing.xml </loc></sitemap></sitemapindex>'
+      FROM per_host
+      UNION ALL
+      SELECT 'h' || hk || '.example', hroot || '/solo.xml',
+             '<urlset><url><loc>' || hroot
+             || '/solo?x=1&amp;y=2</loc></url></urlset>'
+      FROM per_host
+    ),
+    ents AS (
+      SELECT host, sm_url, xml LIKE '%<sitemapindex%' AS is_index,
+             CAST(pos AS BIGINT) AS pos,
+             replace(replace(replace(replace(replace(loc_raw,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&apos;', chr(39)), '&amp;', '&') AS loc
+      FROM (SELECT host, sm_url, xml,
+                   unnest(regexp_extract_all(xml,
+                     '<loc>\s*(.*?)\s*</loc>', 1)) AS loc_raw,
+                   unnest(range(len(regexp_extract_all(xml,
+                     '<loc>\s*(.*?)\s*</loc>', 1)))) AS pos
+            FROM files)
+    ),
+    idx_refs AS (
+      SELECT host, sm_url AS via_index, loc AS child
+      FROM ents WHERE is_index
+    ),
+    child_locs AS (
+      SELECT sm_url AS child, pos, loc FROM ents WHERE NOT is_index
+    ),
+    via AS (
+      SELECT i.host, i.via_index, i.child AS sitemap, c.pos, c.loc
+      FROM idx_refs i LEFT JOIN child_locs c USING (child)
+    ),
+    standalone AS (
+      SELECT e.host, CAST(NULL AS VARCHAR) AS via_index,
+             e.sm_url AS sitemap, e.pos, e.loc
+      FROM ents e
+      WHERE NOT e.is_index
+        AND e.sm_url NOT IN (SELECT child FROM idx_refs)
+    )
+    SELECT host, via_index, sitemap, pos, loc FROM (
+      SELECT * FROM via UNION ALL SELECT * FROM standalone
+    ) ORDER BY host, via_index, sitemap, pos
+    """,
+)
+
+
 # Recrawl dedup fixture: three synthetic monthly crawls over the document
 # id space — crawl k re-fetches every doc_id divisible by k+2, so urls
 # appear in one, two or three crawls (all three classes present). Newer
@@ -8037,7 +8166,7 @@ _WINDOW_TAIL = [
 # rotate INTO the next round's window first.
 _WINDOW_OVERFLOW = ["corpus_report", "corpus_drift", "ingest_delta",
                     "hdr_length_gate", "dedup_weights",
-                    "truncated_ann_topk"]
+                    "truncated_ann_topk", "sitemap_tree"]
 
 
 def _reorder_registry() -> None:

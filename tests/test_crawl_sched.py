@@ -383,3 +383,34 @@ def test_hdr_length_gate_trims_both_tails(spark):
     assert r["n_below"] == 3 and r["n_above"] == 2
     assert r["n_kept"] == 100 and r["kept_frac"] == round(100 / 105, 4)
     assert r["p_lo"] <= 30 <= r["p_hi"]
+
+
+def test_sitemap_tree_resolution_and_missing_children(spark):
+    from ocr_cezam_spark.operators import robots as R
+
+    files = spark.createDataFrame(
+        [
+            ("A.EX", "https://a.ex/sitemap.xml",
+             "<sitemapindex><sitemap><loc>https://a.ex/s1.xml</loc>"
+             "</sitemap><sitemap><loc> https://a.ex/gone.xml </loc>"
+             "</sitemap></sitemapindex>"),
+            ("a.ex", "https://a.ex/s1.xml",
+             "<urlset><url><loc>https://a.ex/p1</loc></url>"
+             "<url><loc>https://a.ex/p2?a=1&amp;b=2</loc></url></urlset>"),
+            ("a.ex", "https://a.ex/solo.xml",
+             "<urlset><url><loc>https://a.ex/alone</loc></url></urlset>"),
+        ],
+        "host string, url string, sitemap_xml string",
+    )
+    rows = R.sitemap_tree_urls(files).collect()
+    got = [(r["via_index"], r["sitemap"], r["pos"], r["loc"]) for r in rows]
+    assert ("https://a.ex/sitemap.xml", "https://a.ex/s1.xml", 0,
+            "https://a.ex/p1") in got
+    assert ("https://a.ex/sitemap.xml", "https://a.ex/s1.xml", 1,
+            "https://a.ex/p2?a=1&b=2") in got          # entity decoded
+    assert ("https://a.ex/sitemap.xml", "https://a.ex/gone.xml", None,
+            None) in got                               # fail-visible
+    assert (None, "https://a.ex/solo.xml", 0,
+            "https://a.ex/alone") in got               # standalone
+    assert all(r["host"] == "a.ex" for r in rows)      # host lowercased
+    assert len(rows) == 4
