@@ -153,6 +153,7 @@ HEADLINE = [
     "dedup_weights",
     "truncated_ann_topk",
     "sitemap_tree",
+    "phrase_search_multi",
 ]
 
 

@@ -135,6 +135,71 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     )
 
 
+def phrase_search_multi(docs: DataFrame, phrases: list[str],
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Exact matching for MANY phrases in ONE job — the bm25_multi_topk
+    discipline applied to phrase_search: a decontamination or
+    quoted-query workload carries thousands of phrases, and looping the
+    single-phrase operator would scan the corpus once per phrase. The
+    (phrase_id, slot, term) table broadcasts into ONE semi-join against
+    the token stream; candidate alignments are (doc, phrase, start =
+    pos - slot); one hash aggregation counts distinct slots per
+    alignment and another rolls up per (doc, phrase). Identical
+    semantics to phrase_search per phrase (pytest-pinned), including
+    repeated-word phrases via slot-distinctness.
+
+    Returns (phrase_id, id, n_hits, first_start) ordered by
+    (phrase_id, id). Phrases are indexed by their position in
+    ``phrases``; empty phrases are rejected.
+
+    Scale shape: the token stream is filtered by the broadcast term
+    set BEFORE any shuffle (phrase vocabulary is tiny against a web
+    corpus); the explode multiplier is the number of (phrase, slot)
+    pairs a token matches — bounded by the query table, not the
+    corpus. No self-joins, no windows.
+    """
+    rows = []
+    lens = {}
+    for pid, phrase in enumerate(phrases):
+        terms = [t for t in phrase.split(" ") if t != ""]
+        if not terms:
+            raise ValueError(f"empty phrase at index {pid}")
+        lens[pid] = len(terms)
+        rows += [(pid, i, t) for i, t in enumerate(terms)]
+    spark = docs.sparkSession
+    q = spark.createDataFrame(rows, "phrase_id int, slot int, term string")
+    m_map = F.create_map(*[
+        x for pid, m in sorted(lens.items())
+        for x in (F.lit(pid), F.lit(m))
+    ])
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    cand = toks.join(
+        F.broadcast(q), toks["tok"] == q["term"]
+    ).select(
+        "id", "phrase_id",
+        (F.col("pos") - F.col("slot")).alias("start"),
+        "slot",
+    ).filter(F.col("start") >= 0)
+    hits = (
+        cand.groupBy("id", "phrase_id", "start")
+        .agg(F.countDistinct("slot").alias("n_slots"))
+        .filter(F.col("n_slots") == F.element_at(m_map, F.col("phrase_id")))
+    )
+    return (
+        hits.groupBy("phrase_id", "id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min("start").alias("first_start"),
+        )
+        .orderBy("phrase_id", "id")
+    )
+
+
+
 def bm25f_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
                title_words: int = 8, w_title: float = 2.0,
                w_body: float = 1.0, id_col: str = "doc_id",

@@ -6603,6 +6603,56 @@ _register(
 # overlapping hits (standard positional-intersection semantics).
 _PHRASE = "a a"
 
+# Multi-phrase workload: the repeated-term phrase, two common corpus
+# bigrams/trigrams, and one phrase expected rare — one job for all.
+_PHRASES = ["a a", "table value part", "fast spark",
+            "spark join window sort"]
+
+
+def _phrase_multi_oracle(phrases: list[str] = _PHRASES) -> str:
+    """Table-driven twin of phrase_search_multi: the (phrase_id, slot,
+    term) VALUES table joins the 0-based token stream once; per-
+    alignment distinct-slot counts gate on each phrase's length."""
+    q_rows = ", ".join(
+        f"({pid}, {i}, '{t}')"
+        for pid, phrase in enumerate(phrases)
+        for i, t in enumerate(phrase.split(" ")) if t
+    )
+    return f"""
+    WITH q(phrase_id, slot, term) AS (VALUES {q_rows}),
+    m AS (SELECT phrase_id, count(*) AS m FROM q GROUP BY phrase_id),
+    toks AS (
+      SELECT doc_id AS id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    cand AS (
+      SELECT t.id, q.phrase_id, t.pos - q.slot AS start, q.slot
+      FROM toks t JOIN q ON t.tok = q.term
+      WHERE t.pos - q.slot >= 0
+    ),
+    hits AS (
+      SELECT id, phrase_id, start, count(DISTINCT slot) AS n_slots
+      FROM cand GROUP BY id, phrase_id, start
+    ),
+    ok AS (
+      SELECT h.id, h.phrase_id, h.start
+      FROM hits h JOIN m USING (phrase_id) WHERE h.n_slots = m.m
+    )
+    SELECT CAST(phrase_id AS INT) AS phrase_id, id,
+           count(*) AS n_hits, CAST(min(start) AS INT) AS first_start
+    FROM ok GROUP BY phrase_id, id ORDER BY phrase_id, id
+    """
+
+
+_register(
+    "phrase_search_multi",
+    lambda s, d: retrieval.phrase_search_multi(_t(s, d, "documents"),
+                                               _PHRASES),
+    _phrase_multi_oracle(),
+)
+
 
 def _phrase_oracle(phrase: str = _PHRASE) -> str:
     """Positional-postings twin emitted from the same phrase constant:
@@ -8166,7 +8216,8 @@ _WINDOW_TAIL = [
 # rotate INTO the next round's window first.
 _WINDOW_OVERFLOW = ["corpus_report", "corpus_drift", "ingest_delta",
                     "hdr_length_gate", "dedup_weights",
-                    "truncated_ann_topk", "sitemap_tree"]
+                    "truncated_ann_topk", "sitemap_tree",
+                    "phrase_search_multi"]
 
 
 def _reorder_registry() -> None:

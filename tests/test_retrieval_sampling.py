@@ -381,3 +381,32 @@ def test_corpus_drift_directional_and_identical(spark):
     d_big = sampling.corpus_drift(a, big).collect()[0]
     assert 0 < d_small["kl_new_vs_old"] < d_big["kl_new_vs_old"]
     assert 0 < d_small["tv_distance"] < d_big["tv_distance"]
+
+
+def test_phrase_search_multi_equals_single(spark):
+    """Per-phrase results must equal the single-phrase operator,
+    including the repeated-term phrase; empty phrases rejected."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x a a a y"),          # "a a": two overlapping hits
+            (2, "a b a"),              # lone 'a's: no "a a" hit
+            (3, "new york new york"),  # "new york": two hits
+        ],
+        "doc_id long, text string",
+    )
+    phrases = ["a a", "new york", "absent phrase"]
+    multi = retrieval.phrase_search_multi(docs, phrases).collect()
+    got = {(r["phrase_id"], r["id"]): (r["n_hits"], r["first_start"])
+           for r in multi}
+    for pid, phrase in enumerate(phrases):
+        want = {(pid, r["id"]): (r["n_hits"], r["first_start"])
+                for r in retrieval.phrase_search(docs, phrase).collect()}
+        assert {k: v for k, v in got.items() if k[0] == pid} == want
+    assert got[(0, 1)] == (2, 1) and (0, 2) not in got
+    assert got[(1, 3)] == (2, 0)
+    assert not any(k[0] == 2 for k in got)
+
+    with _pytest.raises(ValueError):
+        retrieval.phrase_search_multi(docs, ["ok phrase", " "])
