@@ -154,6 +154,7 @@ HEADLINE = [
     "truncated_ann_topk",
     "sitemap_tree",
     "phrase_search_multi",
+    "event_funnel",
 ]
 
 

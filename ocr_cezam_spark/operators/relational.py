@@ -244,6 +244,76 @@ def line_grouping(documents: DataFrame, separator: str = "the") -> DataFrame:
     )
 
 
+def event_funnel(events: DataFrame, steps: list[str],
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel completion — how many users performed step 1,
+    then step 2 STRICTLY AFTER it, then step 3 after that, and so on
+    (the earliest-completion semantics: each step binds to the
+    earliest qualifying event after the previous step's binding; a
+    user converts iff such a chain exists, which the greedy earliest
+    chain decides correctly — if any chain exists the earliest one
+    does).
+
+    Plan: ONE window pass per user ordered by (ts, type): a running
+    "furthest step completed so far" via a conditional cumulative max
+    — step i's earliest completion is the first event of type step_i
+    seen while the running level equals i-1. Expressed as an ordered
+    per-user aggregation with min-binding timestamps computed in ONE
+    groupBy via sequential F.aggregate over the sorted event array —
+    per-user event lists are bounded (session-scale), the corpus never
+    self-joins. Output: one row per funnel step — (step, event_type,
+    n_users, conversion_frac 4 dp of step-1 users), ordered by step.
+
+    Determinism: ties at equal ts order by event type string — stated,
+    and identical in both engines via the array_sort struct order.
+    """
+    from ocr_cezam_spark.functions.numeric import round_he
+
+    n = len(steps)
+    if n < 2:
+        raise ValueError("funnel needs >= 2 steps")
+    ev = events.filter(F.col(type_col).isin(steps)).select(
+        F.col(user_col).alias("u"),
+        F.struct(F.col(ts_col).cast("timestamp").alias("ts"),
+                 F.col(type_col).alias("t")).alias("e"),
+    )
+    per_user = ev.groupBy("u").agg(
+        F.array_sort(F.collect_list("e")).alias("es")
+    )
+    # fold the sorted event list to the furthest step reached: level
+    # advances when the next event's type equals the next step name
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    level = F.aggregate(
+        F.col("es"),
+        F.lit(0),
+        lambda acc, e: F.when(
+            (acc < n) & (e["t"] == F.element_at(step_arr, acc + 1)),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    levels = per_user.select(level.alias("level"))
+    counts = levels.groupBy().agg(*[
+        F.sum((F.col("level") >= i).cast("long")).alias(f"n{i}")
+        for i in range(1, n + 1)
+    ])
+    rows = []
+    for i, s in enumerate(steps, start=1):
+        rows.append(counts.select(
+            F.lit(i).alias("step"),
+            F.lit(s).alias("event_type"),
+            F.col(f"n{i}").alias("n_users"),
+            round_he(F.col(f"n{i}").cast("double")
+                     / F.greatest(F.col("n1"), F.lit(1)).cast("double"),
+                     4).alias("conversion_frac"),
+        ))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("step")
+
+
+
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               ts: str = "ts", how: str = "left") -> DataFrame:
     """Point-in-time (as-of) join: for each left row, attach the LATEST

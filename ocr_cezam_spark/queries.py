@@ -1653,6 +1653,57 @@ _register(
 )
 
 
+# Ordered funnel over the events stream: view -> click -> purchase with
+# earliest-binding chain semantics; the twin restates the greedy chain
+# as per-step chained minima under the SAME (ts, type) tuple order the
+# Spark fold sorts by (ties at equal ts resolved by type string).
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _funnel_oracle(steps: list[str] = _FUNNEL_STEPS) -> str:
+    inlist = ", ".join(f"'{s}'" for s in steps)
+    ctes = [f"""
+    s1 AS (SELECT u, min(ts) AS b_ts FROM ev
+           WHERE t = '{steps[0]}' GROUP BY u)"""]
+    for i in range(1, len(steps)):
+        prev, cur = steps[i - 1], steps[i]
+        tie = "TRUE" if cur > prev else "FALSE"
+        ctes.append(f"""
+    s{i + 1} AS (
+      SELECT e.u, min(e.ts) AS b_ts
+      FROM ev e JOIN s{i} p ON e.u = p.u
+      WHERE e.t = '{cur}'
+        AND (e.ts > p.b_ts OR (e.ts = p.b_ts AND {tie}))
+      GROUP BY e.u)""")
+    selects = []
+    for i, s in enumerate(steps, start=1):
+        selects.append(f"""
+      SELECT {i} AS step, '{s}' AS event_type,
+             (SELECT count(*) FROM s{i}) AS n_users""")
+    union = "\n      UNION ALL\n".join(selects)
+    return f"""
+    WITH ev AS (
+      SELECT user_id AS u, ts, event_type AS t FROM events
+      WHERE event_type IN ({inlist})
+    ),{",".join(ctes)}
+    SELECT CAST(step AS INT) AS step, event_type,
+           CAST(n_users AS BIGINT) AS n_users,
+           floor(CAST(n_users AS DOUBLE)
+                 / greatest((SELECT count(*) FROM s1), 1)
+                 * 1e4 + 0.5) / 1e4 AS conversion_frac
+    FROM ({union})
+    ORDER BY step
+    """
+
+
+_register(
+    "event_funnel",
+    lambda s, d: relational.event_funnel(_t(s, d, "events"),
+                                         _FUNNEL_STEPS),
+    _funnel_oracle(),
+)
+
+
 # Recrawl dedup fixture: three synthetic monthly crawls over the document
 # id space — crawl k re-fetches every doc_id divisible by k+2, so urls
 # appear in one, two or three crawls (all three classes present). Newer
@@ -8217,7 +8268,7 @@ _WINDOW_TAIL = [
 _WINDOW_OVERFLOW = ["corpus_report", "corpus_drift", "ingest_delta",
                     "hdr_length_gate", "dedup_weights",
                     "truncated_ann_topk", "sitemap_tree",
-                    "phrase_search_multi"]
+                    "phrase_search_multi", "event_funnel"]
 
 
 def _reorder_registry() -> None:

@@ -1982,3 +1982,36 @@ def test_truncated_ann_recall_vs_brute_force(spark):
     r_wide = _recall_at_k(wide, exact, k)
     assert r_narrow >= 0.4
     assert r_wide >= r_narrow - 1e-9
+
+
+def test_event_funnel_strict_order_and_ties(spark):
+    """Chain binds earliest events in (ts, type) order: out-of-order
+    steps don't convert; a same-ts tie converts only when the next
+    step's type sorts after the previous step's."""
+    import datetime as dt
+
+    from ocr_cezam_spark.operators import relational
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # u1 completes in order
+        (1, ts(0), "view"), (1, ts(1), "click"), (1, ts(2), "purchase"),
+        # u2: purchase BEFORE click: stops at click
+        (2, ts(0), "view"), (2, ts(1), "purchase"), (2, ts(2), "click"),
+        # u3: click tied with view at same ts: 'click' < 'view' in
+        # string order, so the tie does NOT count as after -> level 1
+        (3, ts(0), "view"), (3, ts(0), "click"),
+        # u4 never starts
+        (4, ts(0), "error"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["step"]: (r["n_users"], r["conversion_frac"])
+           for r in relational.event_funnel(
+               df, ["view", "click", "purchase"]).collect()}
+    assert got[1] == (3, 1.0)
+    assert got[2] == (2, 0.6667)  # u1 + u2 (u2's click after purchase ok)
+    assert got[3] == (1, 0.3333)  # only u1
