@@ -155,6 +155,7 @@ HEADLINE = [
     "sitemap_tree",
     "phrase_search_multi",
     "event_funnel",
+    "host_quality_profile",
 ]
 
 

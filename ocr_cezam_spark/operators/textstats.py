@@ -766,6 +766,61 @@ SCRIPT_RANGES = (
 )
 
 
+def host_quality_profile(docs: DataFrame, group_col: str = "source",
+                         text_col: str = "text",
+                         low_q: float = 0.5,
+                         min_docs: int = 5,
+                         flag_frac: float = 0.6) -> DataFrame:
+    """Host/source-level quality profile — the curation tier ABOVE
+    per-document gating (RefinedWeb/Dolma drop whole domains whose
+    content is predominantly low quality; fetch budget then skips them
+    entirely, which no per-doc filter achieves): per group, document
+    count, mean lexical-diversity quality, the low-quality fraction,
+    and a `flagged` verdict (>= min_docs docs AND > flag_frac of them
+    below low_q — small hosts are never judged on thin evidence).
+
+    Determinism: the mean comes from an exact integer sum of the
+    4 dp-quantized per-doc qualities (the corpus_report discipline —
+    never avg() of doubles), so reduce order cannot move the 4 dp
+    rounding.
+
+    Scale shape: one map-only quality projection + ONE hash aggregation
+    on the group key (map-side partials); no joins, no windows.
+    Compose downstream: anti-join flagged groups in frontier_next /
+    ingest_delta admission the same way url_trap_stats templates are
+    anti-joined.
+
+    Output: (group, n_docs, mean_quality 4 dp, low_q_frac 4 dp,
+    flagged) ordered by group.
+    """
+    from .sampling import doc_quality
+
+    q = doc_quality(docs, text_col)
+    q4 = F.round(q * 1e4).cast("long")
+    low = (q < low_q).cast("long")
+    agg = docs.select(
+        F.col(group_col).alias("grp"), q4.alias("q4"), low.alias("low")
+    ).groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("q4").alias("sum_q4"),
+        F.sum("low").cast("long").alias("n_low"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        round_he(F.col("sum_q4").cast("double")
+                 / F.col("n_docs").cast("double") / F.lit(1e4), 4)
+        .alias("mean_quality"),
+        round_he(F.col("n_low").cast("double")
+                 / F.col("n_docs").cast("double"), 4)
+        .alias("low_q_frac"),
+        ((F.col("n_docs") >= min_docs)
+         & (F.col("n_low").cast("double")
+            > F.lit(flag_frac) * F.col("n_docs").cast("double")))
+        .alias("flagged"),
+    ).orderBy(group_col)
+
+
 def script_profile(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """Writing-system profile per document — the language-ID prior that

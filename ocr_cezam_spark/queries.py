@@ -1653,6 +1653,66 @@ _register(
 )
 
 
+# Host-quality-profile fixture: sources src0/src4/... (id % 4 == 0)
+# serve repetitive boilerplate for 3 of every 4 docs (quality 0.05) —
+# the low-quality-domain shape the profile must flag; other sources
+# keep their natural text (whatever their per-doc qualities, both
+# engines agree on the verdicts, which is the gate's contract).
+def _hq_docs(s: SparkSession, d: str) -> DataFrame:
+    did = F.col("doc_id")
+    src_id = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+    first = F.element_at(F.split("text", " "), 1)
+    degraded = F.trim(F.repeat(F.concat(first, F.lit(" ")), 20))
+    text = F.when(
+        (src_id % 4 == 0) & (did % 4 != 3), degraded
+    ).otherwise(F.col("text"))
+    return _t(s, d, "documents").select("source", text.alias("text"))
+
+
+_register(
+    "host_quality_profile",
+    lambda s, d: textstats.host_quality_profile(_hq_docs(s, d)),
+    r"""
+    WITH docs AS (
+      SELECT source,
+             CASE WHEN CAST(regexp_extract(source, 'src(\d+)', 1) AS INT)
+                       % 4 = 0
+                   AND doc_id % 4 <> 3
+                  THEN trim(repeat(string_split(text, ' ')[1] || ' ', 20))
+                  ELSE text END AS text
+      FROM documents
+    ),
+    q AS (
+      SELECT source,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                                       w -> w <> '')) > 0
+                  THEN floor((CAST(len(list_distinct(list_filter(
+                         string_split(text, ' '), w -> w <> '')))
+                         AS DOUBLE)
+                       / len(list_filter(string_split(text, ' '),
+                                         w -> w <> ''))) * 1e4 + 0.5)
+                       / 1e4
+                  ELSE 0.0 END AS quality
+      FROM docs
+    ),
+    agg AS (
+      SELECT source, count(*) AS n_docs,
+             sum(CAST(round(quality * 1e4) AS BIGINT)) AS sum_q4,
+             sum(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) AS n_low
+      FROM q GROUP BY source
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           floor(CAST(sum_q4 AS DOUBLE) / n_docs / 1e4 * 1e4 + 0.5) / 1e4
+             AS mean_quality,
+           floor(CAST(n_low AS DOUBLE) / n_docs * 1e4 + 0.5) / 1e4
+             AS low_q_frac,
+           n_docs >= 5 AND CAST(n_low AS DOUBLE) > 0.6 * n_docs
+             AS flagged
+    FROM agg ORDER BY source
+    """,
+)
+
+
 # Ordered funnel over the events stream: view -> click -> purchase with
 # earliest-binding chain semantics; the twin restates the greedy chain
 # as per-step chained minima under the SAME (ts, type) tuple order the
@@ -8268,7 +8328,8 @@ _WINDOW_TAIL = [
 _WINDOW_OVERFLOW = ["corpus_report", "corpus_drift", "ingest_delta",
                     "hdr_length_gate", "dedup_weights",
                     "truncated_ann_topk", "sitemap_tree",
-                    "phrase_search_multi", "event_funnel"]
+                    "phrase_search_multi", "event_funnel",
+                    "host_quality_profile"]
 
 
 def _reorder_registry() -> None:

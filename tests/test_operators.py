@@ -2015,3 +2015,25 @@ def test_event_funnel_strict_order_and_ties(spark):
     assert got[1] == (3, 1.0)
     assert got[2] == (2, 0.6667)  # u1 + u2 (u2's click after purchase ok)
     assert got[3] == (1, 0.3333)  # only u1
+
+
+def test_host_quality_profile_flags_bad_hosts_only(spark):
+    from ocr_cezam_spark.operators import textstats
+
+    rows = (
+        # bad.ex: 8 repetitive docs of 10
+        [(f"bad.ex", "x x x x x x x x x x") for _ in range(8)]
+        + [("bad.ex", "varied words here now ok fine")] * 2
+        # good.ex: all diverse
+        + [("good.ex", f"w{i} a{i} b{i} c{i} d{i}") for i in range(10)]
+        # tiny.ex: 100% low quality but below min_docs: never flagged
+        + [("tiny.ex", "y y y y y")] * 3
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r["source"]: r for r in
+           textstats.host_quality_profile(df, min_docs=5,
+                                          flag_frac=0.6).collect()}
+    assert got["bad.ex"]["flagged"] and got["bad.ex"]["low_q_frac"] == 0.8
+    assert not got["good.ex"]["flagged"]
+    assert got["good.ex"]["mean_quality"] == 1.0
+    assert not got["tiny.ex"]["flagged"]  # thin evidence
