@@ -37,7 +37,15 @@ def pagerank(links: DataFrame, iters: int = 3, damping: float = DAMPING,
     iterations to cut lineage — exactly the pattern already used in
     dedup.connected_components.
     """
-    hosts = _hosts(links, src_col, dst_col)
+    # Lazy plan truncation before the loop (the hits / trustrank /
+    # connected_components lesson): the degree-annotated edge frame and
+    # the host frame are each referenced once per unrolled iteration, so
+    # without the cut every iteration re-embeds (and re-executes) the
+    # caller's full link-derivation subtree — in frontier_next that is
+    # the kernel extraction chain, replicated iters+1 times. hosts is
+    # checkpointed BEFORE the count so the counting action doubles as
+    # its materialization.
+    hosts = _hosts(links, src_col, dst_col).localCheckpoint(eager=False)
     n = hosts.count()  # scalar driver state: the host count only
     if n == 0:  # empty edge table: no hosts, not a ZeroDivisionError
         return links.sparkSession.createDataFrame(
@@ -45,7 +53,7 @@ def pagerank(links: DataFrame, iters: int = 3, damping: float = DAMPING,
         )
     teleport = (1.0 - damping) / n
     deg = links.groupBy(src_col).agg(F.count("*").alias("outd"))
-    edges = links.join(deg, src_col)
+    edges = links.join(deg, src_col).localCheckpoint(eager=False)
     ranks = hosts.select("host", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
         contrib = (
@@ -58,6 +66,9 @@ def pagerank(links: DataFrame, iters: int = 3, damping: float = DAMPING,
             (F.lit(teleport)
              + damping * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
         )
+        # |hosts|-sized per-iteration truncation keeps the unrolled plan
+        # linear instead of nesting each iteration inside the next
+        ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("host", round_he("rank", 8).alias("rank"))
 
 
@@ -302,6 +313,15 @@ def hits(links: DataFrame, iters: int = 3,
             ),
             "auth",
         )
+        # Truncate the plan after every half-step (lazily — nothing runs
+        # until the caller's action): _l1 references its input twice
+        # (scores + the crossJoin'd total) and the next half-step joins
+        # the result again, so the un-truncated unrolled plan DOUBLES per
+        # half-step — 2^(2*iters) copies of the base subtree (measured:
+        # 1506 Exchange nodes at iters=3, and Catalyst analysis dominated
+        # the query). The checkpointed frame is |hosts|-sized — the same
+        # bound as the ranks frame pagerank_converged materializes.
+        auth = auth.localCheckpoint(eager=False)
         h = (
             edges.join(auth, edges["e_dst"] == auth["host"])
             .groupBy(F.col("e_src").alias("host"))
@@ -313,6 +333,7 @@ def hits(links: DataFrame, iters: int = 3,
             ),
             "hub",
         )
+        hub = hub.localCheckpoint(eager=False)
     return (
         auth.join(hub, "host")
         .select(

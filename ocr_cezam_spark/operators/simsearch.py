@@ -84,15 +84,29 @@ def _dist_entries(v: F.Column, cents: Centroids, vv: F.Column) -> F.Column:
     runtime zip_with, not K inlined per-centroid expression trees — the
     inlined form made Catalyst analysis of the query dominate wall time
     (K x dim literals replicated per struct). Arithmetic is unchanged:
-    vv - 2*(v.c) + (c.c), sequential folds, so oracle hashes are stable."""
+    vv - 2*(v.c) + (c.c), sequential folds, so oracle hashes are stable.
+
+    The per-centroid self-dot c.c is a CONSTANT: it is precomputed
+    driver-side with ``_self_dot`` (the same left-to-right fold as the
+    in-plan ``_dot(c, c)``, so the double is bit-identical — the
+    equivalence ``centroids_df`` already relies on) and enters as a
+    literal, instead of being re-folded once per row per centroid inside
+    the interpreted lambda — that re-fold was half the assignment
+    projection's CPU (guide section 1.2: per-task work)."""
     cb_arr = F.array(*[_lit_vec(c) for _cid, c in cents])
-    cid_arr = F.array(*[F.lit(int(cid)).cast("long") for cid, _c in cents])
+    cc_cid_arr = F.array(*[
+        F.struct(
+            F.lit(_self_dot(c)).alias("cc"),
+            F.lit(int(cid)).cast("long").alias("cid"),
+        )
+        for cid, c in cents
+    ])
     return F.zip_with(
         cb_arr,
-        cid_arr,
-        lambda c, cid: F.struct(
-            (vv - 2 * _dot(v, c) + _dot(c, c)).alias("dist"),
-            cid.alias("cid"),
+        cc_cid_arr,
+        lambda c, meta: F.struct(
+            (vv - 2 * _dot(v, c) + meta["cc"]).alias("dist"),
+            meta["cid"].alias("cid"),
         ),
     )
 
@@ -375,8 +389,13 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.99,
     )
     cents = seed_centroids(emb, n_centroids, id_col, vec_col)
     # norms computed once per VECTOR (not once per candidate pair): the
-    # pair stage then does exactly one dot product per pair
-    prepped = base.withColumn("_vv", _dot(F.col("va"), F.col("va")))
+    # pair stage then does exactly one dot product per pair. The prepped
+    # frame feeds FOUR plan references (bucket left/right, vector attach
+    # a-side/b-side) — a lazy localCheckpoint computes the projection
+    # once instead of once per reference (guide section 3.3).
+    prepped = base.withColumn(
+        "_vv", _dot(F.col("va"), F.col("va"))
+    ).localCheckpoint(eager=False)
     probes = probe_cents(F.col("va"), cents, F.col("_vv"), nprobe)
     # candidate generation on (id, centroid_id) ONLY — the multi-probe
     # explode duplicates pairs up to nprobe^2 times, so dedup the id pairs
@@ -576,6 +595,9 @@ def ivf_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
         )
         .withColumn("_vv", _dot(F.col("v"), F.col("v")))
         .withColumn("centroid_id", _nearest(F.col("v"), cents, F.col("_vv"))["cid"])
+        # referenced by both the probe filter and the candidate join:
+        # compute the K-centroid assignment once (guide section 3.3)
+        .localCheckpoint(eager=False)
     )
     probes_expr = probe_cents(F.col("v"), cents, F.col("_vv"), nprobe)
     probes = base.filter(F.col("nb_id").isin(probe_ids)).select(
@@ -654,10 +676,17 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
     cents = (centroids if centroids is not None
              else seed_centroids(emb, n_centroids, id_col, vec_col))
     best = _nearest(F.col("v"), cents, F.col("_vv"))
+    # The assignment frame is referenced THREE times (pair-join left,
+    # pair-join right/broadcast, final output join). Un-truncated, each
+    # reference re-runs the K-centroid argmin projection over the corpus
+    # — a lazy localCheckpoint computes it once (guide section 3.3:
+    # materialize a multiply-referenced intermediate). At production the
+    # cluster assignment is exactly the table a SemDeDup run persists
+    # between the assign and dedup phases.
     assigned = base.select(
         "vid", "v", F.sqrt(F.col("_vv")).alias("norm"),
         best["cid"].alias("centroid_id"),
-    )
+    ).localCheckpoint(eager=False)
     right = assigned.select(
         F.col("vid").alias("b"), F.col("v").alias("vb"),
         F.col("norm").alias("nb"), "centroid_id",
