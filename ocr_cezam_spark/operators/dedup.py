@@ -222,7 +222,15 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     The size aggregation groups on the same (band_idx, band_key) as the
     pair join, so AQE reuses the exchange rather than adding a shuffle."""
     r = k // bands
-    sig = minhash_signature(docs, id_col, text_col, k)
+    # The signature frame feeds THREE consumers (band explode + both
+    # sides of the verify join). The groupBy exchange is a ReusedExchange
+    # across them, but each consumer still re-embeds (and re-analyzes)
+    # the per-shingle md5 subtree; a lazy localCheckpoint computes the
+    # (id, 64-long) table once — at production this is exactly the
+    # signature table a dedup run writes before banding.
+    sig = minhash_signature(docs, id_col, text_col, k).localCheckpoint(
+        eager=False
+    )
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -319,10 +327,12 @@ def lsh_threshold_curve(docs: DataFrame, id_col: str = "doc_id",
             16, 10).cast("long")
         docs = docs.filter(hd % sample_mod == 0)
     did = F.col(id_col)
+    # the distinct-shingle table feeds sizes, the df cap, the capped
+    # join and the member intersection — compute it once (guide 3.3)
     sh = docs.select(
         did.alias("id"),
         F.explode(F.array_distinct(shingles(text_col))).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     rare = (
         sh.groupBy("sh").agg(F.count("*").alias("df"))
@@ -345,6 +355,9 @@ def lsh_threshold_curve(docs: DataFrame, id_col: str = "doc_id",
             F.lit("pair:"), F.col("a").cast("string"), F.lit("|"),
             F.col("b").cast("string"))), 1, 8), 16, 10).cast("long")
         pairs = pairs.filter(h % pair_mod == 0)
+    # evaluation pairs feed the member set, the intersection join and
+    # the jaccard attach — compute the (sampled) pair set once
+    pairs = pairs.localCheckpoint(eager=False)
     # exact jaccard over FULL shingle sets of the sampled pairs — the
     # intersection self-join runs over PAIR MEMBERS only (semi-join
     # first), so its cost is bounded by the evaluation sample, never by
@@ -375,7 +388,9 @@ def lsh_threshold_curve(docs: DataFrame, id_col: str = "doc_id",
              ).alias("s"),
         )
     )
-    sig = minhash_signature(docs, id_col, text_col, k)
+    sig = minhash_signature(docs, id_col, text_col, k).localCheckpoint(
+        eager=False
+    )
     sa = sig.select(F.col(id_col).alias("a"), F.col("sig").alias("sa"))
     sb = sig.select(F.col(id_col).alias("b"), F.col("sig").alias("sb"))
     band_eq = [
@@ -629,45 +644,52 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 
     Bit j = majority vote over words of bit j of md5(word) (first 16 hex
     digits = 64 bits, MSB-first within each digit). One md5 + four
-    hex-to-int convs per word, materialized as an int-array column in a
-    separate projection (CollapseProject keeps a 64-times-referenced
-    non-cheap expression from being re-inlined), so the 64 bit-votes are
-    pure integer mask filters — all JVM-side, bit-identical to the DuckDB
-    oracle's per-digit construction."""
+    hex-to-int convs per WORD ROW (explode), then the 64 bit-votes are
+    conditional sums in ONE hash aggregation on the doc id — every
+    expression codegen'd, with map-side partial aggregation so the
+    exchange carries one 65-counter row per doc per map partition.
+
+    (The previous in-row form — an int-array column scanned by 64
+    higher-order filter() calls — kept the data in place but ran every
+    vote through the interpreted expression walker, since higher-order
+    functions are CodegenFallback; measured ~2x slower end-to-end than
+    this explode+aggregate shape at sf0.1. Guide section 4.1/1.2: prefer
+    codegen'd built-ins on the per-row hot path.)
+
+    Bit-identical to the DuckDB oracle's per-digit construction: the
+    majority test count*2 > n_words compares exact integers either way.
+    explode_outer keeps null-text docs as a single null-word row, whose
+    votes are all zero — the same all-zero chunks the in-row form
+    emitted for null text."""
     words = _words(text_col)
-    digests = F.transform(words, lambda w: F.md5(w))
-    ints = F.transform(
-        digests,
-        lambda d: F.array(
-            *[
-                F.conv(F.substring(d, 1 + 4 * t, 4), 16, 10).cast("int")
-                for t in range(SIMHASH_CHUNKS)
-            ]
-        ),
+    exploded = docs.select(F.col(id_col), F.explode_outer(words).alias("_w"))
+    d = F.md5("_w")
+    per_word = exploded.select(
+        F.col(id_col),
+        *[
+            F.conv(F.substring(d, 1 + 4 * t, 4), 16, 10).cast("int")
+            .alias(f"_w{t}")
+            for t in range(SIMHASH_CHUNKS)
+        ],
     )
-    base = docs.select(
-        F.col(id_col), F.size(words).alias("_n"), ints.alias("_wi")
-    )
-
-    def bit_high(t: int, j: int) -> F.Column:
-        mask = 1 << (15 - j)
-        return F.size(
-            F.filter(
-                F.col("_wi"),
-                lambda a: F.element_at(a, t + 1).bitwiseAND(F.lit(mask)) != 0,
-            )
-        )
-
+    votes = [
+        F.sum(
+            (F.col(f"_w{t}").bitwiseAND(F.lit(1 << (15 - j))) != 0)
+            .cast("int")
+        ).alias(f"_b{t}_{j}")
+        for t in range(SIMHASH_CHUNKS)
+        for j in range(16)
+    ]
+    agg = per_word.groupBy(id_col).agg(F.count("*").alias("_n"), *votes)
     chunk_cols = []
     for t in range(SIMHASH_CHUNKS):
         bits = [
-            F.when(bit_high(t, j) * 2 > F.col("_n"), F.lit(1 << (15 - j))).otherwise(
-                F.lit(0)
-            )
+            F.when(F.col(f"_b{t}_{j}") * 2 > F.col("_n"),
+                   F.lit(1 << (15 - j))).otherwise(F.lit(0))
             for j in range(16)
         ]
         chunk_cols.append(sum(bits).cast("int").alias(f"c{t}"))
-    return base.select(F.col(id_col), *chunk_cols)
+    return agg.select(F.col(id_col), *chunk_cols)
 
 
 def simhash_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -871,7 +893,12 @@ def cluster_members(docs: DataFrame, id_col: str = "doc_id",
     re-attach), exposed so downstream consumers (cluster summaries, best
     -doc selection, cluster-keyed splits) share one definition."""
     digests = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
-    groups = digests.groupBy("digest").agg(F.min(id_col).alias("keeper"))
+    # groups feeds the representative semi-join AND the component
+    # re-attach below — one lazy checkpoint instead of two digest
+    # aggregations over the corpus (guide section 3.3)
+    groups = digests.groupBy("digest").agg(
+        F.min(id_col).alias("keeper")
+    ).localCheckpoint(eager=False)
     reps = docs.join(
         groups.select(F.col("keeper").alias(id_col)), id_col, "left_semi"
     )
@@ -948,7 +975,9 @@ def dedup_weights(docs: DataFrame, id_col: str = "doc_id",
     one component-size aggregation and one join of member rows against
     the (bounded, component-count-sized) size table.
     """
-    m = cluster_members(docs, id_col, text_col)
+    # member assignment is consumed twice (size aggregation + the member
+    # join): lazy checkpoint computes the full clustering chain once
+    m = cluster_members(docs, id_col, text_col).localCheckpoint(eager=False)
     sizes = m.groupBy("component").agg(
         F.count("*").cast("long").alias("cluster_size")
     )
@@ -1274,10 +1303,12 @@ def substring_span_dedup(docs: DataFrame, n: int = 5, min_docs: int = 2,
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    # positional grams feed the df aggregation AND the coverage join:
+    # lazy checkpoint builds the gram table once (guide section 3.3)
     pos_gram = docs.select(
         F.col(id_col), F.explode(grams).alias("pg")
     ).select(id_col, F.col("pg.pos").alias("pos"),
-             F.col("pg.gram").alias("gram"))
+             F.col("pg.gram").alias("gram")).localCheckpoint(eager=False)
     dup_grams = (
         pos_gram.groupBy("gram")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
@@ -1397,12 +1428,19 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
     hot shingle is impossible by the df cap. Reference analog: none
     (pipeline extension, like minhash_lsh_pairs above).
     """
+    # The distinct-shingle posting list feeds the df count AND the capped
+    # join; the capped postings feed the per-doc sizes AND both self-join
+    # sides. Lazy checkpoints compute each once (guide section 3.3) — at
+    # production these are the inverted-index tables a containment run
+    # materializes anyway.
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
     dfc = sh.groupBy("sh").agg(F.count("*").alias("df"))
-    kept = sh.join(dfc.filter(F.col("df") <= max_df).select("sh"), "sh")
+    kept = sh.join(
+        dfc.filter(F.col("df") <= max_df).select("sh"), "sh"
+    ).localCheckpoint(eager=False)
     sizes = kept.groupBy("id").agg(F.count("*").alias("n_sh"))
     pairs = (
         kept.alias("l")
@@ -1496,18 +1534,34 @@ def incremental_near_dup(new_docs: DataFrame, corpus: DataFrame,
     corpus_id). Same MINHASH_COEFFS as the batch pair generator — the
     two operators' estimates are directly comparable.
     """
-    nb = banded_sigs(
-        minhash_signature(new_docs, id_col, text_col, k), "new",
-        id_col=id_col, k=k, bands=bands,
+    # Signatures are computed once each side and lazily checkpointed:
+    # the band join consumes the band keys, the verify step re-attaches
+    # the k-wide arrays AFTER the candidate ids are deduped — the same
+    # "never carry the signature through the band join" discipline as
+    # minhash_lsh_pairs (the previous form shipped both 64-long arrays
+    # through the band join AND the distinct, ~1 KB per candidate row
+    # where 16 bytes of ids suffice — guide section 2.3: shuffle keys,
+    # not payloads).
+    sn = minhash_signature(new_docs, id_col, text_col, k).localCheckpoint(
+        eager=False
     )
-    cb = banded_sigs(
-        minhash_signature(corpus, id_col, text_col, k), "corpus",
-        id_col=id_col, k=k, bands=bands,
+    sc = minhash_signature(corpus, id_col, text_col, k).localCheckpoint(
+        eager=False
+    )
+    nb = banded_sigs(sn, "new", id_col=id_col, k=k, bands=bands).select(
+        "new_id", "band_idx", "band_key"
+    )
+    cb = banded_sigs(sc, "corpus", id_col=id_col, k=k, bands=bands).select(
+        "corpus_id", "band_idx", "band_key"
     )
     cand = (
         nb.join(cb, ["band_idx", "band_key"])
-        .select("new_id", "corpus_id", "new_sig", "corpus_sig")
+        .select("new_id", "corpus_id")
         .distinct()
+        .join(sn.select(F.col(id_col).alias("new_id"),
+                        F.col("sig").alias("new_sig")), "new_id")
+        .join(sc.select(F.col(id_col).alias("corpus_id"),
+                        F.col("sig").alias("corpus_sig")), "corpus_id")
     )
     matches = F.size(F.filter(
         F.zip_with("new_sig", "corpus_sig", lambda p, q: p == q),
