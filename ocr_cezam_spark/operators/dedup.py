@@ -823,26 +823,40 @@ def connected_components(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    converged = False
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.y == labels.node)
+
+    def step(lbl: DataFrame) -> DataFrame:
+        """One min-label half-round: component := min(component, min of
+        neighbors' components). Labels are monotone non-increasing."""
+        nbr = (
+            edges.join(lbl.select("node", "component"),
+                       edges.y == F.col("node"))
             .groupBy("x")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.x, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("nbr_component", F.col("component")),
-                ).alias("component"),
-                (F.coalesce("nbr_component", F.col("component"))
-                 < F.col("component")).cast("int").alias("changed"),
-            )
+        return lbl.join(nbr, lbl.node == nbr.x, "left").select(
+            lbl["node"],
+            F.least(
+                lbl["component"],
+                F.coalesce("nbr_component", lbl["component"]),
+            ).alias("component"),
+            *([lbl["orig"]] if "orig" in lbl.columns else []),
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+
+    converged = False
+    # TWO propagation steps per materialized round: each round costs one
+    # eager checkpoint job plus one scalar collect regardless of how many
+    # joins it chains, and at fixture scale that per-round overhead — not
+    # the joins — dominated the fixpoint. Labels only ever decrease, so
+    # comparing a round's END against its START ("orig") detects a change
+    # in either half-step, and running one half-step past convergence is
+    # a no-op on the result. Same fixpoint, half the driver rounds.
+    for _ in range((max_iter + 1) // 2):
+        start = labels.withColumn("orig", F.col("component"))
+        stepped = step(step(start))
+        new_labels = stepped.select(
+            "node", "component",
+            (F.col("component") < F.col("orig")).cast("int").alias("changed"),
+        ).localCheckpoint(eager=True)
         n_changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
         labels = new_labels.drop("changed")
         if n_changed == 0:
@@ -1071,10 +1085,14 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
     min-of-struct in the SAME digest aggregation (no new shuffle); the
     default drops every occurrence (self-consistent boilerplate removal,
     oracle-checked since round 4)."""
+    # the paragraph table feeds the frequency aggregation AND the keep
+    # join — lazy checkpoint builds the posexplode+md5 pass once (guide
+    # 3.3); production materializes exactly this table between the count
+    # and filter phases of a C4-style dedup
     paras = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
-    ).withColumn("ph", F.md5("para"))
+    ).withColumn("ph", F.md5("para")).localCheckpoint(eager=False)
     # The empty paragraph (blank-line separators, trailing newlines) is
     # LAYOUT, not content: its digest exceeds max_freq as soon as a few
     # docs contain any blank line, and dropping it would strip blank-line
@@ -1374,9 +1392,11 @@ def winnowing_pairs(docs: DataFrame, k: int = 4, w: int = 5,
     """
     from .textstats import winnowing_fingerprints
 
+    # the distinct fingerprint table feeds the bucket-cap aggregation and
+    # both self-join sides — compute the winnowing pass once (guide 3.3)
     fps = winnowing_fingerprints(
         docs, k=k, w=w, id_col=id_col, text_col=text_col
-    ).select(id_col, "fp").distinct()
+    ).select(id_col, "fp").distinct().localCheckpoint(eager=False)
     small = (
         fps.groupBy("fp").agg(F.count("*").alias("_n"))
         .filter(F.col("_n") <= max_bucket)

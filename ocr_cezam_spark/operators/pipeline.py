@@ -33,9 +33,16 @@ def clean_corpus(docs: DataFrame, id_col: str = "doc_id",
     '\\n'-joined paragraph form) rides along for downstream composition
     (build_training_corpus) instead of being re-derived."""
     cleaned = paragraph_dedup(docs, id_col, text_col, max_freq)
+    # c feeds the keeper aggregation and the representative semi-join;
+    # reps feeds both quality gates and the keep_text join. Lazy
+    # checkpoints compute each frontier once — and, as important at this
+    # plan size, keep every downstream stage from re-EMBEDDING (and
+    # re-analyzing) the whole paragraph-dedup subtree per reference:
+    # Catalyst analysis of the un-truncated composition measurably
+    # dominated construction (guide sections 3.3 and 7.3).
     c = cleaned.filter(F.col("text_dedup") != "").select(
         F.col(id_col), F.col("text_dedup").alias(text_col)
-    )
+    ).localCheckpoint(eager=False)
     keepers = (
         c.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
         .groupBy("digest")
@@ -43,7 +50,7 @@ def clean_corpus(docs: DataFrame, id_col: str = "doc_id",
     )
     reps = c.join(
         keepers.select(F.col("keeper").alias(id_col)), id_col, "left_semi"
-    )
+    ).localCheckpoint(eager=False)
     # The quality gates tokenize on single spaces; the reassembled text
     # joins paragraphs with '\n', which would otherwise merge the words
     # around every boundary into one token (and count the newline as a
@@ -232,6 +239,11 @@ def build_training_corpus(docs: DataFrame, budget_tokens: int,
     from .sampling import doc_quality, dsir_select, select_and_pack
     from .textstats import gopher_line_quality
 
+    # The raw input is referenced by stage 1 AND by the stage-5 target
+    # flag join; the caller's fixture subtree can itself be a deep plan,
+    # and every un-truncated reference re-embeds it in each stage's
+    # analysis. One lazy checkpoint up front bounds that (guide 3.3).
+    docs = docs.localCheckpoint(eager=False)
     cleaned = clean_corpus(docs, id_col, text_col, max_freq,
                            keep_text=True).select(id_col, text_col)
     cleaned = cleaned.localCheckpoint(eager=False)
@@ -528,12 +540,17 @@ def ingest_delta(new_pages: DataFrame, corpus: DataFrame,
              .alias("b"))
         .select("url", "b.id", "b.text", "b.digest", "b.quality")
     )
+    # Stage frontiers are lazily checkpointed (the build_training_corpus
+    # pattern): every precedence branch below references its parent frame
+    # twice (matched/novel, exact/cands, near/rest), so the un-truncated
+    # union re-embedded the canonicalize+digest+quality subtree up to
+    # five times — once per verdict branch (guide section 3.3).
     corp = corpus.select(
         F.col(id_col).alias("corpus_id"),
         canonicalize_url(F.col(url_col)).alias("url"),
         F.md5(F.col(text_col)).alias("cdigest"),
-    )
-    um = best.join(corp, "url", "left")
+    ).localCheckpoint(eager=False)
+    um = best.join(corp, "url", "left").localCheckpoint(eager=False)
     matched = um.filter(F.col("corpus_id").isNotNull()).select(
         "id", "url",
         F.when(F.col("digest") == F.col("cdigest"),
@@ -548,14 +565,14 @@ def ingest_delta(new_pages: DataFrame, corpus: DataFrame,
     cdig = corp.groupBy(F.col("cdigest").alias("digest")).agg(
         F.min("corpus_id").alias("corpus_id")
     )
-    ed = novel.join(cdig, "digest", "left")
+    ed = novel.join(cdig, "digest", "left").localCheckpoint(eager=False)
     exact = ed.filter(F.col("corpus_id").isNotNull()).select(
         "id", "url", F.lit("skip_exact_dup").alias("verdict"),
         "corpus_id", F.lit(None).cast("double").alias("sim_est"),
     )
     cands = ed.filter(F.col("corpus_id").isNull()).select(
         "id", "url", "text", "quality"
-    )
+    ).localCheckpoint(eager=False)
     near = incremental_near_dup(
         cands.select(F.col("id").alias(id_col), F.col("text")),
         corpus.select(F.col(id_col), F.col(text_col).alias("text")),
@@ -569,7 +586,7 @@ def ingest_delta(new_pages: DataFrame, corpus: DataFrame,
         .select("id", (-F.col("b.neg")).cast("long").alias("corpus_id"),
                 F.col("b.sim_est").alias("sim_est"))
     )
-    nj = cands.join(near_best, "id", "left")
+    nj = cands.join(near_best, "id", "left").localCheckpoint(eager=False)
     near_rows = nj.filter(F.col("corpus_id").isNotNull()).select(
         "id", "url", F.lit("skip_near_dup").alias("verdict"),
         "corpus_id", "sim_est",
