@@ -54,8 +54,45 @@ def _register(name: str, fn: QueryFn, oracle: str | None) -> None:
         ORACLES[name] = oracle
 
 
+# Tables whose consumers are CPU-BOUND per row (shingle md5 passes,
+# simhash votes, quality stats, interpreted vector math): these get the
+# _spread parallelism floor. The relational tables (lineitem, orders,
+# events, ...) stay unspread — their queries are scan+aggregate shapes
+# where partial aggregation already collapses the single-split input and
+# a corpus-wide repartition costs more than it buys (measured 0.4s ->
+# 1.0s on pricing_summary).
+_SPREAD_TABLES = {"documents", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _spread(df) if name in _SPREAD_TABLES else df
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive input-parallelism floor (optimization guide section
+    2.5, input skew: "one huge unsplittable file ... repartition
+    immediately after the read"). The sf test tables are single-file,
+    SINGLE-ROW-GROUP parquets, so every scan is structurally one task no
+    matter how small spark.sql.files.maxPartitionBytes is set — which
+    capped every CPU-heavy per-row stage (shingle md5, simhash votes,
+    quality stats) at 1-2 of the session's cores. Repartition to the
+    default parallelism ONLY when the scan is under-partitioned; on a
+    production multi-file table the scan already carries more splits
+    than cores and this is a no-op (no shuffle added at scale). Results
+    are partitioning-independent: every registered query's output is
+    hash-checked order-insensitively and all rank/limit paths order
+    explicitly."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        # hash-repartition on every column rather than round-robin:
+        # keyless repartition(n) first pays a LOCAL SORT of its input
+        # (sortBeforeRepartition, for retry determinism) which would run
+        # single-threaded inside the one under-partitioned scan task —
+        # measured 3-4x slower than the hash spread on the 600k-row
+        # table. Hashing the full row is deterministic across retries.
+        return df.repartition(n, *[F.col(c) for c in df.columns])
+    return df
 
 
 def _cloned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
