@@ -69,6 +69,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _spread(df) if name in _SPREAD_TABLES else df
 
 
+def _t_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Unspread read — for the LIGHT document consumers (single digest
+    aggregations, tiny-k sketches, url bookkeeping) where the _spread
+    shuffle costs more than their whole single-task plan; measured
+    query-by-query against the r7 bench (each opted-out query regressed
+    >= 1.2x with the floor, each spread query improved)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Scale-adaptive input-parallelism floor (optimization guide section
     2.5, input skew: "one huge unsplittable file ... repartition
@@ -95,10 +104,14 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def _cloned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cloned_docs(spark: SparkSession, sf_dir: str,
+                 spread: bool = True) -> DataFrame:
     """documents plus an exact clone of every doc at doc_id+1000000 —
-    guarantees every dedup query has true duplicates to find."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    guarantees every dedup query has true duplicates to find.
+    ``spread=False`` for light consumers (exact_dedup's single digest
+    aggregation) where the parallelism floor costs more than it buys."""
+    t = _t if spread else _t_raw
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
     clone = d.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source"
     )
@@ -384,7 +397,7 @@ _TQ_SHORT = "court texte de cinq mots"
 
 def _tq_docs(s: SparkSession, d: str) -> DataFrame:
     doc_id = F.col("doc_id")
-    return _t(s, d, "documents").select(
+    return _t_raw(s, d, "documents").select(
         "doc_id",
         F.when(doc_id % 10 == 7, F.lit(_TQ_SHORT))
         .when(doc_id % 9 == 4, F.concat("text", F.lit(_TQ_LONG_TAIL)))
@@ -1091,7 +1104,7 @@ _register(
 
 _register(
     "dedup_exact",
-    lambda s, d: dedup.exact_dedup(_cloned_docs(s, d)),
+    lambda s, d: dedup.exact_dedup(_cloned_docs(s, d, spread=False)),
     f"""
     WITH corpus AS ({_CLONED_SQL})
     SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS n_copies
@@ -1502,7 +1515,7 @@ def _sitemap_q(s: SparkSession, d: str) -> DataFrame:
         F.lit("?a=1&amp;b=2 </loc></url>"),
     )
     sm = (
-        _t(s, d, "documents")
+        _t_raw(s, d, "documents")
         .select((doc_id % 50).alias("hk"), doc_id, entry.alias("e"))
         .groupBy("hk")
         .agg(
@@ -1808,7 +1821,7 @@ _register(
 def _crawl_pages(s: SparkSession, d: str) -> DataFrame:
     doc_id = F.col("doc_id")
     crawls = [
-        _t(s, d, "documents")
+        _t_raw(s, d, "documents")
         .filter(doc_id % (k + 2) == 0)
         .select(
             F.concat(
@@ -1929,7 +1942,7 @@ _register(
 # 7 (gone), with text edited for multiples of 5 (changed) and a batch of
 # brand-new urls for multiples of 9 (added); everything else unchanged.
 def _churn_crawls(s: SparkSession, d: str):
-    base = _t(s, d, "documents")
+    base = _t_raw(s, d, "documents")
     doc_id = F.col("doc_id")
     url = F.concat(
         F.lit("https://h"), (doc_id % 50).cast("string"),
@@ -2524,7 +2537,7 @@ _PARA_BOILER = "Abonnez-vous à la newsletter"
 
 def _para_docs(s: SparkSession, d: str) -> DataFrame:
     doc_id = F.col("doc_id")
-    return _t(s, d, "documents").select(
+    return _t_raw(s, d, "documents").select(
         "doc_id",
         F.concat(
             "text",
@@ -2699,7 +2712,7 @@ _register(
 
 _register(
     "domain_quota_sample",
-    lambda s, d: skew.domain_quota_sample(_t(s, d, "documents")),
+    lambda s, d: skew.domain_quota_sample(_t_raw(s, d, "documents")),
     """
     SELECT doc_id, source, sample_rank FROM (
       SELECT doc_id, source,
@@ -2752,7 +2765,7 @@ def _incr_new_batch(s: SparkSession, d: str) -> DataFrame:
     """Increment fixture: even docs re-crawled verbatim under new ids
     (must be dropped as corpus dups), odd docs re-crawled with changed
     content (must survive)."""
-    base = _t(s, d, "documents").select("doc_id", "text")
+    base = _t_raw(s, d, "documents").select("doc_id", "text")
     dup = base.filter(F.col("doc_id") % 2 == 0).select(
         (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
     )
@@ -2767,7 +2780,7 @@ _register(
     "incremental_dedup",
     lambda s, d: dedup.incremental_dedup(
         _incr_new_batch(s, d),
-        _t(s, d, "documents").select("doc_id", "text"),
+        _t_raw(s, d, "documents").select("doc_id", "text"),
         expected_items=100_000,
     ),
     """
@@ -4923,7 +4936,7 @@ _WD_PASSAGE = " ".join(f"wd{i}" for i in range(35))
 
 def _wd_docs(s: SparkSession, d: str) -> DataFrame:
     doc_id = F.col("doc_id")
-    base = _t(s, d, "documents").select(
+    base = _t_raw(s, d, "documents").select(
         "doc_id",
         F.when(doc_id % 5 == 1,
                F.concat(F.lit(_WD_PASSAGE + " "), F.col("text")))
@@ -5088,7 +5101,7 @@ _register("host_pagerank", _pagerank_query, _pagerank_oracle())
 def _recip_q(s: SparkSession, d: str) -> DataFrame:
     doc_id = F.col("doc_id")
     organic = (
-        _t(s, d, "documents")
+        _t_raw(s, d, "documents")
         .select(
             F.col("source").alias("src"),
             F.explode(F.array(
@@ -5100,7 +5113,7 @@ def _recip_q(s: SparkSession, d: str) -> DataFrame:
     a = F.concat(F.lit("farm"), (doc_id % 3).cast("string"))
     b = F.concat(F.lit("farm"), ((doc_id + 1) % 3).cast("string"))
     farm = (
-        _t(s, d, "documents")
+        _t_raw(s, d, "documents")
         .filter(doc_id % 25 == 0)
         .select(F.explode(F.array(
             F.struct(a.alias("src"), b.alias("dst")),
@@ -5574,7 +5587,7 @@ _BLOOM_URL_SQL = ("'https://h' || CAST({c} % 50 AS VARCHAR)"
 
 
 def _bloom_member_q(s: SparkSession, d: str) -> DataFrame:
-    docs = _t(s, d, "documents")
+    docs = _t_raw(s, d, "documents")
     build = docs.select(_bloom_url(F.col("doc_id")).alias("key"))
     probe = docs.select(
         _bloom_url(F.col("doc_id") + 250).alias("key")
@@ -5601,7 +5614,7 @@ _register(
 _register(
     "bloom_merge",
     lambda s, d: sketch.bloom_merge(
-        _t(s, d, "documents").select(
+        _t_raw(s, d, "documents").select(
             _bloom_url(F.col("doc_id")).alias("key"),
             (F.col("doc_id") % 3).alias("shard"),
         ),
@@ -5943,7 +5956,7 @@ _register(
 _register(
     "hdr_quantiles",
     lambda s, d: sketch.hdr_quantiles(
-        _t(s, d, "documents"), "n_chars", qs=(0.5, 0.9, 0.99),
+        _t_raw(s, d, "documents"), "n_chars", qs=(0.5, 0.9, 0.99),
         group_col="source",
     ),
     sketch.hdr_quantiles_sql("n_chars", qs=(0.5, 0.9, 0.99),
@@ -5956,7 +5969,7 @@ _register(
 _register(
     "hdr_merge",
     lambda s, d: sketch.hdr_merge(
-        _t(s, d, "documents").withColumn("shard", F.col("doc_id") % 3),
+        _t_raw(s, d, "documents").withColumn("shard", F.col("doc_id") % 3),
         "n_chars", "shard",
     ),
     f"""
@@ -6341,7 +6354,7 @@ def _hits_links(s: SparkSession, d: str) -> DataFrame:
     be compared row-for-row."""
     doc_id = F.col("doc_id")
     return (
-        _t(s, d, "documents")
+        _t_raw(s, d, "documents")
         .select(
             F.col("source").alias("src"),
             F.explode(F.array(
@@ -6409,7 +6422,7 @@ _KMV_K = 16
 _register(
     "kmv_distinct",
     lambda s, d: sketch.kmv_distinct(
-        _t(s, d, "documents"), "text", "source", k=_KMV_K
+        _t_raw(s, d, "documents"), "text", "source", k=_KMV_K
     ),
     sketch.kmv_distinct_sql(
         "SELECT source, text FROM documents", "text", "source", _KMV_K
@@ -6419,7 +6432,7 @@ _register(
 _register(
     "kmv_merge",
     lambda s, d: sketch.kmv_merge(
-        _t(s, d, "documents"), "text", "source", k=_KMV_K
+        _t_raw(s, d, "documents"), "text", "source", k=_KMV_K
     ),
     sketch.kmv_merge_sql(
         "SELECT source, text FROM documents", "text", "source", _KMV_K
@@ -6432,8 +6445,8 @@ _register(
 _register(
     "kmv_crawl_overlap",
     lambda s, d: sketch.kmv_overlap(
-        _t(s, d, "documents").filter(F.col("doc_id") % 4 != 0),
-        _t(s, d, "documents").filter(F.col("doc_id") % 4 != 1),
+        _t_raw(s, d, "documents").filter(F.col("doc_id") % 4 != 0),
+        _t_raw(s, d, "documents").filter(F.col("doc_id") % 4 != 1),
         "text", k=64,
     ),
     sketch.kmv_overlap_sql(
@@ -6837,7 +6850,7 @@ def _phrase_oracle(phrase: str = _PHRASE) -> str:
 
 _register(
     "phrase_search",
-    lambda s, d: retrieval.phrase_search(_t(s, d, "documents"), _PHRASE),
+    lambda s, d: retrieval.phrase_search(_t_raw(s, d, "documents"), _PHRASE),
     _phrase_oracle(),
 )
 
@@ -6995,7 +7008,7 @@ _register("resolve_redirects", _redirects_q, _redirects_oracle())
 # body and the 'sig' line are unique (kept).
 def _boiler_docs(s: SparkSession, d: str) -> DataFrame:
     did = F.col("doc_id")
-    return _t(s, d, "documents").select(
+    return _t_raw(s, d, "documents").select(
         "doc_id", F.col("source").alias("host"),
         F.concat_ws(
             "\n",
@@ -7062,7 +7075,7 @@ _register(
 def _recrawl_q(s: SparkSession, d: str) -> DataFrame:
     did = F.col("doc_id")
     p = (F.when(did % 3 == 0, 1).when(did % 3 == 1, 2).otherwise(4))
-    base = _t(s, d, "documents").select(
+    base = _t_raw(s, d, "documents").select(
         F.concat(F.lit("u"), did.cast("string")).alias("url"),
         p.alias("p"),
         F.explode(F.sequence(F.lit(1), F.lit(4))).alias("snap"),
@@ -7129,7 +7142,7 @@ def _trap_q(s: SparkSession, d: str) -> DataFrame:
         F.when(did % 4 == 0, F.md5(F.col("source")))
         .otherwise(F.md5(did.cast("string")))
     )
-    pages = _t(s, d, "documents").select(
+    pages = _t_raw(s, d, "documents").select(
         url.alias("url"), dig.alias("digest")
     )
     return pipeline.url_trap_stats(pages, min_urls=5, min_ratio=3.0)
@@ -7517,7 +7530,7 @@ def _tracking_pages(s: SparkSession, d: str) -> DataFrame:
     base = F.concat(F.lit("https://t.example/p?id="), ck)
     utm = F.concat(F.lit("&utm=u"), (did % 7).cast("string"))
     digest = F.md5(ck)
-    docs = _t(s, d, "documents")
+    docs = _t_raw(s, d, "documents")
     plain = docs.filter(did % 3 != 0).select(
         F.concat(base, utm).alias("url"), digest.alias("digest")
     )
@@ -7609,7 +7622,7 @@ def _mirror_q(s: SparkSession, d: str) -> DataFrame:
     did = F.col("doc_id")
     ckey = F.floor(did / 20)
     grp = F.when(ckey % 3 == 0, (did % 20) % 2).otherwise((did % 20) % 4)
-    pages = _t(s, d, "documents").select(
+    pages = _t_raw(s, d, "documents").select(
         F.col("source").alias("host"),
         F.md5(F.concat(ckey.cast("string"), F.lit("|"),
                        grp.cast("string"))).alias("digest"),
@@ -7717,7 +7730,7 @@ _register(
 # syndicated to a separate mirror host (the true cross-site leakage
 # that survives both splits and the audit must count).
 def _split_pages(s: SparkSession, d: str) -> DataFrame:
-    docs = _t(s, d, "documents")
+    docs = _t_raw(s, d, "documents")
     did = F.col("doc_id")
     host = F.concat(F.lit("https://"), "source", F.lit(".example/"))
     base = docs.select(
