@@ -464,10 +464,13 @@ def near_dup_pairs_dedup_first(docs: DataFrame, id_col: str = "doc_id",
     Returns (a, b, sim_est, n_copies_a, n_copies_b), a/b representative
     ids with a < b."""
     digest = F.md5(F.col(text_col)).alias("digest")
+    # the digest-group table feeds the representative semi-join AND both
+    # multiplicity attaches — one lazy checkpoint, three references
     groups = (
         docs.select(F.col(id_col), digest)
         .groupBy("digest")
         .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_copies"))
+        .localCheckpoint(eager=False)
     )
     reps = docs.join(
         groups.select(F.col("keeper").alias(id_col)), id_col, "left_semi"
@@ -774,10 +777,13 @@ def simhash_pairs_dedup_first(docs: DataFrame, id_col: str = "doc_id",
 
     Returns (a, b, hamming, n_copies_a, n_copies_b), a < b."""
     digest = F.md5(F.col(text_col)).alias("digest")
+    # the digest-group table feeds the representative semi-join AND both
+    # multiplicity attaches — one lazy checkpoint, three references
     groups = (
         docs.select(F.col(id_col), digest)
         .groupBy("digest")
         .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_copies"))
+        .localCheckpoint(eager=False)
     )
     reps = docs.join(
         groups.select(F.col("keeper").alias(id_col)), id_col, "left_semi"
