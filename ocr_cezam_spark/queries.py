@@ -4793,7 +4793,7 @@ _BM25_TERMS = ["spark", "join", "window", "fast"]
 _register(
     "bm25_topk",
     lambda s, d: retrieval.bm25_topk(
-        _t(s, d, "documents"), _BM25_TERMS, k=10
+        _t_raw(s, d, "documents"), _BM25_TERMS, k=10
     ),
     f"""
     WITH tf AS ({_TF_SQL}),
@@ -4881,7 +4881,7 @@ _BM25_MULTI = [
 
 def _bm25_multi(s: SparkSession, d: str) -> DataFrame:
     q = s.createDataFrame(_BM25_MULTI, "query_id long, term string, weight double")
-    return retrieval.bm25_multi_topk(_t(s, d, "documents"), q, k=5)
+    return retrieval.bm25_multi_topk(_t_raw(s, d, "documents"), q, k=5)
 
 
 _register(
@@ -7887,7 +7887,7 @@ def _refresh_q(s: SparkSession, d: str) -> DataFrame:
     url = F.concat(F.lit("http://src"), (did % 20).cast("string"),
                    F.lit(".example"), path)
     p = F.when(did % 3 == 0, 1).when(did % 3 == 1, 2).otherwise(4)
-    base = _t(s, d, "documents").select(url.alias("url"), p.alias("p"))
+    base = _t_raw(s, d, "documents").select(url.alias("url"), p.alias("p"))
     hist = base.select(
         "url", "p",
         F.explode(F.sequence(F.lit(1), F.lit(4))).alias("snap"),
